@@ -1,0 +1,9 @@
+"""Operator recipe modules. Importing this package registers every query.
+
+Modules register named queries (and DuckDB oracles) into
+``oe_batch_processing_spark.registry`` as an import side effect.
+"""
+
+from oe_batch_processing_spark.operators import (  # noqa: F401
+    relational,
+)

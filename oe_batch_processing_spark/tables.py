@@ -1,0 +1,60 @@
+"""Testdata table loaders.
+
+The driver generates a TPC-H-ish star schema plus ``events`` / ``documents`` /
+``embeddings`` as one parquet file per table (TESTDATA.md). Everything here is
+a plain ``spark.read.parquet`` — explicit schema is unnecessary because parquet
+footers carry it, and Catalyst gets column pruning + predicate pushdown on the
+scan for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor; used by query
+# recipes to hint `broadcast()` so the fact side never shuffles for these joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # Parquet TIMESTAMP(NANOS) arrives as int64 nanos (see session.py);
+        # surface it as a microsecond TimestampType column, same name. The
+        # sub-microsecond truncation is irrelevant to every windowing op.
+        for f in df.schema.fields:
+            if f.name == "ts" and f.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so recipes can use spark.sql."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,61 @@
+"""Local differential checker — mirrors the driver's DuckDB-oracle harness.
+
+Usage:
+    python tools/check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import oe_batch_processing_spark.operators  # noqa: F401
+from oe_batch_processing_spark import registry
+from oe_batch_processing_spark.session import get_spark
+from oe_batch_processing_spark.testing import compare, duckdb_connection
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and "/" in args[0]:
+        sf_dir = args.pop(0)
+    names = args or sorted(registry.QUERIES)
+
+    con = duckdb_connection(sf_dir)
+    spark = get_spark("check")
+
+    n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            spdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        sql = registry.ORACLE.get(name)
+        if sql is None:
+            print(f"ok   {name}: rows-only, {len(spdf)} rows ({dt:.1f}s)")
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        mismatch = compare(spdf, odf)
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(spdf)} rows ({dt:.1f}s)")
+    print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
