@@ -36,6 +36,11 @@ def get_spark(
       - Arrow execution for the Pandas-UDF operators (minhash, embeddings).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Executor Python workers must be able to import this package regardless
+    # of the driver process's cwd (mapInPandas closures pickle functions by
+    # module reference). Prepend the repo root to the workers' PYTHONPATH.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pythonpath = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -54,6 +59,7 @@ def get_spark(
         # timestamp type, so read as int64 nanos and convert in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

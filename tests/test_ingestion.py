@@ -1,0 +1,263 @@
+"""Ingestion-fidelity tests mirroring the reference's test strategy
+(SURVEY.md §5: CSV header errors, count mismatches, FW strict length,
+boolean strictness, ignore path, ledger invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from oe_batch_processing_spark.engine import IngestJob, run_ingest
+from oe_batch_processing_spark.functions.coercion import js_boolean, js_number
+from oe_batch_processing_spark.sources.csv_source import (
+    CsvConfigError,
+    CsvOptions,
+    csv_to_array,
+)
+from oe_batch_processing_spark.sources.fixed_width import FwConfigError, validate_layout
+from oe_batch_processing_spark.sinks.ledger import read_runs, read_status
+
+
+# --- pure-Python fidelity units -------------------------------------------
+
+def test_js_number_semantics():
+    assert js_number("") == 0.0  # JS Number('') === 0
+    assert js_number("  ") == 0.0
+    assert js_number("1e3") == 1000.0
+    assert js_number("0x10") == 16.0
+    assert js_number("-0b101") == -5.0
+    assert js_number("Infinity") == math.inf
+    assert js_number("+12.5") == 12.5
+    assert math.isnan(js_number("12abc"))
+    assert math.isnan(js_number("1,000"))
+
+
+def test_js_boolean_strict():
+    assert js_boolean("true") is True
+    assert js_boolean("FALSE") is False
+    assert js_boolean("TrUe") is True
+    assert js_boolean("1") is None  # reference rejects 1/0/yes/no
+    assert js_boolean("yes") is None
+
+
+def test_csv_tokenizer_quoted_embedded_delimiter():
+    # the reference fixture shape: B0001,"C00,0001"
+    assert csv_to_array('B0001,"C00,0001"') == ["B0001", "C00,0001"]
+    assert csv_to_array("a,'b,c',d") == ["a", "b,c", "d"]
+    assert csv_to_array('a,"es\\"caped"') == ["a", 'es"caped']
+    assert csv_to_array("a,b,") == ["a", "b", ""]  # empty last field
+    assert csv_to_array('a,"unterminated') is None
+    assert csv_to_array('a,"x"y') is None  # garbage after closing quote
+
+
+def test_csv_config_errors():
+    with pytest.raises(CsvConfigError):
+        CsvOptions(csv_headers=None).resolve()
+    with pytest.raises(CsvConfigError):
+        CsvOptions(csv_headers="  ").resolve()
+    with pytest.raises(CsvConfigError):  # numeric header names rejected
+        CsvOptions(csv_headers="key, 123").resolve()
+    with pytest.raises(CsvConfigError):  # more types than headers
+        CsvOptions(csv_headers="a,b", csv_header_data_types="string,string,number").resolve()
+    # ...unless explicitly ignored
+    o = CsvOptions(
+        csv_headers="a,b",
+        csv_header_data_types="string,string,number",
+        ignore_extra_header_data_types=True,
+    )
+    o.resolve()
+    assert o.resolved_types == ["string", "string"]
+
+
+def test_fw_layout_validation():
+    with pytest.raises(FwConfigError):
+        validate_layout([])
+    with pytest.raises(FwConfigError):
+        validate_layout([{"fieldName": "k", "type": "string"}])  # missing keys
+    with pytest.raises(FwConfigError):
+        validate_layout(
+            [{"fieldName": "k", "type": "int", "startPosition": 1, "endPosition": 5}]
+        )  # unsupported type
+    with pytest.raises(FwConfigError):
+        validate_layout(
+            [{"fieldName": "k", "type": "string", "startPosition": 5, "endPosition": 1}]
+        )
+
+
+# --- end-to-end ingestion runs --------------------------------------------
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    # CRLF-terminated, headerless, quoted embedded delimiter — the reference
+    # fixture shape (FIXTURES.md A2).
+    p = tmp_path / "batch.csv"
+    lines = [f'B{i:04d},"C00,{i:04d}"' for i in range(1, 101)]
+    p.write_bytes(("\r\n".join(lines) + "\r\n").encode())
+    return str(p)
+
+
+@pytest.fixture()
+def fw_file(tmp_path):
+    # 13-char records: key[1-5] value[6-13] (FIXTURES.md A3)
+    p = tmp_path / "batch.fwv"
+    lines = [f"B{i:04d}C00{i:05d}" for i in range(1, 101)]
+    p.write_bytes(("\r\n".join(lines) + "\r\n").encode())
+    return str(p)
+
+
+FW_LAYOUT = [
+    {"fieldName": "key", "type": "string", "startPosition": 1, "endPosition": 5},
+    {"fieldName": "value", "type": "string", "startPosition": 6, "endPosition": 13},
+]
+
+
+def test_csv_happy_path(spark, csv_file, tmp_path):
+    job = IngestJob(
+        file_path=csv_file,
+        parser="csv",
+        csv_options=CsvOptions(csv_headers=" key, value "),
+        sink_path=str(tmp_path / "sink"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    res = run_ingest(spark, job)
+    assert res.counts == {
+        "totalRecordCount": 100,
+        "successCount": 100,
+        "failureCount": 0,
+    }
+    # CRLF stripped, quoted delimiter preserved in value
+    import json
+
+    rows = res.success.orderBy("recId").limit(1).collect()
+    assert rows[0]["recId"] == 1
+    assert json.loads(rows[0]["parsed_json"]) == {"key": "B0001", "value": "C00,0001"}
+    # ledger invariants
+    runs = read_runs(spark, job.ledger_dir).collect()
+    assert len(runs) == 1
+    assert runs[0]["totalRecordCount"] == 100
+    assert runs[0]["durationMillis"] >= 0
+    status = read_status(spark, job.ledger_dir)
+    assert status.count() == 100
+
+
+def test_csv_number_coercion_failure_not_fatal(spark, csv_file):
+    # value declared number but contains 'C00,0001' => every record FAILED,
+    # run still completes (reference README.md:100-101)
+    job = IngestJob(
+        file_path=csv_file,
+        parser="csv",
+        csv_options=CsvOptions(
+            csv_headers="key, value", csv_header_data_types="string, number"
+        ),
+    )
+    res = run_ingest(spark, job)
+    assert res.counts["failureCount"] == 100
+    assert res.counts["successCount"] == 0
+    # stop-on-first-error keeps the partial json (SURVEY.md §2.3.2)
+    import json
+
+    row = res.failed.orderBy("recId").limit(1).collect()[0]
+    assert json.loads(row["parsed_json"]) == {"key": "B0001"}
+    assert "Invalid number" in row["error"]
+
+
+def test_csv_count_mismatch_routes_failed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\na,b,c\na\n")
+    job = IngestJob(
+        file_path=str(p),
+        parser="csv",
+        csv_options=CsvOptions(csv_headers="k1, k2"),
+    )
+    res = run_ingest(spark, job)
+    assert res.counts["successCount"] == 1
+    assert res.counts["failureCount"] == 2  # extra field + missing field
+    # opt-out: extra fields tolerated
+    job2 = IngestJob(
+        file_path=str(p),
+        parser="csv",
+        csv_options=CsvOptions(csv_headers="k1, k2", ignore_extra_headers=True),
+    )
+    res2 = run_ingest(spark, job2)
+    assert res2.counts["successCount"] == 2
+    assert res2.counts["failureCount"] == 1
+
+
+def test_fw_happy_and_strict_length(spark, fw_file):
+    res = run_ingest(spark, IngestJob(file_path=fw_file, parser="fw", fw_layout=FW_LAYOUT))
+    assert res.counts["successCount"] == 100
+
+    # layout longer than the record (endPosition 15) => record too short => FAILED
+    long_layout = [
+        {"fieldName": "key", "type": "string", "startPosition": 1, "endPosition": 5},
+        {"fieldName": "value", "type": "string", "startPosition": 6, "endPosition": 15},
+    ]
+    res2 = run_ingest(spark, IngestJob(file_path=fw_file, parser="fw", fw_layout=long_layout))
+    assert res2.counts["failureCount"] == 100
+
+    # layout shorter than the record (endPosition 11) => record too long => FAILED
+    short_layout = [
+        {"fieldName": "key", "type": "string", "startPosition": 1, "endPosition": 5},
+        {"fieldName": "value", "type": "string", "startPosition": 6, "endPosition": 11},
+    ]
+    res3 = run_ingest(spark, IngestJob(file_path=fw_file, parser="fw", fw_layout=short_layout))
+    assert res3.counts["failureCount"] == 100
+
+
+def test_fw_number_coercion(spark, tmp_path):
+    p = tmp_path / "num.fwv"
+    p.write_text("AAAAA00000123\nBBBBB   12.5 \nCCCCCnotanumb\n")
+    layout = [
+        {"fieldName": "key", "type": "string", "startPosition": 1, "endPosition": 5},
+        {"fieldName": "value", "type": "number", "startPosition": 6, "endPosition": 13},
+    ]
+    res = run_ingest(spark, IngestJob(file_path=str(p), parser="fw", fw_layout=layout))
+    import json
+
+    ok = {r["recId"]: json.loads(r["parsed_json"]) for r in res.success.collect()}
+    assert ok[1]["value"] == 123.0
+    assert ok[2]["value"] == 12.5
+    assert res.counts["failureCount"] == 1  # 'notanumb' fails number coercion
+
+
+def test_custom_parser_three_way(spark, tmp_path):
+    p = tmp_path / "batch.txt"
+    lines = [f"{i:039d} {i + 1:039d}" for i in range(1, 100)]
+    p.write_text("\n".join(lines) + "\n")
+
+    def on_each_record(rec_data):
+        key, value = rec_data["rec"].split(" ")
+        if rec_data["recId"] % 10 == 0:
+            return None, None  # silent ignore
+        if rec_data["recId"] % 7 == 0:
+            return {"key": key}, "synthetic failure"
+        return {"key": key, "value": value}, None
+
+    res = run_ingest(spark, IngestJob(file_path=str(p), parser=on_each_record))
+    ignored = len([i for i in range(1, 100) if i % 10 == 0])
+    failed = len([i for i in range(1, 100) if i % 10 != 0 and i % 7 == 0])
+    # ignored records are not counted at all (reference lib/batchProcessing.js:623,696)
+    assert res.counts["totalRecordCount"] == 99 - ignored
+    assert res.counts["failureCount"] == failed
+    assert (
+        res.counts["totalRecordCount"]
+        == res.counts["successCount"] + res.counts["failureCount"]
+    )
+
+
+def test_fatal_records_run_error(spark, tmp_path):
+    # config error mid-run: ledger captures the error, exception propagates
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n")
+    job = IngestJob(
+        file_path=str(p),
+        parser="csv",
+        csv_options=CsvOptions(csv_headers="k, 42"),  # numeric header => FATAL
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    with pytest.raises(CsvConfigError):
+        run_ingest(spark, job)
+    runs = read_runs(spark, job.ledger_dir).collect()
+    assert len(runs) == 1
+    assert "header" in runs[0]["error"]
