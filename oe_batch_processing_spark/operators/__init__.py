@@ -5,5 +5,9 @@ Modules register named queries (and DuckDB oracles) into
 """
 
 from oe_batch_processing_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
     relational,
+    similarity,
+    textops,
 )

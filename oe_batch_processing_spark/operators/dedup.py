@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM training-data pipelines (north-star scope,
+BASELINE.json: not in the reference, first-class here).
+
+Family:
+  - exact dedup (hash groupBy) — ``dedup_exact_documents``
+  - normalized exact dedup via document fingerprint (md5 of normalized text)
+    — ``text_fingerprint_dedup`` (fingerprint op itself in textops.py)
+  - n-gram Jaccard near-dedup (exact, inverted-index self-join)
+    — ``dedup_jaccard_shingles``
+  - MinHash + LSH near-dedup (sketch + banding, the 100 TB path)
+    — ``dedup_minhash_lsh``
+  - SimHash near-dedup (64-bit fingerprint + hamming distance)
+    — ``dedup_simhash``
+
+Scale design: the exact-jaccard join is quadratic in the worst case and
+exists as the small-SF oracle-checkable ground truth. MinHash-LSH is the
+production path: per-doc work is O(#shingles × #hashes), the only shuffle is
+groupBy(band-signature), and candidate verification re-computes true Jaccard
+only within buckets. Skew (a hot bucket) is handled by AQE skew-split; band
+count trades recall vs cost (20 bands × 4 rows ≈ catches J≥0.8 with p>0.99).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+# --- shared shingling ------------------------------------------------------
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc_id. Split on single space to
+    match the oracle's string_split semantics exactly."""
+    words = F.split(F.col(text_col), " ")
+    shingle_expr = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select("doc_id", F.explode(shingle_expr).alias("sh"))
+        .distinct()
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies,
+           ANY_VALUE(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one canonical row (min doc_id) per distinct text.
+
+    Scale: single hash-shuffle on the text hash; at 100 TB, group on
+    ``xxhash64(text)`` instead of the full text to keep shuffle rows small
+    (collision check within group), or on the md5 fingerprint column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.any_value("n_chars").alias("n_chars"),
+    ).drop("text").select("canonical_doc_id", "n_copies", "n_chars")
+
+
+@query(
+    "dedup_jaccard_shingles",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.8
+    """,
+)
+def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word trigram) Jaccard near-dup pairs, J >= 0.8.
+
+    Inverted-index self-join: pairs are generated only for docs sharing at
+    least one shingle — never a full cross join. This is the ground truth the
+    MinHash-LSH variant approximates; at 100 TB use the LSH path and keep
+    this for bucket-level verification.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 80
+N_BANDS = 20  # 20 bands x 4 rows: P(candidate | J=0.8) ~ 0.9996
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Per-doc minhash signature: min over shingles of xxhash64(shingle, seed)
+    for each of n_hashes seeds. One explode over seeds, one groupBy(doc_id)
+    — shuffle rows = docs × hashes, independent of shingle count."""
+    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
+    hashed = sh.select(
+        "doc_id",
+        F.posexplode(seeds).alias("seed_idx", "seed"),
+        F.col("sh"),
+    ).select(
+        "doc_id",
+        "seed_idx",
+        F.xxhash64(F.col("sh"), F.col("seed")).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed_idx").agg(F.min("h").alias("minhash"))
+
+
+@query("dedup_minhash_lsh")  # Spark xxhash64 has no DuckDB twin => rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs verified by true Jaccard >= 0.8.
+
+    Pipeline: shingle → 80 minhashes → 20 band signatures → groupBy(band,
+    signature) bucket join → distinct candidate pairs → exact Jaccard
+    verification on candidates only. Output schema matches
+    ``dedup_jaccard_shingles`` (its exact ground truth) so recall can be
+    measured by diffing the two.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3).persist()
+    sig = _minhash_signatures(sh)
+    banded = sig.withColumn("band", (F.col("seed_idx") / ROWS_PER_BAND).cast("int"))
+    band_sig = banded.groupBy("doc_id", "band").agg(
+        F.sort_array(F.collect_list(F.struct("seed_idx", "minhash"))).alias("rows_")
+    ).select("doc_id", "band", F.hash("rows_").alias("band_key"))
+    a = band_sig.alias("a")
+    b = band_sig.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+@query("dedup_simhash")  # bit-level xxhash64 math => rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit weighted-majority fingerprint over
+    shingle hashes; pairs with hamming distance <= 6.
+
+    Scale: fingerprint is one groupBy(doc_id) over shingle×bit rows; the
+    pair search here joins on 4 16-bit chunks (any equal chunk => candidate,
+    pigeonhole guarantee for hd<=6 is 2 chunks but 4-way chunk join keeps
+    recall 1.0 for hd<=3 per chunk-miss bound) then verifies true distance.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    bits = sh.select(
+        "doc_id",
+        F.xxhash64("sh").alias("h"),
+        F.explode(F.array(*[F.lit(i) for i in range(64)])).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        # +1 when bit set, -1 otherwise
+        F.expr("(shiftright(h, CAST(bit AS INT)) & 1L) * 2 - 1").alias("w"),
+    )
+    fp = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("w").alias("s"))
+        .withColumn("bitval", (F.col("s") > 0).cast("long"))
+        .groupBy("doc_id")
+        # signed-64 fingerprint: shiftleft wraps at bit 63, deterministic
+        .agg(F.sum(F.expr("shiftleft(bitval, CAST(bit AS INT))")).alias("simhash"))
+    )
+    # candidate join on 16-bit chunks
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("chunk_idx"),
+    ).withColumn(
+        "chunk_val",
+        F.expr("shiftright(simhash, CAST(chunk_idx * 16 AS INT)) & 65535L"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hd = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hd.alias("hamming")
+    ).filter(F.col("hamming") <= 6)

@@ -1,0 +1,140 @@
+"""Multimodal column support (north-star scope): image/audio/video as opaque
+``binary`` columns with typed metadata, plus decode / feature-extract plumbing
+as Arrow-batched Pandas UDFs.
+
+The container has no image/audio libraries, so the *decode* step is stubbed
+behind ``NotImplementedError`` with a deterministic fake (byte-level feature
+extraction) — the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) is real and tested (tests/test_multimodal.py).
+
+Scale notes: binary payloads ride in parquet/Arrow untouched until the UDF
+stage; ``mapInPandas`` streams Arrow batches so executor memory is bounded by
+batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``), not partition
+size. Feature extraction is embarrassingly parallel — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+# Typed metadata envelope for an opaque media payload.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("checksum", StringType(), False),  # md5 hex
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("byte_histogram", ArrayType(LongType()), False),  # 16 bins
+        StructField("mean_byte", IntegerType(), False),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — requires an imaging library not present in this
+    container. The pipeline plumbing around it is fully functional; swap this
+    implementation on a cluster with codecs installed."""
+    raise NotImplementedError(
+        "image decode requires an imaging library (e.g. Pillow); "
+        "use extract_features (deterministic byte-level fake) in this environment"
+    )
+
+
+def media_frame(docs: DataFrame) -> DataFrame:
+    """Manufacture a media table from the documents table: utf-8 payload as
+    the opaque binary + typed metadata. Stands in for real image/audio blobs;
+    every downstream op only sees (binary, metadata)."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Deterministic byte-level feature extraction over Arrow batches —
+    the stand-in for decode→resize→embed. Shows the real mapInPandas shape:
+    binary in, fixed-width feature vector out."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for media_id, mtype, payload, n_bytes in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"], pdf["n_bytes"]
+            ):
+                b = bytes(payload or b"")
+                hist = [0] * 16
+                total = 0
+                for byte in b:
+                    hist[byte >> 4] += 1
+                    total += byte
+                out_rows.append(
+                    {
+                        "media_id": media_id,
+                        "media_type": mtype,
+                        "n_bytes": n_bytes,
+                        "byte_histogram": hist,
+                        "mean_byte": (total // len(b)) if b else 0,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata projection: byte length + checksum of the
+    payload, typed media kind. JVM-only (no Python), oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return media_frame(docs).select("media_id", "media_type", "n_bytes", "checksum")
+
+
+@query("multimodal_byte_features")  # Pandas-UDF path => rows-only
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing end-to-end: binary payload → Arrow batch →
+    Pandas UDF → fixed-width feature vector (16-bin byte histogram)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(media_frame(docs))

@@ -1,0 +1,233 @@
+"""Embedding similarity search (north-star scope).
+
+  - ``similarity_topk_cosine`` — brute-force cosine top-k, the exact
+    oracle-checkable baseline. Dot products and norms via exact decimal
+    summation so both engines agree bit-for-bit.
+  - ``similarity_topk_lsh`` — random-hyperplane LSH bucketed variant: the
+    100 TB scale path (candidates only from matching buckets, exact rescore
+    inside buckets, multi-probe via multiple tables). Rows-only check.
+  - ``similarity_pairs_above`` — all-pairs cosine >= threshold via the same
+    exact math (self-join form used by embedding near-dedup).
+
+Scale notes: brute force is O(Q×N×d) — fine for reranking a candidate set,
+wrong as the primary search at 100 TB. The LSH variant's only shuffles are
+groupBy(bucket) and the final per-query top-k; bucket skew is bounded by the
+hyperplane count (2^k buckets) and AQE skew-split. An IVF variant would swap
+the bucketer for k-means cells trained on a sample — same plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import dsum, query
+from oe_batch_processing_spark.tables import load_table
+
+TOP_K = 5
+QUERY_MOD = 100  # query set = vec_id % 100 == 0 (deterministic, sf-stable)
+
+
+def _elements(emb: DataFrame) -> DataFrame:
+    """(vec_id, i, v): 1-based position + double-cast element."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+
+
+def _norms(elems: DataFrame) -> DataFrame:
+    return elems.groupBy("vec_id").agg(
+        F.sqrt(dsum(F.col("v") * F.col("v"), scale=9)).alias("nrm")
+    )
+
+
+_COSINE_ORACLE = f"""
+    WITH elems AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             CAST(SUM(CAST(q.v * d.v AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      FROM elems q
+      JOIN elems d ON q.i = d.i
+      WHERE q.vec_id % {QUERY_MOD} = 0 AND d.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             dot / (nq.nrm * nd.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY dot / (nq.nrm * nd.nrm) DESC, neighbor_id
+             ) AS INTEGER) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nd ON nd.vec_id = neighbor_id
+    )
+    WHERE rnk <= {TOP_K}
+"""
+
+
+@query("similarity_topk_cosine", oracle=_COSINE_ORACLE)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for the deterministic query subset."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = _elements(emb)
+    norms = _norms(elems)
+    q = elems.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("v").alias("qv")
+    )
+    d = elems.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("v").alias("dv"))
+    dots = (
+        q.join(d, "i")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum(F.col("qv") * F.col("dv"), scale=9).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_d"))
+    sims = dots.join(nq, "query_id").join(nd, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (F.col("dot") / (F.col("nrm_q") * F.col("nrm_d"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+N_PLANES = 8  # 2^8 = 256 buckets
+N_TABLES = 4  # independent hash tables for recall
+
+
+@query("similarity_topk_lsh")  # approximate candidate gen => rows-only
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by sign pattern of 8 pseudo-random
+    hyperplanes × 4 tables, exact cosine rescore within candidate buckets,
+    per-query top-k. The scale path for similarity search.
+
+    Hyperplanes are derived deterministically from xxhash64(table, plane,
+    dimension) so the operator needs no stored model.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = _elements(emb)
+    norms = _norms(elems)
+
+    tables = F.explode(F.array(*[F.lit(t) for t in range(N_TABLES)])).alias("tbl")
+    planes = F.explode(F.array(*[F.lit(p) for p in range(N_PLANES)])).alias("plane")
+    # pseudo-random hyperplane component in [-1, 1): hash(tbl, plane, dim)
+    comp = (
+        F.xxhash64(F.col("tbl"), F.col("plane"), F.col("i")).cast("double")
+        / F.lit(float(2**63))
+    )
+    proj = (
+        elems.select("vec_id", "i", "v", tables)
+        .select("vec_id", "i", "v", "tbl", planes)
+        .groupBy("vec_id", "tbl", "plane")
+        .agg(F.sum(F.col("v") * comp).alias("proj"))
+    )
+    buckets = (
+        proj.withColumn("bit", (F.col("proj") > 0).cast("long"))
+        .groupBy("vec_id", "tbl")
+        .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("plane")).cast("long")).alias("bucket"))
+    )
+    qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    db = buckets.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
+    cand = (
+        qb.join(db, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # exact rescore on candidates
+    qe = elems.select(F.col("vec_id").alias("query_id"), "i", F.col("v").alias("qv"))
+    de = elems.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("v").alias("dv"))
+    dots = (
+        cand.join(qe, "query_id")
+        .join(de, ["neighbor_id", "i"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum(F.col("qv") * F.col("dv"), scale=9).alias("dot"))
+    )
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
+    nd = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_d"))
+    sims = dots.join(nq, "query_id").join(nd, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        (F.col("dot") / (F.col("nrm_q") * F.col("nrm_d"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+_PAIRS_ORACLE = """
+    WITH elems AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    norms AS (
+      SELECT vec_id,
+             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.2
+"""
+
+
+@query("similarity_pairs_above", oracle=_PAIRS_ORACLE)
+def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.2 on a deterministic 10% subset (vec_id % 10
+    == 0) — the embedding near-dedup primitive, exact math."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    elems = _elements(emb)
+    norms = _norms(elems)
+    a = elems.select(F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("av"))
+    b = elems.select(F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("bv"))
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(dsum(F.col("av") * F.col("bv"), scale=9).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+    )

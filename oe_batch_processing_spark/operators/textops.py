@@ -1,0 +1,216 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star scope):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting, corpus token histogram.
+
+All of these are pure JVM expressions (whole-stage codegen, no Python) —
+at 100 TB they run at scan speed with no shuffle except the histogram's
+groupBy. Every double here is a ratio of identical integers, so results are
+engine-exact without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER) AS n_tokens,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_actual,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_nonspace,
+           CAST(LENGTH(text) AS DOUBLE)
+             / LEN(regexp_extract_all(text, '{TOKEN_RE}')) AS chars_per_token
+    FROM documents
+    WHERE LEN(regexp_extract_all(text, '{TOKEN_RE}')) > 0
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: regex word tokens (BPE-ish alnum runs), char counts,
+    chars-per-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_RE))
+    return docs.filter(n_tokens > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+    )
+
+
+# quality heuristics: stopword ratio, mean word length, whitespace ratio
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LEN(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+             LEN(regexp_extract_all(lower(text),
+                 '\\b({"|".join(_STOPWORDS)})\\b')) AS n_stop,
+             LENGTH(text) AS n_chars_actual,
+             LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_stop AS INTEGER) AS n_stopwords,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_nonspace AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(n_chars_actual - n_nonspace AS DOUBLE) / n_chars_actual AS space_ratio
+    FROM toks
+    WHERE n_tokens > 0
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal battery: stopword ratio, mean token length, whitespace
+    ratio — the standard cheap filters before expensive pipeline stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_RE))
+    n_stop = F.regexp_count(F.lower("text"), F.lit(r"\b(" + "|".join(_STOPWORDS) + r")\b"))
+    n_chars = F.length("text")
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.filter(n_tokens > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_nonspace.cast("double") / n_tokens).alias("mean_token_len"),
+        ((n_chars - n_nonspace).cast("double") / n_chars).alias("space_ratio"),
+    )
+
+
+# language-ID heuristic: marker-word votes per language, argmax with a
+# deterministic tie-break on language code order
+_LANG_MARKERS = {
+    "en": ("the", "and", "value"),
+    "de": ("der", "und", "nicht"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "est"),
+    "zh": ("shi", "de_", "bu"),
+}
+
+
+def _marker_score_sql(lang: str) -> str:
+    words = "|".join(_LANG_MARKERS[lang])
+    return f"LEN(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {_marker_score_sql('en')} AS s_en,
+             {_marker_score_sql('de')} AS s_de,
+             {_marker_score_sql('es')} AS s_es,
+             {_marker_score_sql('fr')} AS s_fr,
+             {_marker_score_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(s_en, s_de, s_es, s_fr, s_zh)
+             WHEN 0 THEN 'unknown'
+             WHEN s_en THEN 'en'
+             WHEN s_de THEN 'de'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             ELSE 'zh' END AS predicted_lang,
+           CAST(GREATEST(s_en, s_de, s_es, s_fr, s_zh) AS INTEGER) AS marker_hits
+    FROM scores
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language-ID heuristic with deterministic argmax
+    (first language in en/de/es/fr/zh order wins ties; 0 hits => unknown)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.regexp_count(
+            F.lower("text"), F.lit(r"\b(" + "|".join(words) + r")\b")
+        )
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in ("en", "de", "es", "fr", "zh"):  # tie-break order
+        pred = pred.when(scores[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        best.cast("int").alias("marker_hits"),
+    )
+
+
+@query(
+    "text_fingerprint_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM fp
+    GROUP BY fingerprint
+    """,
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text,
+    grouped — the normalized-exact-dedup primitive. md5 is identical across
+    engines, so this is fully oracle-checkable (unlike xxhash-based ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle=f"""
+    SELECT token, n, rnk FROM (
+      SELECT token, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rnk
+      FROM (
+        SELECT token, COUNT(*) AS n
+        FROM (
+          SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+          FROM documents
+        )
+        GROUP BY token
+      )
+    ) WHERE rnk <= 20
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram, top 20 — explode → count → global top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("token", "n", "rnk")
+    )
