@@ -30,18 +30,32 @@ from oe_batch_processing_spark.tables import load_table
 
 # --- shared shingling ------------------------------------------------------
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc_id. Split on single space to
-    match the oracle's string_split semantics exactly."""
-    words = F.split(F.col(text_col), " ")
-    shingle_expr = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
-    )
+def shingle_arrays(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles sorted-distinct array) — zero shuffles: the words
+    array is materialized once per row and shingles are built with JVM array
+    expressions. Split on single space to match the oracle's string_split."""
     return (
-        df.filter(F.size(words) >= n)
-        .select("doc_id", F.explode(shingle_expr).alias("sh"))
-        .distinct()
+        df.withColumn("words", F.split(F.col(text_col), " "))
+        .filter(F.size("words") >= n)
+        .select(
+            "doc_id",
+            F.sort_array(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(words) - {n}), "
+                        f"i -> concat_ws(' ', slice(words, i + 1, {n})))"
+                    )
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc_id, exploded (inverted-index
+    form used by the exact-Jaccard join)."""
+    return shingle_arrays(df, n, text_col).select(
+        "doc_id", F.explode("shingles").alias("sh")
     )
 
 
@@ -133,68 +147,75 @@ N_BANDS = 20  # 20 bands x 4 rows: P(candidate | J=0.8) ~ 0.9996
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-def _minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """Per-doc minhash signature: min over shingles of xxhash64(shingle, seed)
-    for each of n_hashes seeds. One explode over seeds, one groupBy(doc_id)
-    — shuffle rows = docs × hashes, independent of shingle count."""
-    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
-    hashed = sh.select(
-        "doc_id",
-        F.posexplode(seeds).alias("seed_idx", "seed"),
-        F.col("sh"),
-    ).select(
-        "doc_id",
-        "seed_idx",
-        F.xxhash64(F.col("sh"), F.col("seed")).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed_idx").agg(F.min("h").alias("minhash"))
-
-
 @query("dedup_minhash_lsh")  # Spark xxhash64 has no DuckDB twin => rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs verified by true Jaccard >= 0.8.
 
-    Pipeline: shingle → 80 minhashes → 20 band signatures → groupBy(band,
-    signature) bucket join → distinct candidate pairs → exact Jaccard
-    verification on candidates only. Output schema matches
+    Pipeline (all signature math is JVM array expressions — no explode
+    shuffle): per-doc shingle array → 80-wide minhash signature via nested
+    ``transform``/``array_min`` folds → 20 band keys (xxhash64 of each
+    4-slice) → explode only the 20 band keys → groupBy(band, key) buckets →
+    in-bucket pair expansion → exact Jaccard verification via
+    ``array_intersect`` on the (small) candidate set. Output schema matches
     ``dedup_jaccard_shingles`` (its exact ground truth) so recall can be
     measured by diffing the two.
+
+    Scale: shuffled bytes are docs × 20 band keys + candidate pairs — never
+    shingles × hashes. A hot bucket (boilerplate docs) is the skew risk: AQE
+    skew-split handles the groupBy; cap pair expansion per bucket if a
+    corpus has giant duplicate classes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3).persist()
-    sig = _minhash_signatures(sh)
-    banded = sig.withColumn("band", (F.col("seed_idx") / ROWS_PER_BAND).cast("int"))
-    band_sig = banded.groupBy("doc_id", "band").agg(
-        F.sort_array(F.collect_list(F.struct("seed_idx", "minhash"))).alias("rows_")
-    ).select("doc_id", "band", F.hash("rows_").alias("band_key"))
-    a = band_sig.alias("a")
-    b = band_sig.alias("b")
+    sh_arrays = shingle_arrays(docs, 3).persist()
+    # 80 independent seeded hashes per shingle. A cheaper multiply-mix family
+    # over one base hash was tried and dropped: it loses recall (correlated
+    # minima across seeds) for <5% speedup.
+    sig = sh_arrays.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {N_HASHES - 1}), "
+            f"s -> array_min(transform(shingles, x -> xxhash64(x, s))))"
+        ).alias("sig"),
+    )
+    band_keys = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> xxhash64(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})))"
+            )
+        ).alias("band", "band_key"),
+    )
+    buckets = (
+        band_keys.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact verification on candidates only
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh"))
-    common = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verification on candidates only, via array intersection
+    sa = sh_arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
-    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    sb = sh_arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
@@ -213,24 +234,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall 1.0 for hd<=3 per chunk-miss bound) then verifies true distance.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3)
-    bits = sh.select(
-        "doc_id",
-        F.xxhash64("sh").alias("h"),
-        F.explode(F.array(*[F.lit(i) for i in range(64)])).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        # +1 when bit set, -1 otherwise
-        F.expr("(shiftright(h, CAST(bit AS INT)) & 1L) * 2 - 1").alias("w"),
-    )
+    # fingerprint entirely as JVM array folds — zero shuffles before the
+    # candidate join (weighted-majority vote per bit over shingle hashes)
     fp = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bitval", (F.col("s") > 0).cast("long"))
-        .groupBy("doc_id")
-        # signed-64 fingerprint: shiftleft wraps at bit 63, deterministic
-        .agg(F.sum(F.expr("shiftleft(bitval, CAST(bit AS INT))")).alias("simhash"))
+        shingle_arrays(docs, 3)
+        .withColumn("hashes", F.expr("transform(shingles, x -> xxhash64(x))"))
+        .select(
+            "doc_id",
+            F.expr(
+                "aggregate(sequence(0, 63), 0L, (acc, bit) -> acc + IF("
+                "  aggregate(hashes, 0L, (a2, h) -> "
+                "    a2 + (shiftright(h, CAST(bit AS INT)) & 1L) * 2 - 1) > 0, "
+                "  shiftleft(1L, CAST(bit AS INT)), 0L))"
+            ).alias("simhash"),
+        )
     )
     # candidate join on 16-bit chunks
     chunks = fp.select(

@@ -44,6 +44,16 @@ def _norms(elems: DataFrame) -> DataFrame:
     )
 
 
+# Exact-match dot products without a position join: each product is rounded
+# to an integer at 1e-9 resolution and summed as BIGINT (exact, associative,
+# order-independent) — both engines produce the identical integer, and the
+# final /1e9 and norm division are identical IEEE doubles.
+_DOT_SCALED_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e9) AS BIGINT)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
 _COSINE_ORACLE = f"""
     WITH elems AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -52,12 +62,12 @@ _COSINE_ORACLE = f"""
     ),
     norms AS (
       SELECT vec_id,
-             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+             SQRT(SUM(CAST(ROUND(v * v * 1e9) AS BIGINT)) / 1e9) AS nrm
       FROM elems GROUP BY vec_id
     ),
     dots AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
-             CAST(SUM(CAST(q.v * d.v AS DECIMAL(18,9))) AS DOUBLE) AS dot
+             SUM(CAST(ROUND(q.v * d.v * 1e9) AS BIGINT)) AS dot_scaled
       FROM elems q
       JOIN elems d ON q.i = d.i
       WHERE q.vec_id % {QUERY_MOD} = 0 AND d.vec_id <> q.vec_id
@@ -66,9 +76,10 @@ _COSINE_ORACLE = f"""
     SELECT query_id, neighbor_id, cosine, rnk
     FROM (
       SELECT query_id, neighbor_id,
-             dot / (nq.nrm * nd.nrm) AS cosine,
+             (dot_scaled / 1e9) / (nq.nrm * nd.nrm) AS cosine,
              CAST(ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY dot / (nq.nrm * nd.nrm) DESC, neighbor_id
+               PARTITION BY query_id
+               ORDER BY (dot_scaled / 1e9) / (nq.nrm * nd.nrm) DESC, neighbor_id
              ) AS INTEGER) AS rnk
       FROM dots
       JOIN norms nq ON nq.vec_id = query_id
@@ -80,26 +91,40 @@ _COSINE_ORACLE = f"""
 
 @query("similarity_topk_cosine", oracle=_COSINE_ORACLE)
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (k=5) for the deterministic query subset."""
+    """Brute-force cosine top-k (k=5) for the deterministic query subset.
+
+    Scale shape: the (small) query set is broadcast against the corpus —
+    no position-explode, no shuffle on the 64-value dimension key. Each
+    corpus row computes Q dot products via JVM array folds inside codegen;
+    the only shuffle is the final per-query top-k window (which Spark
+    group-limits to K rows per partition before the exchange). This is the
+    reranker primitive; the LSH variant below bounds Q×N at scale.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    elems = _elements(emb)
-    norms = _norms(elems)
-    q = elems.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "i", F.col("v").alias("qv")
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.expr(_DOT_SCALED_SQL.format(a=col, b=col)) / F.lit(1e9)
     )
-    d = elems.select(F.col("vec_id").alias("neighbor_id"), "i", F.col("v").alias("dv"))
-    dots = (
-        q.join(d, "i")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("nrm_q"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        norm("embedding").alias("nrm_d"),
+    )
+    dot_scaled = F.expr(_DOT_SCALED_SQL.format(a="q_emb", b="embedding"))
+    sims = (
+        corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(dsum(F.col("qv") * F.col("dv"), scale=9).alias("dot"))
-    )
-    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nrm_q"))
-    nd = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nrm_d"))
-    sims = dots.join(nq, "query_id").join(nd, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        (F.col("dot") / (F.col("nrm_q") * F.col("nrm_d"))).alias("cosine"),
+        .select(
+            "query_id",
+            "neighbor_id",
+            ((dot_scaled / F.lit(1e9)) / (F.col("nrm_q") * F.col("nrm_d"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
