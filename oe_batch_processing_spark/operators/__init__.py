@@ -11,3 +11,4 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     similarity,
     textops,
 )
+from oe_batch_processing_spark.streaming import event_windows  # noqa: F401

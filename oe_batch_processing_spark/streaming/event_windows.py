@@ -1,0 +1,199 @@
+"""Structured Streaming operators over the events table (SURVEY.md §7 M3).
+
+The reference's "streaming" is a one-shot file reader with backpressure
+(lib/batchProcessing.js:314-317,390) — not an event-time engine. Here the
+events table gets real Structured Streaming semantics: watermarks, tumbling /
+sliding / session event-time windows, and streaming dedup.
+
+Design: every windowing operator is a plain DataFrame *transformation* that
+works identically on a batch frame or a ``readStream`` frame (Spark's unified
+API). The registry entries run them as bounded streams via
+``trigger(availableNow=True)`` into a memory sink — an honest streaming
+execution that terminates, so the driver's harness can compare the result
+against a batch SQL oracle.
+
+Output modes: windowed aggregations run in **complete** mode so trailing
+windows still inside the watermark are emitted before the bounded stream
+stops (append mode would hold them in state forever on a finite input).
+Streaming dedup runs in **append** mode (row-level operator).
+
+Scale notes: state size is bounded by the watermark horizon (1 hour here) ×
+key cardinality; shuffles are the normal agg exchanges. ``availableNow``
+processes a backlog in rate-limited batches — the production pattern for
+catch-up + continuous tail.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.registry import dsum, query
+from oe_batch_processing_spark.tables import load_table, table_path
+
+WATERMARK = "1 hour"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (nanos ts -> TimestampType)."""
+    batch = load_table(spark, sf_dir, "events")  # only for the file schema
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # the file source needs a directory; select just the events file by glob
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assert stream.schema == batch.schema
+    return stream
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a bounded stream to completion into a memory sink; return the
+    result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+# --- unified transformations (batch or stream) ------------------------------
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling event-time windows with a 1-hour watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """20-minute windows sliding every 10 minutes."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "20 minutes", "10 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n_events",
+        )
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Per-user sessions with a 5-minute inactivity gap."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "5 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sess.start", "yyyy-MM-dd HH:mm:ss").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_pairs(events: DataFrame) -> DataFrame:
+    """Streaming dedup: first occurrence of each (user_id, event_type)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+# --- registry entries (bounded-stream execution + batch SQL oracles) --------
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT strftime(make_timestamp(
+             CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT)),
+             '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        tumbling_counts(events_stream(spark, sf_dir)), "complete"
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket FROM events
+    ),
+    w AS (
+      SELECT bucket AS ws FROM b
+      UNION ALL
+      SELECT bucket - 600 AS ws FROM b
+    )
+    SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS win_start,
+           COUNT(*) AS n_events
+    FROM w
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(sliding_counts(events_stream(spark, sf_dir)), "complete")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(session_stats(events_stream(spark, sf_dir)), "complete")
+
+
+@query(
+    "stream_dedup_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(dedup_pairs(events_stream(spark, sf_dir)), "append")

@@ -1,0 +1,86 @@
+"""Streaming tests: unified batch/stream transformations and the streaming
+ingestion path (readStream text -> native CSV parse -> foreachBatch ledger).
+
+The four windowing operators are already differential-tested against DuckDB
+through the registry (tests/test_differential.py); here we check the unified
+API (same transformation on batch input) and the ingest-as-stream path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.streaming.event_windows import (
+    dedup_pairs,
+    events_stream,
+    run_available_now,
+    tumbling_counts,
+)
+from oe_batch_processing_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_unified_transformation_batch_equals_stream(spark):
+    """The same tumbling_counts transformation applied to the batch frame and
+    to the bounded stream must agree (Spark's unified API contract)."""
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events"))
+    stream = run_available_now(tumbling_counts(events_stream(spark, SF_DIR)), "complete")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
+
+
+def test_stream_dedup_emits_each_key_once(spark):
+    out = run_available_now(dedup_pairs(events_stream(spark, SF_DIR)), "append")
+    rows = out.collect()
+    assert len(rows) == len({tuple(r) for r in rows})  # no duplicate keys
+
+
+def test_streaming_csv_ingest_foreachbatch(spark, tmp_path):
+    """Micro-batch file ingestion: text stream -> CSV parse -> per-batch
+    ledger append via foreachBatch — the streaming twin of engine.run_ingest."""
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    for f in range(3):
+        lines = [f"F{f}R{i},v{i}" for i in range(10)]
+        (src_dir / f"part{f}.csv").write_text("\n".join(lines) + "\n")
+
+    from oe_batch_processing_spark.sources.csv_source import (
+        CsvOptions,
+        csv_scan_native,
+    )
+    from oe_batch_processing_spark.sources.outcome import route_native
+
+    opts = CsvOptions(csv_headers="key, value")
+    schema = csv_scan_native(spark, str(src_dir), opts).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(src_dir))
+    )
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink, exist_ok=True)
+
+    def handle_batch(batch_df, batch_id):
+        routed = route_native(batch_df)
+        routed.success.drop("statusText", "error", "_corrupt_record").write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 30
+    assert set(out.columns) == {"key", "value"}
+    assert out.filter(F.col("key") == "F1R5").count() == 1
