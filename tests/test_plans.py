@@ -1,0 +1,50 @@
+"""Physical-plan assertions: the scale-critical properties (broadcast joins,
+predicate pushdown, column pruning, top-k without global sort) hold in the
+plans Catalyst actually produces."""
+
+from __future__ import annotations
+
+import oe_batch_processing_spark.operators  # noqa: F401
+from oe_batch_processing_spark import registry
+from oe_batch_processing_spark.plans.progress import (
+    assert_in_plan,
+    assert_not_in_plan,
+    formatted_plan,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    df = registry.QUERIES["flagship_revenue_by_nation"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # customer, nation, region joins all broadcast — no shuffle on the
+    # fact side except the final 5-group aggregation
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+    # unused fact columns never leave the parquet reader
+    assert_not_in_plan(df, "l_partkey", "l_suppkey")
+
+
+def test_top20_uses_take_ordered_not_global_sort(spark):
+    df = registry.QUERIES["sort_top20_orders"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_semi_join_stays_semi(spark):
+    df = registry.QUERIES["join_semi_urgent_customers"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_events_hourly_partial_aggregates(spark):
+    df = registry.QUERIES["events_hourly_rollup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # map-side combine before the exchange: two HashAggregate phases
+    assert plan.count("HashAggregate") >= 2

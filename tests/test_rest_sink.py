@@ -1,0 +1,140 @@
+"""REST sink tests: routing precedence, outcome mapping, throttling, and a
+live end-to-end run against a real local HTTP server."""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+import time
+
+from pyspark.sql import Row
+
+from oe_batch_processing_spark.sinks.rest_sink import (
+    RestSinkOptions,
+    rest_write,
+)
+
+def make_fake_transport():
+    # defined as a closure so cloudpickle serializes it by value (a module-
+    # level function in a test file isn't importable on executors)
+    def fake_transport(url, method, headers, body):
+        payload = json.loads(body) if body else {}
+        if str(payload.get("key", "")).endswith("3"):
+            return 422, "HTTP 422: rejected"
+        return 200, None
+
+    return fake_transport
+
+
+def _parsed_frame(spark, n=10, model_api=None):
+    rows = []
+    for i in range(1, n + 1):
+        payload = {"key": f"K{i}", "value": f"V{i}"}
+        if model_api:
+            payload["modelAPI"] = model_api
+        rows.append(
+            Row(
+                fileName="test.csv",
+                rec=f"K{i},V{i}",
+                recId=i,
+                parsed_json=json.dumps(payload),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_rest_write_outcomes_and_counts(spark):
+    opts = RestSinkOptions(
+        app_base_url="http://app.example/api",
+        model_api="TestData",
+        transport=make_fake_transport(),
+    )
+    status = rest_write(_parsed_frame(spark, 10), opts).collect()
+    by_text = {}
+    for r in status:
+        by_text.setdefault(r["statusText"], []).append(r)
+    assert len(by_text["SUCCESS"]) == 9
+    assert len(by_text["FAILED"]) == 1  # K3
+    assert by_text["FAILED"][0]["statusCode"] == 422
+
+
+def test_rest_write_payload_routing_precedence(spark):
+    # payload-level modelAPI overrides options (reference :632)
+    seen = []
+
+    def recording_transport(url, method, headers, body):
+        seen.append(url)
+        return 200, None
+
+    opts = RestSinkOptions(
+        app_base_url="http://app.example/api",
+        model_api="Default",
+        transport=recording_transport,
+        rate_domains=1,
+    )
+    df = _parsed_frame(spark, 3, model_api="Override")
+    out = rest_write(df, opts)
+    assert out.filter("statusText = 'SUCCESS'").count() == 3
+    # transport runs on executors; verify via a driver-side re-run of one row
+    from oe_batch_processing_spark.sinks.rest_sink import TokenBucket, _send_one
+
+    row = {"parsed_json": json.dumps({"key": "x", "modelAPI": "Override"})}
+    status, code, err = _send_one(row, opts, recording_transport, TokenBucket(0))
+    assert seen[-1].endswith("/api/Override")
+
+
+def test_rest_write_missing_model_api_is_fatal(spark):
+    opts = RestSinkOptions(
+        app_base_url="http://app.example/api", transport=make_fake_transport()
+    )
+    status = rest_write(_parsed_frame(spark, 2), opts).collect()
+    assert all(r["statusText"] == "FATAL" for r in status)
+    assert "modelAPI not specified" in status[0]["error"]
+
+
+class _CountingHandler(http.server.BaseHTTPRequestHandler):
+    received = []
+    lock = threading.Lock()
+
+    def do_POST(self):  # noqa: N802
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        with self.lock:
+            type(self).received.append((self.path, body))
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(b"{}")
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+def test_rest_write_live_http_server_with_throttle(spark):
+    """End-to-end against a real HTTP server via the default urllib
+    transport, single rate domain, 10ms spacing => >= ~0.3s for 30 recs."""
+    _CountingHandler.received = []
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CountingHandler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        opts = RestSinkOptions(
+            app_base_url=f"http://127.0.0.1:{port}/api",
+            model_api="TestData",
+            min_time_ms=10,
+            rate_domains=1,
+            access_token="tok123",
+        )
+        t0 = time.time()
+        status = rest_write(_parsed_frame(spark, 30), opts).collect()
+        elapsed = time.time() - t0
+        assert sum(1 for r in status if r["statusText"] == "SUCCESS") == 30
+        assert len(_CountingHandler.received) == 30
+        path, body = _CountingHandler.received[0]
+        assert path == "/api/TestData?access_token=tok123"
+        assert b"key" in body
+        assert elapsed >= 0.29  # throttle actually paced the launches
+    finally:
+        server.shutdown()
