@@ -6,8 +6,10 @@ Modules register named queries (and DuckDB oracles) into
 
 from oe_batch_processing_spark.operators import (  # noqa: F401
     dedup,
+    ingest_queries,
     multimodal,
     relational,
+    relational2,
     similarity,
     textops,
 )

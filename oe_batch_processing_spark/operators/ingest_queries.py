@@ -1,0 +1,96 @@
+"""Harness-visible ingestion queries: exercise the fixed-width and CSV parse
+paths inside the driver's differential gate by round-tripping table rows
+through formatted text lines and back through the engine's parsers.
+
+(The file-based ingestion lifecycle — line scan, ledgers, outcome routing —
+is covered in tests/test_ingestion.py with real files; these queries make the
+parsing operators themselves oracle-checkable.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.sources.fixed_width import fw_columns
+from oe_batch_processing_spark.tables import load_table
+
+# layout: custkey[1-12] zero-padded, segment[13-24] space-padded, balance
+# printed as scaled integer cents [25-36] so no float-format round trip
+FW_LAYOUT = [
+    {"fieldName": "custkey", "type": "number", "startPosition": 1, "endPosition": 12},
+    {"fieldName": "segment", "type": "string", "startPosition": 13, "endPosition": 24},
+    {"fieldName": "bal_cents", "type": "number", "startPosition": 25, "endPosition": 36},
+]
+
+
+@query(
+    "fw_parse_roundtrip",
+    oracle="""
+    WITH lines AS (
+      SELECT lpad(CAST(c_custkey AS VARCHAR), 12, '0')
+             || rpad(c_mktsegment, 12, ' ')
+             || lpad(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR), 12, ' ')
+             AS rec
+      FROM customer
+    )
+    SELECT CAST(trim(substring(rec, 1, 12)) AS DOUBLE) AS custkey,
+           trim(substring(rec, 13, 12)) AS segment,
+           CAST(trim(substring(rec, 25, 12)) AS DOUBLE) AS bal_cents
+    FROM lines
+    WHERE length(rec) = 36
+    """,
+)
+def fw_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width native parse (reference O4 semantics, codegen path):
+    format customer rows as 36-char records, then extract+trim+coerce via the
+    engine's layout projection. Negative balances print as e.g. '0000-12345'
+    — balances are scaled to integer cents and space-padded (zero-padding
+    a signed value would corrupt it) so the trim+cast round-trips exactly."""
+    c = load_table(spark, sf_dir, "customer")
+    lines = c.select(
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            F.rpad("c_mktsegment", 12, " "),
+            F.lpad(
+                F.round(F.col("c_acctbal") * 100).cast("long").cast("string"), 12, " "
+            ),
+        ).alias("rec")
+    )
+    strict = lines.filter(F.length("rec") == 36)  # reference strict-length rule
+    return strict.select(*fw_columns(FW_LAYOUT))
+
+
+@query(
+    "csv_parse_roundtrip",
+    oracle="""
+    WITH lines AS (
+      SELECT CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus || ','
+             || o_orderpriority AS rec
+      FROM orders
+    )
+    SELECT CAST(string_split(rec, ',')[1] AS BIGINT) AS orderkey,
+           string_split(rec, ',')[2] AS status,
+           string_split(rec, ',')[3] AS priority
+    FROM lines
+    """,
+)
+def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV native parse via from_csv with a declared schema (reference O2's
+    scale path): format order rows as CSV lines, parse back typed."""
+    o = load_table(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+        ).alias("rec")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            "rec", "orderkey BIGINT, status STRING, priority STRING"
+        ).alias("p")
+    )
+    return parsed.select("p.orderkey", "p.status", "p.priority")

@@ -1,0 +1,322 @@
+"""Advanced relational surface: grouping sets, subqueries (scalar / IN /
+correlated), pivot, exact statistics (variance/stddev via decimal moments),
+manual median, union-all, and an as-of join (custom operator Spark lacks).
+
+Statistics note: built-in ``stddev``/``variance`` stream Welford-style and are
+order-dependent in the last ULPs — instead moments (n, Σx, Σx²) are taken
+with exact decimal sums and the closed-form variance is one identical double
+expression in both engines, so even these hash-match exactly — with the
+measure pre-scaled to keep every decimal cast inside the 2^53 exactness
+bound (see registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import dsum, query
+from oe_batch_processing_spark.tables import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() disambiguation — via the SQL
+    entry point over registered views (the engine's SQL surface)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "subquery_scalar_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        FROM orders
+    )
+    """,
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above 2x the (exact-decimal) average price."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+            FROM orders
+        )
+        """
+    )
+
+
+@query(
+    "subquery_correlated_max",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (
+        SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery: each customer's most expensive order(s).
+    (Catalyst rewrites this into an aggregate + join — no per-row execution.)"""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice = (
+            SELECT MAX(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per nation x order status (explicit value list so
+    the plan needs no extra distinct-values job)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@query(
+    "stats_exact_moments",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice * 1e-5 AS DECIMAL(18,8))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST((o_totalprice * 1e-5) * (o_totalprice * 1e-5)
+                  AS DECIMAL(20,8))) AS DOUBLE) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (s1 / n) * 1e5 AS mean_price,
+           ((s2 - s1 * s1 / n) / n) * 1e10 AS var_pop,
+           SQRT(((s2 - s1 * s1 / n) / n) * 1e10) AS stddev_pop,
+           ((s2 - s1 * s1 / n) / (n - 1)) * 1e10 AS var_samp
+    FROM m
+    """,
+)
+def stats_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev from exact decimal moments (see module docstring).
+
+    The measure is pre-scaled by 1e-5 so both the squared terms AND the
+    group sums stay far below the 2^53 exactness bound for the decimal ->
+    double cast (the cast itself double-rounds in one engine beyond that),
+    then moments are rescaled with identical double multiplications."""
+    orders = _t(spark, sf_dir, "orders")
+    px = F.col("o_totalprice") * 1e-5
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(px.cast("decimal(18,8)")).cast("double").alias("s1"),
+        F.sum((px * px).cast("decimal(20,8)")).cast("double").alias("s2"),
+    )
+    var_pop = ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")) * 1e10
+    var_samp = (
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    ) * 1e10
+    return m.select(
+        "o_orderpriority",
+        "n",
+        ((F.col("s1") / F.col("n")) * 1e5).alias("mean_price"),
+        var_pop.alias("var_pop"),
+        F.sqrt(var_pop).alias("stddev_pop"),
+        var_samp.alias("var_samp"),
+    )
+
+
+@query(
+    "median_acctbal_by_segment",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS median_bal
+    FROM ranked
+    WHERE rn IN ((n + 1) / 2, (n + 2) / 2)
+    GROUP BY c_mktsegment
+    """,
+)
+def median_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via ranking (avg of the middle one/two values) — the
+    deterministic alternative to interpolated percentile built-ins whose
+    rounding differs between engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wc = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == (F.col("n") + 1) / 2) | (F.col("rn") == (F.col("n") + 2) / 2)
+    )
+    return mid.groupBy("c_mktsegment").agg(
+        (dsum("c_acctbal") / F.count(F.lit(1))).alias("median_bal")
+    )
+
+
+@query("stats_percentile_approx")  # t-digest approximation => rows-only
+def stats_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch-based scale path for quantiles
+    (mergeable, single pass), alongside the exact median above."""
+    return _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "set_union_all_measures",
+    oracle="""
+    SELECT kind, k, CAST(v AS DOUBLE) AS v FROM (
+      SELECT 'order' AS kind, o_orderkey AS k, o_totalprice AS v FROM orders
+      WHERE o_totalprice > 400000
+      UNION ALL
+      SELECT 'lineitem' AS kind, l_orderkey AS k, l_extendedprice AS v FROM lineitem
+      WHERE l_extendedprice > 99000
+    )
+    """,
+)
+def set_union_all_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of two heterogeneous sources via unionByName."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.lit("order").alias("kind"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 99000)
+        .select(
+            F.lit("lineitem").alias("kind"),
+            F.col("l_orderkey").alias("k"),
+            F.col("l_extendedprice").alias("v"),
+        )
+    )
+    return orders.unionByName(items)
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+      FROM events
+    ),
+    purchases AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    clicks AS (SELECT * FROM ev WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts_us AS purchase_us,
+           c.ts_us AS click_us
+    FROM purchases p
+    ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (operator Spark lacks natively): for each purchase, the
+    same user's most recent click at-or-before it.
+
+    Implementation: union both event streams with a type tag, one window pass
+    per user ordered by (time, tag) carrying the last click forward
+    (``last_value IGNORE NULLS``), keep purchase rows. One shuffle on
+    user_id — the scalable form (no per-row subquery, no range join blowup).
+    Times compared as integer microseconds so both engines order identically.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("int")
+    )
+    # order clicks before purchases at identical timestamps (>= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "click_us",
+        F.last(F.when(F.col("is_click") == 1, F.col("ts_us")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("event_type") == "purchase") & F.col("click_us").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            "click_us",
+        )
+    )
