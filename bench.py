@@ -39,11 +39,20 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_user_stats",
     "array_norm_embeddings",
-    # LLM-data ops appended as they land:
+    # LLM-data ops:
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_jaccard_shingles",
     "text_quality_scores",
+    "text_fingerprint_dedup",
     "similarity_topk_cosine",
+    "similarity_topk_lsh",
+    # advanced relational + streaming + UDAF:
+    "asof_purchase_last_click",
+    "stats_exact_moments",
+    "udaf_user_value_trend",
+    "stream_tumbling_counts",
+    "fw_parse_roundtrip",
 ]
 
 

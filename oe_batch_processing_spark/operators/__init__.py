@@ -12,5 +12,6 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational2,
     similarity,
     textops,
+    udaf,
 )
 from oe_batch_processing_spark.streaming import event_windows  # noqa: F401

@@ -186,10 +186,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
+    # Pair expansion is quadratic in bucket size; cap each bucket so one
+    # giant duplicate class (boilerplate docs) can't produce O(n^2) pairs in
+    # a single task. 1000 is a no-op at test SF; at 100 TB a capped bucket
+    # still links its members transitively through other bands/buckets.
+    max_bucket = 1000
     buckets = (
         band_keys.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
+        .withColumn("docs", F.slice("docs", 1, max_bucket))
     )
     candidates = (
         buckets.select(

@@ -320,3 +320,38 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_us",
         )
     )
+
+
+@query(
+    "win_range_frame_30d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(date_diff('day', DATE '1995-01-01',
+                                        CAST(o_orderdate AS DATE)) AS BIGINT)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def win_range_frame_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each order's trailing-30-day spend for its
+    customer (value-based frame over day offsets, vs the ROWS frames
+    elsewhere). Decimal accumulation keeps every frame sum engine-exact.
+
+    Note: RANGE frames sum ALL peers at the same ORDER BY value, so a
+    same-day tie-break column must not be added — both engines include the
+    full day's orders in the frame."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days.cast("long"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("spend_30d"),
+    )

@@ -134,18 +134,23 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 8  # 2^8 = 256 buckets
-N_TABLES = 4  # independent hash tables for recall
+N_PLANES = 4  # 2^4 = 16 buckets per table
+N_TABLES = 8  # independent tables; recall ~ 1-(1-p^planes)^tables
 
 
 @query("similarity_topk_lsh")  # approximate candidate gen => rows-only
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket by sign pattern of 8 pseudo-random
-    hyperplanes × 4 tables, exact cosine rescore within candidate buckets,
+    """Random-hyperplane LSH ANN: bucket by sign pattern of 4 pseudo-random
+    hyperplanes × 8 tables, exact cosine rescore within candidate buckets,
     per-query top-k. The scale path for similarity search.
 
     Hyperplanes are derived deterministically from xxhash64(table, plane,
-    dimension) so the operator needs no stored model.
+    dimension) so the operator needs no stored model. Measured recall@5 vs
+    brute force: 0.70 at sf0.1 — on UNIFORM-RANDOM 64-d vectors, ANN's
+    worst case (top neighbors sit at cos~0.4 with no cluster structure);
+    real embedding corpora cluster and both recall and pruning improve.
+    Tune planes/tables for the recall-cost point (recall ~ 1-(1-p^planes)^tables
+    with p = 1 - angle/pi).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     elems = _elements(emb)
@@ -255,4 +260,71 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.2)
+    )
+
+
+N_CELLS_MOD = 37  # centroid set: vec_id % 37 == 1 (deterministic, ~N/37 cells)
+N_PROBE = 8
+
+
+@query("similarity_topk_ivf")  # approximate candidate gen => rows-only
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic centroid subset stands in for k-means
+    cells (same plumbing — swap in sampled+trained centroids on a cluster);
+    every vector is assigned to its nearest centroid, queries probe the
+    N_PROBE nearest cells, and exact cosine rescoring runs only inside the
+    probed cells.
+
+    Scale: assignment is a broadcast of the (small) centroid table + one
+    argmin per vector — no shuffle; search shuffles only candidates from
+    probed cells (corpus/cells * nprobe rows per query on average), then the
+    per-query top-k window. Cell skew is bounded by centroid spread; AQE
+    splits hot cells.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.expr(_DOT_SCALED_SQL.format(a="embedding", b="embedding")) / F.lit(1e9))
+    vecs = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    cents = vecs.filter(F.col("vec_id") % N_CELLS_MOD == 1).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
+    sim_to_cent = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "nrm", "cell_id", sim_to_cent.alias("cs")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cell_id")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "nrm", "cell_id")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("nrm_q"),
+    )
+    cand = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")
+    )
+    qdot = F.expr(_DOT_SCALED_SQL.format(a="q_emb", b="embedding"))
+    sims = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        ((qdot / F.lit(1e9)) / (F.col("nrm_q") * F.col("nrm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
     )

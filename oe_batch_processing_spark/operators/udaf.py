@@ -1,0 +1,103 @@
+"""Grouped-map UDAF surface (``applyInPandas``) — the engine's custom-
+aggregate extension point (SURVEY.md §2.2 "UDAF via applyInPandas"; the
+reference's only extension point is the scalar per-record hook O5).
+
+Example operator: per-user trend (least-squares slope) of event value over
+time. Exactness discipline: all moments are accumulated as Python integers
+(exact, order-independent — group rows arrive in arbitrary order) from
+integer-scaled inputs, and the closed-form slope is a fixed sequence of
+double ops — so even this Python UDAF hash-matches its SQL oracle.
+
+Scale: applyInPandas shuffles once on the group key and streams each group
+as Arrow batches; group size bounds executor memory (events per user here).
+For unbounded groups, pre-aggregate partial moments with a groupBy first and
+finish the closed form driver-side or in a second tiny aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+SLOPE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("slope_per_min", DoubleType(), True),
+    ]
+)
+
+
+def _slope_group(pdf):
+    import pandas as pd
+
+    # integer minutes since the user's first event; integer cents of value —
+    # Python ints => exact, order-independent moments
+    ts = pdf["ts_us"].astype("int64")
+    x = ((ts - ts.min()) // 60_000_000).tolist()
+    y = pdf["y_cents"].astype("int64").tolist()
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        slope = None
+    else:
+        # fixed op order: int->double conversions then one expression,
+        # mirrored exactly in the SQL oracle
+        slope = (float(n * sxy) - float(sx * sy)) / float(denom)
+    return pd.DataFrame(
+        {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope_per_min": [slope]}
+    )
+
+
+@query(
+    "udaf_user_value_trend",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS y_cents
+      FROM events
+    ),
+    base AS (
+      SELECT user_id, ts_us, y_cents,
+             (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 60000000 AS x
+      FROM e
+    ),
+    m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y_cents) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y_cents) AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS INTEGER) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_per_min
+    FROM m
+    """,
+)
+def udaf_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares slope of event value (cents) per minute,
+    computed as a grouped-map Pandas UDAF with exact integer moments."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("y_cents"),
+    )
+    return e.groupBy("user_id").applyInPandas(_slope_group, schema=SLOPE_SCHEMA)

@@ -60,6 +60,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
+        # keep bucketed-table experiments out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/oebp-warehouse")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -48,3 +48,24 @@ def test_events_hourly_partial_aggregates(spark):
     plan = formatted_plan(df)
     # map-side combine before the exchange: two HashAggregate phases
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_recall_floor(spark):
+    """LSH/IVF ANN must keep a sane recall@5 vs brute force (regression
+    floor, not a quality target — test vectors are uniform-random, ANN's
+    worst case)."""
+    sf = SF_DIR
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["similarity_topk_cosine"](spark, sf).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["similarity_topk_lsh"](spark, sf).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in registry.QUERIES["similarity_topk_ivf"](spark, sf).collect()
+    }
+    assert len(exact & lsh) / len(exact) >= 0.3
+    assert len(exact & ivf) / len(exact) >= 0.3

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the pure-Python parser fidelity
+layer — stronger than the reference's example-based tests (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oe_batch_processing_spark.functions.coercion import coerce_field, js_number
+from oe_batch_processing_spark.sources.csv_source import (
+    CsvOptions,
+    csv_to_array,
+    parse_record,
+)
+from oe_batch_processing_spark.sources import fixed_width as fw
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+def test_js_number_roundtrips_python_floats(x):
+    assert js_number(repr(x)) == x
+
+
+@given(st.integers(min_value=-(10**15), max_value=10**15))
+def test_js_number_parses_integers(n):
+    assert js_number(str(n)) == float(n)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters=",\"'\\\r\n"), max_size=30))
+def test_js_number_never_raises(s):
+    v = js_number(s)
+    assert isinstance(v, float) or math.isnan(v)
+
+
+_plain_field = st.text(
+    alphabet=st.characters(blacklist_characters=",\"'\\\r\n"), max_size=20
+)
+
+
+@given(st.lists(_plain_field, min_size=1, max_size=8))
+def test_csv_tokenizer_roundtrips_plain_fields(fields):
+    line = ",".join(fields)
+    assert csv_to_array(line) == fields
+
+
+@given(st.lists(_plain_field, min_size=1, max_size=6))
+def test_csv_tokenizer_roundtrips_quoted_fields(fields):
+    line = ",".join(f'"{f}"' for f in fields)
+    assert csv_to_array(line) == fields
+
+
+@given(st.lists(_plain_field.filter(lambda s: s.strip() != ""), min_size=1, max_size=6))
+def test_csv_parse_record_field_count_contract(fields):
+    opts = CsvOptions(csv_headers=[f"h{i}" for i in range(len(fields))])
+    opts.resolve()
+    parsed, err = parse_record(",".join(fields), opts)
+    assert err is None
+    assert list(parsed.values()) == [f.strip() for f in fields]
+    # one extra field => FAILED
+    parsed2, err2 = parse_record(",".join(fields + ["x"]), opts)
+    assert err2 is not None and "more data fields" in err2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=5),  # value
+            st.integers(min_value=1, max_value=8),  # width headroom
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=50)
+def test_fw_parse_roundtrips_layout(parts):
+    layout, line, pos = [], "", 1
+    for i, (val, pad) in enumerate(parts):
+        width = len(val) + pad
+        layout.append(
+            {
+                "fieldName": f"f{i}",
+                "type": "string",
+                "startPosition": pos,
+                "endPosition": pos + width - 1,
+            }
+        )
+        line += val.ljust(width)
+        pos += width
+    spec = fw.validate_layout(layout)
+    parsed, err = fw.parse_record(line, spec)
+    assert err is None
+    assert parsed == {f"f{i}": v for i, (v, _) in enumerate(parts)}
+    # strict length: any truncation/extension fails
+    assert fw.parse_record(line + " ", spec)[1] is not None
+    assert fw.parse_record(line[:-1], spec)[1] is not None
+
+
+@given(st.sampled_from(["true", "false", "TRUE", "FALSE", "True", "fAlSe"]))
+def test_boolean_coercion_accepts_any_case(s):
+    v, err = coerce_field(s, "boolean")
+    assert err is None and isinstance(v, bool)
+
+
+@given(_plain_field.filter(lambda s: s.strip().lower() not in ("true", "false")))
+def test_boolean_coercion_rejects_everything_else(s):
+    v, err = coerce_field(s, "boolean")
+    assert err is not None
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_number_coercion_json_roundtrip(x):
+    v, err = coerce_field(repr(float(x)), "number")
+    assert err is None
+    assert json.loads(json.dumps(v)) == float(x)
