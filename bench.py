@@ -56,6 +56,52 @@ HEADLINE = [
 ]
 
 
+def bench_ingest(spark, timings: dict[str, float]) -> None:
+    """Ingestion throughput vs the reference's 38.6 rec/s baseline
+    (BASELINE.md: 1,000 records in 25,918 ms, REST round-trip bound).
+    100k-row CSV through the full engine lifecycle (scan -> fidelity parse
+    -> route -> counts), and through the JVM-native scan path."""
+    import tempfile
+
+    from oe_batch_processing_spark.engine import IngestJob, run_ingest
+    from oe_batch_processing_spark.sources.csv_source import (
+        CsvOptions,
+        csv_scan_native,
+    )
+    from oe_batch_processing_spark.sources.outcome import route_native
+
+    n = 100_000
+    d = tempfile.mkdtemp(prefix="oebp-bench-")
+    path = os.path.join(d, "batch.csv")
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(f'K{i:07d},"V,{i:07d}"\n')
+
+    t0 = time.time()
+    res = run_ingest(
+        spark,
+        IngestJob(
+            file_path=path,
+            parser="csv",
+            csv_options=CsvOptions(csv_headers="key, value"),
+            exact_line_numbers=False,
+        ),
+    )
+    assert res.counts["totalRecordCount"] == n
+    timings["ingest_csv_100k_fidelity"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    scan = csv_scan_native(spark, path, CsvOptions(csv_headers="key, value"))
+    # Spark disallows aggregating ONLY the corrupt-record column of a raw
+    # scan; cache the parsed frame first (what a real dual-channel write
+    # does anyway).
+    scan = scan.cache()
+    routed = route_native(scan)
+    assert routed.counts()["totalRecordCount"] == n
+    timings["ingest_csv_100k_native"] = round(time.time() - t0, 3)
+    scan.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -77,6 +123,9 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+
+    bench_ingest(spark, timings)
+    total += timings["ingest_csv_100k_fidelity"] + timings["ingest_csv_100k_native"]
 
     print(
         json.dumps(

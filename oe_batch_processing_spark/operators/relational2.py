@@ -355,3 +355,23 @@ def win_range_frame_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double").alias("spend_30d"),
     )
+
+
+@query(
+    "join_theta_region_pairs",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n
+    JOIN region r ON n.n_regionkey < r.r_regionkey
+    """,
+)
+def join_theta_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join — compiles to a broadcast nested-loop
+    join. Fine when one side is tiny (here: region); at scale a theta join
+    needs banding/bucketing to avoid the cartesian, which join_range_ship_
+    latency demonstrates via its equi+band form."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), F.col("n_regionkey") < F.col("r_regionkey")
+    ).select("n_name", "r_name")

@@ -261,3 +261,47 @@ def test_fatal_records_run_error(spark, tmp_path):
     runs = read_runs(spark, job.ledger_dir).collect()
     assert len(runs) == 1
     assert "header" in runs[0]["error"]
+
+
+def test_json_lines_source_roundtrip(spark, tmp_path):
+    """JSON-lines source with explicit schema (SURVEY.md §2.2 sources row):
+    write JSON records, read back typed, corrupt line routed not fatal."""
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"k": "a", "n": 1.5, "ok": true}\n'
+        '{"k": "b", "n": 2.5, "ok": false}\n'
+        "this is not json\n"
+    )
+    df = (
+        spark.read.schema("k string, n double, ok boolean, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["k"], r["n"], r["ok"]) for r in good} == {("a", 1.5, True), ("b", 2.5, False)}
+    assert len(bad) == 1
+
+
+def test_row_at_a_time_udf_matches_vectorized_path(spark):
+    """The plain @udf slow path exists and agrees with the batch coercion —
+    documented as the LAST resort (SCALE.md: Python never in hot loops)."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    from oe_batch_processing_spark.functions.coercion import js_number
+
+    @F.udf(returnType=DoubleType())
+    def js_number_udf(s):
+        v = js_number(s)
+        return None if math.isnan(v) else v
+
+    df = spark.createDataFrame(
+        [("1e3",), ("0x10",), ("",), ("nope",)], "raw string"
+    ).select("raw", js_number_udf("raw").alias("n"))
+    got = {(r["raw"], r["n"]) for r in df.collect()}
+    assert got == {("1e3", 1000.0), ("0x10", 16.0), ("", 0.0), ("nope", None)}
