@@ -48,6 +48,16 @@ class EngineConfig:
     ) -> "EngineConfig":
         """Resolve env > config file > defaults (> explicit overrides last,
         for programmatic callers)."""
+        # the reference's batch-config.json key names (README.md:198-213)
+        aliases = {
+            "max_concurrent": "maxConcurrent",
+            "min_time_ms": "minTime",
+            "max_queue_size": "maxQueueSize",
+            "batch_result_log_items": "batchResultLogItems",
+            "progress_interval_ms": "progressInterval",
+            "app_base_url": "appBaseURL",
+            "model_api": "modelAPI",
+        }
         values: dict = {}
         if config_file and os.path.exists(config_file):
             with open(config_file) as f:
@@ -55,15 +65,10 @@ class EngineConfig:
             for fld in fields(cls):
                 if fld.name.startswith("_"):
                     continue
-                # accept both snake_case and the reference's camelCase keys
-                camel = "".join(
-                    w if i == 0 else w.capitalize()
-                    for i, w in enumerate(fld.name.split("_"))
-                )
-                if fld.name in file_cfg:
+                if fld.name in file_cfg:  # snake_case form
                     values[fld.name] = file_cfg[fld.name]
-                elif camel in file_cfg:
-                    values[fld.name] = file_cfg[camel]
+                elif aliases.get(fld.name) in file_cfg:  # reference form
+                    values[fld.name] = file_cfg[aliases[fld.name]]
         for name, env_key in cls._ENV.items():
             if env_key in os.environ:
                 raw = os.environ[env_key]
