@@ -108,9 +108,14 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers with a trivial action so per-query
-    # timings measure the queries, not session startup.
+    # Warm the JVM, codegen and parquet footers with one cheap pass over
+    # every table so per-query timings measure the queries, not first-touch
+    # session/scan setup.
     spark.range(1).count()
+    from oe_batch_processing_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     total = 0.0

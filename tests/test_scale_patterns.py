@@ -1,0 +1,71 @@
+"""Scale-pattern tests: partition-pruned sinks and salted skew joins."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.operators.skew import salted_join
+from oe_batch_processing_spark.plans.progress import formatted_plan
+from oe_batch_processing_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Write orders partitioned by year; a year-filtered read must prune to
+    one partition directory (PartitionFilters in the scan, not a full scan).
+    This is the layout strategy for every date-organized sink at 100 TB."""
+    out = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").parquet(out)
+    years = sorted(x for x in os.listdir(out) if x.startswith("o_year="))
+    assert len(years) >= 5  # 1995..2001
+
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1996)
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    assert "o_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    expected = orders.filter(F.col("o_year") == 1996).count()
+    assert back.count() == expected > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be a drop-in: same rows as the plain equi-join,
+    with the fact side spread across salt buckets."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=8,
+                    salt_source="l_linenumber")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """An artificially hot key must land in multiple salt buckets."""
+    hot = spark.range(0, 10000).select(
+        F.lit(42).alias("k"), F.col("id").alias("row_id")
+    )
+    dim = spark.createDataFrame([(42, "x")], "k2 long, v string")
+    joined = salted_join(hot, dim, "k", "k2", n_salts=8, salt_source="row_id")
+    assert joined.count() == 10000
+    n_buckets = (
+        hot.withColumn("s", F.pmod(F.xxhash64("row_id"), F.lit(8)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_buckets == 8
