@@ -285,3 +285,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hd.alias("hamming")
     ).filter(F.col("hamming") <= 6)
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        WITH shingles AS (
+          SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+          FROM (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE len(string_split(text, ' ')) >= 3
+          ), UNNEST(range(len(words) - 2)) AS t(i)
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM common JOIN counts na ON na.doc_id = doc_a
+                    JOIN counts nb ON nb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+      )
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(src, dst) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the near-dup
+    pair graph (J >= 0.8), labels = min doc_id per component — the step that
+    turns pairwise dedup output into keep/drop decisions.
+
+    Implementation: iterative label propagation (driver loop, converges in
+    O(graph diameter) rounds — 2-3 for near-dup clusters). The oracle is a
+    recursive-SQL transitive closure, so this "iterative algorithm" entry is
+    still exactly differential-checked. Scale: each round is one join +
+    groupBy on the (tiny relative to corpus) pair graph; large-diameter
+    graphs would switch to the large-star/small-star algorithm — same
+    primitive ops.
+    """
+    pairs = dedup_jaccard_shingles(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .persist()
+    )
+    while True:
+        neigh_min = (
+            edges.join(labels, edges["doc_b"] == labels["doc"])
+            .groupBy(F.col("doc_a").alias("doc"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -375,3 +375,29 @@ def join_theta_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(region), F.col("n_regionkey") < F.col("r_regionkey")
     ).select("n_name", "r_name")
+
+
+@query(
+    "array_ops_advanced",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_v,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_v,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_v,
+           CAST(embedding[5] AS DOUBLE) AS fifth_v
+    FROM embeddings
+    """,
+)
+def array_ops_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array accessor/aggregate battery on the embedding column (element_at,
+    size, array_max/min) — float widened to double (exact) for comparison."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_v"),
+        F.array_max("embedding").cast("double").alias("max_v"),
+        F.array_min("embedding").cast("double").alias("min_v"),
+        F.element_at("embedding", 5).cast("double").alias("fifth_v"),
+    )
