@@ -14,4 +14,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     textops,
     udaf,
 )
-from oe_batch_processing_spark.streaming import event_windows  # noqa: F401
+from oe_batch_processing_spark.streaming import (  # noqa: F401
+    event_windows,
+    stateful,
+)

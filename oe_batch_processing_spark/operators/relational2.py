@@ -401,3 +401,25 @@ def array_ops_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").cast("double").alias("min_v"),
         F.element_at("embedding", 5).cast("double").alias("fifth_v"),
     )
+
+
+@query(
+    "array_hof_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           CAST(len(list_filter(embedding, x -> abs(x) > 0.2)) AS INTEGER) AS n_large,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_v
+    FROM embeddings
+    """,
+)
+def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: lambda filter counts + last element
+    (both engines evaluate identical float comparisons — exact)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
+        F.size(F.expr("filter(embedding, x -> abs(x) > 0.2)")).alias("n_large"),
+        F.element_at("embedding", -1).cast("double").alias("last_v"),
+    )

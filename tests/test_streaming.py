@@ -84,3 +84,47 @@ def test_streaming_csv_ingest_foreachbatch(spark, tmp_path):
     assert out.count() == 30
     assert set(out.columns) == {"key", "value"}
     assert out.filter(F.col("key") == "F1R5").count() == 1
+
+
+def test_stateful_operator_carries_state_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState must accumulate across micro-batches: split
+    the events into 3 files, force one file per trigger, and the final
+    per-user totals must equal the single-pass batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from oe_batch_processing_spark.streaming.stateful import stateful_user_totals
+
+    src = tmp_path / "events_parts"
+    events = load_table(spark, SF_DIR, "events")
+    events.withColumn("part", F.pmod("event_id", F.lit(3))).write.partitionBy(
+        "part"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part=*")
+    )
+    out = stateful_user_totals(stream)
+    import uuid as _uuid
+
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    raw = spark.table(name)
+    assert raw.count() > raw.select("user_id").distinct().count()  # >1 batch updated
+
+    latest = raw.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_cents")).alias("s")
+    ).select("user_id", "s.n_events", "s.total_cents")
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    assert {tuple(r) for r in latest.collect()} == {tuple(r) for r in expected.collect()}
