@@ -116,6 +116,11 @@ def main() -> None:
 
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
+    # spin up Python/Arrow workers once so Pandas-UDF queries measure the
+    # operator, not worker startup
+    spark.range(0, 1000, 1, 8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
