@@ -12,6 +12,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational2,
     similarity,
     textops,
+    tpch_like,
     udaf,
 )
 from oe_batch_processing_spark.streaming import (  # noqa: F401

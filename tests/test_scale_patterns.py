@@ -69,3 +69,35 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_buckets == 8
+
+
+def test_csv_and_json_writers_roundtrip(spark, tmp_path):
+    """Sink coverage beyond parquet: CSV (with header) and JSON-lines
+    writers round-trip the success channel losslessly for string/long data."""
+    src = load_table(spark, SF_DIR, "nation")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+
+    csv_back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(csv_dir)
+    )
+    json_back = spark.read.schema(src.schema).json(json_dir)
+    expect = {tuple(r) for r in src.collect()}
+    assert {tuple(r) for r in csv_back.collect()} == expect
+    assert {tuple(r) for r in json_back.collect()} == expect
+
+
+def test_aqe_coalesces_small_shuffle(spark):
+    """AQE must coalesce the 32 static shuffle partitions down for a tiny
+    aggregation — the runtime re-plan this engine relies on at scale."""
+    df = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    df.collect()  # run so AQE finalizes the plan
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final_plan and "coalesced" in final_plan
