@@ -47,6 +47,9 @@ HEADLINE = [
     "text_fingerprint_dedup",
     "similarity_topk_cosine",
     "similarity_topk_lsh",
+    # TPC-H shapes (fact-fact heavy):
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
     # advanced relational + streaming + UDAF:
     "asof_purchase_last_click",
     "stats_exact_moments",

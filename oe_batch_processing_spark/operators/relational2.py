@@ -423,3 +423,53 @@ def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(embedding, x -> abs(x) > 0.2)")).alias("n_large"),
         F.element_at("embedding", -1).cast("double").alias("last_v"),
     )
+
+
+@query(
+    "agg_minby_maxby",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id)
+             AS top_event_id,
+           arg_min(event_id, CAST(ROUND(value * 100) AS BIGINT) * 10000000 + event_id)
+             AS bottom_event_id,
+           MAX(value) AS max_value,
+           MIN(value) AS min_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (arg-extremum) aggregates: the event carrying each
+    user's highest/lowest value. The comparator is a composite integer
+    (value cents * 1e7 + event_id) because the raw values carry ties —
+    arg-extremum over a tie-prone comparator is engine-nondeterministic."""
+    e = _t(spark, sf_dir, "events")
+    key = F.round(F.col("value") * 100).cast("long") * 10000000 + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("top_event_id"),
+        F.min_by("event_id", key).alias("bottom_event_id"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate with deterministic output: sorted distinct set
+    of statuses per priority (raw collect_list order is partition-dependent,
+    so deterministic pipelines always sort or set-ify collected arrays)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
