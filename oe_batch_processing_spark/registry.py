@@ -28,15 +28,80 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Confs every query depends on, applied at call time because the harness may
+# hand us a session built elsewhere (session.py's factory is not guaranteed).
+# All of these are runtime-settable SQL confs.
+_RUNTIME_CONFS = {
+    # events.parquet is TIMESTAMP(NANOS): read as int64, converted in tables.py
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # date/time formatting must agree with the (UTC) DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+_PYFILES_SENT: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors even when the session was
+    built elsewhere (no PYTHONPATH propagation): zip the package once and
+    addPyFile it. Required by every mapInPandas/applyInPandas operator."""
+    import os
+    import zipfile
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "oe_batch_processing_spark_pyfiles.zip")
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "oe_batch_processing_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added under this name
+        pass
+    _PYFILES_SENT.add(app_id)
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — conf locked => keep going
+            pass
+    _ship_package(spark)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query recipe; ``oracle=None`` => rows-only driver check."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
-        return fn
+        return fn  # module-level name keeps the raw fn (composable)
 
     return deco
 
