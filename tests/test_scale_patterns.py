@@ -101,3 +101,12 @@ def test_aqe_coalesces_small_shuffle(spark):
     df.collect()  # run so AQE finalizes the plan
     final_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in final_plan and "coalesced" in final_plan
+
+
+def test_orc_writer_roundtrip(spark, tmp_path):
+    """ORC sink/source round-trip (columnar alternative to parquet)."""
+    src = load_table(spark, SF_DIR, "region")
+    out = str(tmp_path / "orc")
+    src.write.orc(out)
+    back = spark.read.orc(out)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
