@@ -26,9 +26,11 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.config import EngineConfig
 from oe_batch_processing_spark.sinks import ledger
+from oe_batch_processing_spark.sinks.rest_sink import RestSinkOptions, rest_write
 from oe_batch_processing_spark.sources import outcome
 from oe_batch_processing_spark.sources.csv_source import CsvOptions, csv_parse
 from oe_batch_processing_spark.sources.custom_hook import ParserHook, custom_parse
@@ -45,6 +47,7 @@ class IngestJob:
     csv_options: CsvOptions | None = None
     fw_layout: list[dict] | None = None
     sink_path: str | None = None  # success-channel parquet dir
+    rest_options: RestSinkOptions | None = None  # REST sink (reference O10)
     ledger_dir: str | None = None  # BatchStatus/BatchRun parquet dirs
     config: EngineConfig = field(default_factory=EngineConfig)
     on_start: Callable[["IngestJob"], None] | None = None
@@ -102,6 +105,19 @@ def run_ingest(spark: SparkSession, job: IngestJob) -> IngestResult:
 
         if job.sink_path:
             routed.success.write.mode("append").parquet(job.sink_path)
+
+        if job.rest_options is not None:
+            # the reference's actual data plane: every successfully-parsed
+            # record POSTs to the app; SUCCESS/FAILED derives from HTTP
+            # status; parse failures join the status ledger unchanged
+            rest_status = rest_write(routed.success, job.rest_options).persist()
+            status_source = rest_status.unionByName(
+                routed.failed.select(
+                    "fileName", "rec", "recId", "parsed_json", "statusText",
+                    F.lit(422).alias("statusCode"), "error",
+                )
+            )
+            routed = outcome.route(status_source)
 
         status_df = ledger.status_frame(
             routed.non_ignored, run.batch_run_id, job.config.batch_result_log_items

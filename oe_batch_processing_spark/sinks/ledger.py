@@ -59,6 +59,14 @@ def status_frame(
 ) -> DataFrame:
     """Shape the non-ignored channel into BatchStatus rows."""
     extra = [F.col(c) for c in (batch_result_log_items or []) if c in routed_non_ignored.columns]
+    if "statusCode" in routed_non_ignored.columns:
+        # REST path: real HTTP status codes already present
+        status_code = F.col("statusCode").cast("int")
+    else:
+        status_code = (
+            F.when(F.col("statusText") == "SUCCESS", F.lit(200))
+            .otherwise(F.lit(422))
+        )
     return routed_non_ignored.select(
         F.struct(
             F.col("fileName").alias("fileName"),
@@ -67,9 +75,7 @@ def status_frame(
         ).alias("fileRecordData"),
         F.col("parsed_json").alias("payload"),
         F.col("statusText"),
-        F.when(F.col("statusText") == "SUCCESS", F.lit(200))
-        .otherwise(F.lit(422))
-        .alias("statusCode"),
+        status_code.alias("statusCode"),
         F.col("error"),
         F.lit(batch_run_id).alias("batchRunId"),
         *extra,

@@ -138,3 +138,85 @@ def test_rest_write_live_http_server_with_throttle(spark):
         assert elapsed >= 0.29  # throttle actually paced the launches
     finally:
         server.shutdown()
+
+
+def test_full_ingest_lifecycle_through_rest_sink(spark, tmp_path):
+    """The reference's complete pipeline in one call: file scan -> CSV parse
+    -> REST POST per record -> BatchStatus from HTTP results -> BatchRun
+    counts. HTTP 200 is the only success criterion (reference :679)."""
+    from oe_batch_processing_spark.engine import IngestJob, run_ingest
+    from oe_batch_processing_spark.sinks.ledger import read_runs, read_status
+    from oe_batch_processing_spark.sources.csv_source import CsvOptions
+
+    src = tmp_path / "batch.csv"
+    lines = [f'K{i:03d},"V,{i:03d}"' for i in range(1, 21)]
+    lines.append("only_one_field")  # parse failure
+    src.write_text("\r\n".join(lines) + "\r\n")
+
+    _CountingHandler.received = []
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _CountingHandler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        job = IngestJob(
+            file_path=str(src),
+            parser="csv",
+            csv_options=CsvOptions(csv_headers="key, value"),
+            rest_options=RestSinkOptions(
+                app_base_url=f"http://127.0.0.1:{port}/api",
+                model_api="TestData",
+                min_time_ms=0,
+            ),
+            ledger_dir=str(tmp_path / "ledger"),
+        )
+        res = run_ingest(spark, job)
+        assert res.counts == {
+            "totalRecordCount": 21,
+            "successCount": 20,
+            "failureCount": 1,
+        }
+        assert len(_CountingHandler.received) == 20  # only parsed records POST
+        status = read_status(spark, job.ledger_dir).collect()
+        codes = sorted(r["statusCode"] for r in status)
+        assert codes == [200] * 20 + [422]
+        runs = read_runs(spark, job.ledger_dir).collect()
+        assert runs[0]["successCount"] == 20
+    finally:
+        server.shutdown()
+
+
+def test_auth_token_precedence(monkeypatch):
+    from oe_batch_processing_spark.sinks.auth import AuthError, get_access_token
+
+    # env wins
+    monkeypatch.setenv("ACCESS_TOKEN", "envtok")
+    assert get_access_token(username="u", password="p", app_base_url="http://x") == "envtok"
+    monkeypatch.delenv("ACCESS_TOKEN")
+
+    # login path via fake transport; token = body.id (reference :467-505)
+    def fake_login(url, method, headers, body):
+        assert url.endswith("/api/users/login")
+        assert json.loads(body)["username"] == "u"
+        assert headers.get("tenant_id") == "t1"
+        return 200, json.dumps({"id": "logintok"})
+
+    tok = get_access_token(
+        app_base_url="http://app/",
+        username="u",
+        password="p",
+        tenant_id="t1",
+        transport=fake_login,
+    )
+    assert tok == "logintok"
+
+    # bad credentials => AuthError
+    import pytest
+
+    def deny(url, method, headers, body):
+        return 401, "{}"
+
+    with pytest.raises(AuthError):
+        get_access_token(app_base_url="http://app", username="u", password="x", transport=deny)
+
+    # fallback: explicit ctx token
+    assert get_access_token(ctx_access_token="ctxtok") == "ctxtok"
