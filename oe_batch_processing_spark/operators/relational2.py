@@ -458,7 +458,8 @@ def agg_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+             AS statuses,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
@@ -470,6 +471,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     so deterministic pipelines always sort or set-ify collected arrays)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
