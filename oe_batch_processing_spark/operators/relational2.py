@@ -476,3 +476,54 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                 THEN CAST(epoch_ns(ts) // 1000 AS BIGINT) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'
+                 THEN CAST(epoch_ns(ts) // 1000 AS BIGINT) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase'
+                 THEN CAST(epoch_ns(ts) // 1000 AS BIGINT) END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS stage_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                 THEN 1 END) AS stage_purchase
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users progressing view -> first click after their
+    first view -> first purchase after that click. One conditional-min
+    aggregation pass + one tiny rollup — the standard scalable funnel shape
+    (no self-joins). Times as integer micros for engine-exact ordering."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts_us"))
+    )
+    firsts = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("stage_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("stage_purchase"),
+    )
