@@ -142,8 +142,8 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-N_HASHES = 80
-N_BANDS = 20  # 20 bands x 4 rows: P(candidate | J=0.8) ~ 0.9996
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows: P(candidate | J=0.8) ~ 0.9998
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
