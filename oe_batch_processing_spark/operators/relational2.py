@@ -527,3 +527,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("stage_purchase"),
     )
+
+
+@query(
+    "udtf_explode_words",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           words[i] AS word
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    )
+    WHERE doc_id % 50 = 0 AND words[i] LIKE 's%'
+    """,
+)
+def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating (UDTF-style) surface: posexplode of the word array —
+    one input row fans out to N output rows with ordinal positions."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .filter(F.col("word").startswith("s"))
+    )
+
+
+@query(
+    "unpivot_status_counts",
+    oracle="""
+    SELECT n_name, o_orderstatus AS status, COUNT(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, o_orderstatus
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): widen with pivot then melt back to long form —
+    the inverse-pivot surface; result equals the plain group-by."""
+    wide = pivot_status_counts(spark, sf_dir)  # n_name, F, O, P
+    return (
+        wide.unpivot("n_name", ["F", "O", "P"], "status", "n")
+        .filter(F.col("n").isNotNull() & (F.col("n") > 0))
+        .select("n_name", "status", F.col("n").cast("long").alias("n"))
+    )
