@@ -58,6 +58,11 @@ class IngestJob:
 
 @dataclass
 class IngestResult:
+    """Run outcome. ``success``/``failed`` are the final outcome channels:
+    on the native path they carry the parse columns; on the REST path they
+    carry the post-HTTP status columns (statusCode from the app), matching
+    the reference where SUCCESS means "the app accepted the record"."""
+
     run: ledger.BatchRun
     counts: dict[str, int]
     success: DataFrame
