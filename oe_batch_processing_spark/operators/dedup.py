@@ -22,7 +22,7 @@ count trades recall vs cost (20 bands × 4 rows ≈ catches J≥0.8 with p>0.99)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.registry import query

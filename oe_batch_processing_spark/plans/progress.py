@@ -9,7 +9,6 @@ executors; 0 disables, like the reference.
 from __future__ import annotations
 
 import threading
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 

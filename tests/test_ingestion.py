@@ -305,3 +305,14 @@ def test_row_at_a_time_udf_matches_vectorized_path(spark):
     ).select("raw", js_number_udf("raw").alias("n"))
     got = {(r["raw"], r["n"]) for r in df.collect()}
     assert got == {("1e3", 1000.0), ("0x10", 16.0), ("", 0.0), ("nope", None)}
+
+
+def test_multimodal_decode_is_explicitly_stubbed():
+    """The image-decode step must fail loudly (no codecs in this container),
+    while the surrounding plumbing stays real (multimodal_byte_features)."""
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(b"\x89PNG...")
