@@ -8,6 +8,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     dedup,
     ingest_queries,
     multimodal,
+    pipeline,
     relational,
     relational2,
     similarity,

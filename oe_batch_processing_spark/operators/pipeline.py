@@ -1,0 +1,146 @@
+"""Composite training-data pipeline operators: the end-to-end filter a
+corpus actually runs before tokenization — rule-based quality gates +
+fingerprint dedup folded into one classification pass — and a trailing-
+window anomaly detector over the event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+MIN_CHARS = 180
+MAX_SPACE_RATIO = 0.25
+TARGET_LANGS = ("en", "de", "es", "fr")
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             LENGTH(text) AS n_chars_actual,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LENGTH(text) AS space_ratio,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rank
+      FROM enriched
+    ),
+    classified AS (
+      SELECT doc_id,
+             CASE
+               WHEN fp_rank > 1 THEN 'duplicate'
+               WHEN n_chars_actual < {MIN_CHARS} THEN 'too_short'
+               WHEN space_ratio > {MAX_SPACE_RATIO} THEN 'low_quality'
+               WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'non_target_lang'
+               ELSE 'keep'
+             END AS decision
+      FROM ranked
+    )
+    SELECT decision, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS fraction
+    FROM classified
+    GROUP BY decision
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus filter: fingerprint-dedup > length gate > quality
+    gate > language gate, first matching rule wins; reports the funnel of
+    drop reasons. One scan + one window over the fingerprint + one tiny agg
+    — exactly how the pass runs at 100 TB (decision column written back,
+    `keep` partition feeds tokenization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    fp = F.md5(F.lower(F.regexp_replace("text", r"\s+", " ")))
+    n_chars = F.length("text")
+    space_ratio = (n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).cast(
+        "double"
+    ) / n_chars
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars_actual"),
+        space_ratio.alias("space_ratio"),
+        fp.alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    classified = enriched.withColumn("fp_rank", F.row_number().over(w)).select(
+        "doc_id",
+        F.when(F.col("fp_rank") > 1, "duplicate")
+        .when(F.col("n_chars_actual") < MIN_CHARS, "too_short")
+        .when(F.col("space_ratio") > MAX_SPACE_RATIO, "low_quality")
+        .when(~F.col("lang").isin(*TARGET_LANGS), "non_target_lang")
+        .otherwise("keep")
+        .alias("decision"),
+    )
+    return classified.groupBy("decision").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)).cast("double") / F.lit(total)).alias("fraction"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           (value - s1 / n) / SQRT((s2 - s1 * s1 / n) / n) AS zscore
+    FROM stats
+    WHERE n >= 10
+      AND (s2 - s1 * s1 / n) / n > 0
+      AND ABS((value - s1 / n) / SQRT((s2 - s1 * s1 / n) / n)) > 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each event scored against the
+    mean/std of the user's previous <=20 events (exact decimal moments over
+    a ROWS frame => engine-exact z-scores); |z| > 2.5 flagged. One window
+    pass, no self-joins — the streaming-friendly shape (the stateful twin
+    would carry the trailing buffer in applyInPandasWithState)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 2.5))
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+    )

@@ -69,3 +69,23 @@ def test_ann_recall_floor(spark):
     }
     assert len(exact & lsh) / len(exact) >= 0.3
     assert len(exact & ivf) / len(exact) >= 0.3
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
+    """Without an explicit broadcast hint, AQE should convert the
+    lineitem-orders sort-merge join to a broadcast join at runtime once it
+    sees the small actual size of the orders side (sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from oe_batch_processing_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined.collect()
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_plan
