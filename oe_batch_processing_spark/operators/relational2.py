@@ -572,3 +572,90 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n").isNotNull() & (F.col("n") > 0))
         .select("n_name", "status", F.col("n").cast("long").alias("n"))
     )
+
+
+@query(
+    "scalar_string_extended",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+           left(p_name, 5) AS l5,
+           right(p_name, 5) AS r5,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_type, 2) AS type2,
+           translate(p_type, 'AEO', 'aeo') AS type_tr,
+           CAST(ascii(p_brand) AS INTEGER) AS first_ascii,
+           chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS key_chr
+    FROM part
+    """,
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string battery: regexp capture groups, position, left/right,
+    reverse, repeat, translate, ascii/chr."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.expr("left(p_name, 5)").alias("l5"),
+        F.expr("right(p_name, 5)").alias("r5"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_type", 2).alias("type2"),
+        F.translate("p_type", "AEO", "aeo").alias("type_tr"),
+        F.ascii("p_brand").alias("first_ascii"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("key_chr"),
+    )
+
+
+@query(
+    "scalar_date_extended",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS day_of_year,
+           CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INTEGER) AS dow_sunday1,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS day_of_month,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 10 DAY, '%Y-%m-%d') AS plus_10d
+    FROM orders
+    """,
+)
+def scalar_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date battery: last_day, day-of-year, day-of-week (normalized
+    to Spark's Sunday=1 convention), day-of-month, date_add."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofyear(d).alias("day_of_year"),
+        F.dayofweek(d).alias("dow_sunday1"),
+        F.dayofmonth(d).alias("day_of_month"),
+        F.date_format(F.date_add(d, 10), "yyyy-MM-dd").alias("plus_10d"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS and_low,
+           l_orderkey | 4096 AS or_bit,
+           xor(l_orderkey, l_partkey) AS xor_keys,
+           CAST(l_orderkey << 2 AS BIGINT) AS shl2,
+           CAST(l_orderkey >> 3 AS BIGINT) AS shr3
+    FROM lineitem
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery on integer keys (AND/OR/XOR/shifts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("and_low"),
+        (F.col("l_orderkey").bitwiseOR(F.lit(4096))).alias("or_bit"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_partkey"))).alias("xor_keys"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("shl2"),
+        F.expr("shiftright(l_orderkey, 3)").alias("shr3"),
+    )
