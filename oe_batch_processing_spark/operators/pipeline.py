@@ -144,3 +144,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 2.5))
         .select("event_id", "user_id", "value", z.alias("zscore"))
     )
+
+
+@query("sample_stratified_documents")  # seeded sampling: rows-only check
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling (per-language fractions, fixed seed) —
+    the deterministic-given-seed subsample step of a training-data pipeline.
+    Seeded Bernoulli sampling is engine-specific, so rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -110,3 +110,17 @@ def test_orc_writer_roundtrip(spark, tmp_path):
     src.write.orc(out)
     back = spark.read.orc(out)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in src.collect()}
+
+
+def test_output_file_count_control(spark, tmp_path):
+    """repartition/coalesce control output file counts — the small-files
+    lever for every sink at scale."""
+    import glob
+
+    src = load_table(spark, SF_DIR, "orders")
+    four = str(tmp_path / "four")
+    one = str(tmp_path / "one")
+    src.repartition(4).write.parquet(four)
+    src.coalesce(1).write.parquet(one)
+    assert len(glob.glob(four + "/part-*")) == 4
+    assert len(glob.glob(one + "/part-*")) == 1
