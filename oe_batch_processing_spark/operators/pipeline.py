@@ -155,3 +155,72 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
     sampled = docs.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "events_resample_5min",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(MIN(epoch(ts)) / 300) AS BIGINT) AS b0,
+             CAST(floor(MAX(epoch(ts)) / 300) AS BIGINT) AS b1
+      FROM events
+    ),
+    grid AS (
+      SELECT b0 + i AS bucket FROM bounds, UNNEST(range(b1 - b0 + 1)) AS t(i)
+    ),
+    counts AS (
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket, COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(make_timestamp(grid.bucket * 300 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           COALESCE(n, 0) AS n_events
+    FROM grid LEFT JOIN counts ON grid.bucket = counts.bucket
+    """,
+)
+def events_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: a dense 5-minute grid from
+    min to max event time, empty buckets filled with 0 — the regularization
+    step before any windowed model input. Grid generated with
+    sequence+explode (no driver loop); at scale the grid is tiny relative
+    to events and broadcast-joins to the counts."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / F.lit(300_000_000)).alias("bucket")
+    bounds = e.select(bucket).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket")
+    )
+    counts = e.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("bucket") * 300), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_ts"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS bin_min,
+           MAX(value) AS bin_max
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bin = floor(value/50)) — the cheap
+    distribution profile run before choosing filters/clips."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.floor(F.col("value") / 50).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("bin_min"),
+        F.max("value").alias("bin_max"),
+    )
