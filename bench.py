@@ -54,6 +54,7 @@ HEADLINE = [
     "asof_purchase_last_click",
     "stats_exact_moments",
     "udaf_user_value_trend",
+    "user_value_trend_native",
     "stream_tumbling_counts",
     "fw_parse_roundtrip",
 ]

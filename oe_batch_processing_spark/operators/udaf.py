@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -101,3 +102,71 @@ def udaf_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("y_cents"),
     )
     return e.groupBy("user_id").applyInPandas(_slope_group, schema=SLOPE_SCHEMA)
+
+
+@query(
+    "user_value_trend_native",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS y_cents
+      FROM events
+    ),
+    base AS (
+      SELECT user_id, ts_us, y_cents,
+             (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 60000000 AS x
+      FROM e
+    ),
+    m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y_cents) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y_cents) AS sxy
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS INTEGER) AS n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(n * sxy AS DOUBLE) - CAST(sx * sy AS DOUBLE))
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_per_min
+    FROM m
+    """,
+)
+def user_value_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native twin of ``udaf_user_value_trend`` — identical semantics and
+    oracle, expressed as window + integer aggregates inside whole-stage
+    codegen. Exists to quantify the brief's "UDFs are the slow path" rule:
+    same answer, ~5-10x cheaper than the Python grouped-map (see bench).
+    Prefer this shape in production; the UDAF form is the extension template
+    for logic SQL genuinely can't express."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("y_cents"),
+    )
+    w = Window.partitionBy("user_id")
+    base = e.withColumn(
+        "x",
+        ((F.col("ts_us") - F.min("ts_us").over(w)) / F.lit(60_000_000)).cast("long"),
+    )
+    m = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        (F.col("n") * F.col("sxy")).cast("double")
+        - (F.col("sx") * F.col("sy")).cast("double")
+    ) / denom.cast("double")
+    return m.select(
+        "user_id",
+        F.col("n").cast("int").alias("n"),
+        F.when(denom == 0, F.lit(None).cast("double")).otherwise(slope).alias(
+            "slope_per_min"
+        ),
+    )
