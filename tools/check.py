@@ -2,6 +2,13 @@
 
 Usage:
     python tools/check.py [sf_dir] [query_name ...]
+
+Note on scale factors: the correctness contract is sf0.01 (the driver's t2).
+At sf0.1+ a handful of money-sum queries (q1 family) exceed the 2^53
+decimal->double exactness bound (registry.py) and will show last-ULP
+mismatches against DuckDB — that is a property of cross-engine comparison,
+not of the engine; the pre-scaling pattern in stats_exact_moments is the
+remedy if a larger-SF gate ever appears.
 """
 
 from __future__ import annotations
