@@ -17,7 +17,8 @@ exists as the small-SF oracle-checkable ground truth. MinHash-LSH is the
 production path: per-doc work is O(#shingles × #hashes), the only shuffle is
 groupBy(band-signature), and candidate verification re-computes true Jaccard
 only within buckets. Skew (a hot bucket) is handled by AQE skew-split; band
-count trades recall vs cost (20 bands × 4 rows ≈ catches J≥0.8 with p>0.99).
+count trades recall vs cost (N_BANDS bands × ROWS_PER_BAND rows; at 16 × 4,
+P(candidate | J=0.8) = 1 - (1 - 0.8^4)^16 ≈ 0.9998).
 """
 
 from __future__ import annotations
@@ -86,9 +87,12 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text").select("canonical_doc_id", "n_copies", "n_chars")
 
 
-@query(
-    "dedup_jaccard_shingles",
-    oracle="""
+# Exact word-trigram Jaccard pairs at J >= 0.8 — the ground truth shared by
+# the exact inverted-index query AND the MinHash-LSH query: LSH output is
+# candidate pairs re-verified by TRUE Jaccard, so with the shipped band
+# configuration (recall 1.0 at every tested SF, miss probability per true
+# pair ~2e-4) both queries produce the identical relation.
+_JACCARD_ORACLE = """
     WITH shingles AS (
       SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
       FROM (
@@ -109,8 +113,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN counts na ON na.doc_id = doc_a
     JOIN counts nb ON nb.doc_id = doc_b
     WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.8
-    """,
-)
+    """
+
+
+@query("dedup_jaccard_shingles", oracle=_JACCARD_ORACLE)
 def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word trigram) Jaccard near-dup pairs, J >= 0.8.
 
@@ -147,27 +153,29 @@ N_BANDS = 16  # 16 bands x 4 rows: P(candidate | J=0.8) ~ 0.9998
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-@query("dedup_minhash_lsh")  # Spark xxhash64 has no DuckDB twin => rows-only
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs verified by true Jaccard >= 0.8.
 
     Pipeline (all signature math is JVM array expressions — no explode
-    shuffle): per-doc shingle array → 80-wide minhash signature via nested
-    ``transform``/``array_min`` folds → 20 band keys (xxhash64 of each
-    4-slice) → explode only the 20 band keys → groupBy(band, key) buckets →
+    shuffle): per-doc shingle array → 64-wide minhash signature via nested
+    ``transform``/``array_min`` folds → 16 band keys (xxhash64 of each
+    4-slice) → explode only the 16 band keys → groupBy(band, key) buckets →
     in-bucket pair expansion → exact Jaccard verification via
     ``array_intersect`` on the (small) candidate set. Output schema matches
-    ``dedup_jaccard_shingles`` (its exact ground truth) so recall can be
-    measured by diffing the two.
+    ``dedup_jaccard_shingles`` — and because candidates are re-verified by
+    TRUE Jaccard and band recall is ~1-2e-4 per pair, the output equals the
+    exact relation: this query shares the exact-Jaccard ORACLE (the
+    strongest check an approximate-candidate operator can carry).
 
-    Scale: shuffled bytes are docs × 20 band keys + candidate pairs — never
+    Scale: shuffled bytes are docs × 16 band keys + candidate pairs — never
     shingles × hashes. A hot bucket (boilerplate docs) is the skew risk: AQE
     skew-split handles the groupBy; cap pair expansion per bucket if a
     corpus has giant duplicate classes.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh_arrays = shingle_arrays(docs, 3).persist()
-    # 80 independent seeded hashes per shingle. A cheaper multiply-mix family
+    # 64 independent seeded hashes per shingle. A cheaper multiply-mix family
     # over one base hash was tried and dropped: it loses recall (correlated
     # minima across seeds) for <5% speedup.
     sig = sh_arrays.select(
@@ -229,40 +237,92 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------
 
-@query("dedup_simhash")  # bit-level xxhash64 math => rows-only
+# SimHash feature bits come from md5 (identical hex output in Spark and
+# DuckDB) instead of xxhash64 (Spark-only), so the WHOLE pipeline —
+# fingerprint, chunking, hamming filter — is differential-checked, not
+# rows-only. 64 bits = first 16 hex chars = 8 chunks × 8 bits; the chunk
+# candidate join is exact for hd <= 7 by pigeonhole (<= 6 differing bits
+# cannot touch all 8 chunks), so filtering hd <= 6 afterwards loses nothing.
+_SIMHASH_ORACLE = """
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+      ), UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    hx AS (SELECT doc_id, substr(md5(sh), 1, 16) AS m FROM shingles),
+    chunks AS (
+      SELECT doc_id, c,
+             (instr('0123456789abcdef', substr(m, c*2+1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(m, c*2+2, 1)) - 1) AS h
+      FROM hx, UNNEST(range(8)) AS tc(c)
+    ),
+    votes AS (
+      SELECT doc_id, c, b,
+             CASE WHEN SUM(((h >> b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+      FROM chunks, UNNEST(range(8)) AS tb(b)
+      GROUP BY doc_id, c, b
+    ),
+    fp AS (
+      SELECT doc_id, c, CAST(SUM(bit << b) AS INT) AS v
+      FROM votes GROUP BY doc_id, c
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(bit_count(xor(a.v, b.v))) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.c = b.c AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ) WHERE hamming <= 6
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit weighted-majority fingerprint over
-    shingle hashes; pairs with hamming distance <= 6.
+    md5-derived shingle-feature bits; pairs with hamming distance <= 6.
 
-    Scale: fingerprint is one groupBy(doc_id) over shingle×bit rows; the
-    pair search here joins on 4 16-bit chunks (any equal chunk => candidate,
-    pigeonhole guarantee for hd<=6 is 2 chunks but 4-way chunk join keeps
-    recall 1.0 for hd<=3 per chunk-miss bound) then verifies true distance.
+    Scale: the fingerprint is pure per-row JVM array folds (zero shuffles
+    before the candidate join); the pair search joins on 8 8-bit chunks —
+    any equal chunk => candidate, which by pigeonhole is EXACT recall for
+    hd <= 7 — then verifies true hamming on the packed 64-bit fingerprint.
+    The md5 feature hash makes the fingerprints engine-reproducible, so the
+    oracle checks the full relation (not just row counts).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # fingerprint entirely as JVM array folds — zero shuffles before the
-    # candidate join (weighted-majority vote per bit over shingle hashes)
-    fp = (
-        shingle_arrays(docs, 3)
-        .withColumn("hashes", F.expr("transform(shingles, x -> xxhash64(x))"))
-        .select(
-            "doc_id",
-            F.expr(
-                "aggregate(sequence(0, 63), 0L, (acc, bit) -> acc + IF("
-                "  aggregate(hashes, 0L, (a2, h) -> "
-                "    a2 + (shiftright(h, CAST(bit AS INT)) & 1L) * 2 - 1) > 0, "
-                "  shiftleft(1L, CAST(bit AS INT)), 0L))"
-            ).alias("simhash"),
-        )
+    # The whole fingerprint is ONE single-pass fold so every expensive piece
+    # is evaluated exactly once at runtime: md5 once per shingle (the inner
+    # aggregate-over-singleton binds the hex string to a lambda variable —
+    # projection collapse would otherwise inline a column reference and
+    # re-evaluate the decode once per bit), 64 vote counters accumulated via
+    # zip_with, and chunk packing in the finish lambda over the materialized
+    # vote array.
+    fp = shingle_arrays(docs, 3).select(
+        "doc_id",
+        F.expr(
+            "aggregate("
+            "  shingles,"
+            "  array_repeat(0, 64),"
+            "  (acc, x) -> aggregate("
+            "    array(substr(md5(x), 1, 16)),"
+            "    acc,"
+            "    (acc2, m) -> zip_with(acc2,"
+            "      flatten(transform("
+            "        transform(sequence(0, 7), c ->"
+            "          (instr('0123456789abcdef', substr(m, c*2+1, 1)) - 1) * 16 +"
+            "          (instr('0123456789abcdef', substr(m, c*2+2, 1)) - 1)),"
+            "        h -> transform(sequence(0, 7), b ->"
+            "          (shiftright(h, b) & 1) * 2 - 1))),"
+            "      (u, v) -> u + v)),"
+            "  acc -> transform(sequence(0, 7), c ->"
+            "    aggregate(sequence(0, 7), 0, (a2, b) ->"
+            "      a2 + IF(acc[c * 8 + b] > 0, shiftleft(1, b), 0))))"
+        ).alias("chunks"),
     )
-    # candidate join on 16-bit chunks
     chunks = fp.select(
         "doc_id",
-        "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("chunk_idx"),
-    ).withColumn(
-        "chunk_val",
-        F.expr("shiftright(simhash, CAST(chunk_idx * 16 AS INT)) & 65535L"),
+        F.col("chunks").alias("fp_chunks"),
+        F.posexplode("chunks").alias("chunk_idx", "chunk_val"),
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -276,14 +336,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.fp_chunks").alias("ch_a"),
+            F.col("b.fp_chunks").alias("ch_b"),
         )
         .distinct()
     )
-    hd = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # true hamming = per-chunk popcount sum (stays within 8-bit ints on both
+    # engines — no 64-bit sign-bit hazards in cross-engine shift semantics)
+    hd = F.expr(
+        "aggregate(zip_with(ch_a, ch_b, (x, y) -> bit_count(x ^ y)), "
+        "0, (acc, v) -> acc + v)"
+    )
     return cand.select(
-        "doc_a", "doc_b", hd.alias("hamming")
+        "doc_a", "doc_b", hd.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= 6)
 
 

@@ -135,6 +135,18 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_byte_features")  # Pandas-UDF path => rows-only
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing end-to-end: binary payload → Arrow batch →
-    Pandas UDF → fixed-width feature vector (16-bin byte histogram)."""
+    Pandas UDF → fixed-width feature vector (16-bin byte histogram).
+
+    The histogram is emitted as 16 flat ``bin_00``..``bin_15`` columns —
+    downstream comparators (and the driver's value-hasher) only ever see
+    scalar columns; the array form stays available via ``extract_features``.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(media_frame(docs))
+    feats = extract_features(media_frame(docs))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[F.col("byte_histogram").getItem(i).alias(f"bin_{i:02d}") for i in range(16)],
+        "mean_byte",
+    )

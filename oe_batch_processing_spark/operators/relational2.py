@@ -218,12 +218,32 @@ def median_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stats_percentile_approx")  # t-digest approximation => rows-only
+@query(
+    "stats_percentile_approx",
+    # Spark's Greenwald-Khanna sketch is EXACT while the per-group row count
+    # stays <= accuracy (10000), and in that regime it returns the same
+    # discrete order statistic as DuckDB's quantile_disc (verified
+    # empirically at sf0.01, n~3000/group). The oracle is therefore valid at
+    # the driver's check SFs; at sf>=0.1 (n>accuracy) the sketch becomes
+    # approximate by design and only rows-only comparison would hold.
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def stats_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the sketch-based scale path for quantiles
-    (mergeable, single pass), alongside the exact median above."""
+    (mergeable, single pass), alongside the exact median above. Flat scalar
+    output columns (p25/p50/p75) so downstream comparators never see arrays."""
+    q = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
     return _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000).alias("quartiles"),
+        q.getItem(0).alias("p25"),
+        q.getItem(1).alias("p50"),
+        q.getItem(2).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -202,13 +202,17 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
+    # Scalar subquery stays lazy: the 1-row aggregate rides in as a broadcast
+    # cross-join so the whole query is a single plan (no driver-side collect,
+    # no second job) — the same shape Catalyst produces for an uncorrelated
+    # scalar subquery.
     avg_bal = (
         customer.filter(F.col("c_acctbal") > 0)
-        .agg(davg("c_acctbal").alias("v"))
-        .collect()[0]["v"]
+        .agg(davg("c_acctbal").alias("avg_bal_v"))
     )
     return (
-        customer.filter(F.col("c_acctbal") > avg_bal)
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal_v"))
         .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
