@@ -11,6 +11,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     pipeline,
     relational,
     relational2,
+    sessions,
     similarity,
     textops,
     tpch_like,

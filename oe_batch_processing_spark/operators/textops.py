@@ -214,3 +214,166 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("token", "n", "rnk")
     )
+
+
+# --- corpus cleaning / PII / n-grams / length profile (round 2) ------------
+
+@query(
+    "text_clean_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+           CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text),
+                '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars_clean
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass: strip markup-like tags, lowercase, collapse
+    whitespace, trim — the standard normalize step before dedup/quality
+    gating. Pure JVM regexp chain (Spark's regexp_replace is global by
+    default; the oracle passes DuckDB's 'g' flag), runs at scan speed with
+    zero shuffles at any SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "<[^>]*>", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("int").alias("n_chars_clean"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=rf"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.org or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(LEN(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and mask email / phone patterns. The corpus is
+    synthetic and PII-free, so a deterministic PII suffix (derived from
+    doc_id, identical in both engines) is appended first — the operator
+    under test is the count+redact regexp chain, which runs scan-speed JVM
+    with no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "text_ngram_bigrams",
+    oracle="""
+    SELECT bigram, n, rnk FROM (
+      SELECT bigram, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS INTEGER) AS rnk
+      FROM (
+        SELECT words[i+1] || ' ' || words[i+2] AS bigram, COUNT(*) AS n
+        FROM (
+          SELECT string_split(text, ' ') AS words FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ), UNNEST(range(len(words) - 1)) AS t(i)
+        GROUP BY 1
+      )
+    ) WHERE rnk <= 50
+    """,
+)
+def text_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency, top 50 (occurrence counts, NOT per-doc
+    distinct — complements the shingle dedup family). Bigrams are built as a
+    per-row JVM array transform (no elementwise shuffle); the only exchanges
+    are the count groupBy and the 50-row top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        docs.withColumn("words", F.split(F.col("text"), " "))
+        .filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(words) - 2), "
+                    "i -> concat_ws(' ', words[i], words[i+1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("bigram", "n", "rnk")
+    )
+
+
+@query(
+    "docs_length_histogram",
+    oracle=f"""
+    SELECT bucket_lo, COUNT(*) AS n_docs,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM (
+      SELECT CAST(LEN(regexp_extract_all(text, '{TOKEN_RE}')) // 10 AS INTEGER) * 10
+               AS bucket_lo,
+             CAST(LEN(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER) AS n_tokens
+      FROM documents
+    )
+    GROUP BY bucket_lo
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length profile of the corpus: 10-token buckets with doc counts
+    — the length-filter calibration step of a data pipeline. Single partial-
+    agg shuffle on a handful of bucket keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_RE)).cast("int")
+    return (
+        docs.select(
+            (F.floor(n_tokens / 10).cast("int") * 10).alias("bucket_lo"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
