@@ -61,7 +61,12 @@ class IngestResult:
     """Run outcome. ``success``/``failed`` are the final outcome channels:
     on the native path they carry the parse columns; on the REST path they
     carry the post-HTTP status columns (statusCode from the app), matching
-    the reference where SUCCESS means "the app accepted the record"."""
+    the reference where SUCCESS means "the app accepted the record".
+
+    The frames are lazy plans whose run-scoped cache is released when
+    ``run_ingest`` returns: re-evaluating them afterwards re-runs the plan,
+    which on the REST path re-sends the HTTP requests. Consume them inside
+    the run (sink_path / ledger / hooks) or write them out immediately."""
 
     run: ledger.BatchRun
     counts: dict[str, int]
@@ -88,6 +93,7 @@ def run_ingest(spark: SparkSession, job: IngestJob) -> IngestResult:
         ),
     )
     counts: dict[str, int] = {}
+    cached: list[DataFrame] = []  # every persist() lands here; finally unpersists
     try:
         recdata = line_scan(spark, job.file_path, job.exact_line_numbers)
 
@@ -106,6 +112,7 @@ def run_ingest(spark: SparkSession, job: IngestJob) -> IngestResult:
 
         # One pass over the parse output feeds both channels.
         parsed = parsed.persist()
+        cached.append(parsed)
         routed = outcome.route(parsed)
 
         if job.sink_path:
@@ -116,6 +123,7 @@ def run_ingest(spark: SparkSession, job: IngestJob) -> IngestResult:
             # record POSTs to the app; SUCCESS/FAILED derives from HTTP
             # status; parse failures join the status ledger unchanged
             rest_status = rest_write(routed.success, job.rest_options).persist()
+            cached.append(rest_status)
             status_source = rest_status.unionByName(
                 routed.failed.select(
                     "fileName", "rec", "recId", "parsed_json", "statusText",
@@ -137,7 +145,6 @@ def run_ingest(spark: SparkSession, job: IngestJob) -> IngestResult:
             for row in status_df.toLocalIterator():
                 job.on_each_result(row.asDict(recursive=True))
 
-        parsed.unpersist()
         return IngestResult(
             run=run, counts=counts, success=routed.success, failed=routed.failed
         )
@@ -145,6 +152,13 @@ def run_ingest(spark: SparkSession, job: IngestJob) -> IngestResult:
         ledger.finalize_run(run, counts, error=str(e))
         raise
     finally:
+        # Cached blocks are released on EVERY exit path (a raise between
+        # persist and a success-path unpersist would otherwise leak
+        # executor storage memory run after run). Counts/ledger/hooks have
+        # materialized by now, so nothing re-reads the cache afterwards;
+        # the returned success/failed frames recompute lazily if reused.
+        for df in cached:
+            df.unpersist()
         if job.ledger_dir:
             ledger.write_run(spark, run, job.ledger_dir)
         if job.on_end:

@@ -8,8 +8,22 @@ Reference semantics preserved:
   - throttling: ``maxConcurrent`` in-flight requests with ``minTime`` ms
     spacing (Bottleneck config, lib/batchProcessing.js:87-91)
   - per-request timeout 10 s (lib/batchProcessing.js:671)
+  - per-job expiration 25 s (Bottleneck ``expiration: 25000``,
+    lib/batchProcessing.js:332): a wedged transport call — even one whose
+    own timeout never fires — is abandoned at the expiration bound and the
+    record becomes FAILED, so no single record can stall a partition
   - outcome: HTTP 200 => SUCCESS, anything else / transport error => FAILED
     (status derivation lib/batchProcessing.js:679)
+
+Documented divergences (single-driver Spark context makes them moot):
+  - no cookie jar (reference ``jar: true`` lib/batchProcessing.js:667-674):
+    the urllib transport is stateless per request. Only sticky-session app
+    servers notice; inject a ``transport`` wrapping requests.Session to
+    restore the behavior.
+  - no optimistic ``_version`` on BatchRun updates (reference PUTs with
+    ``_version``, lib/batchProcessing.js:535-585): the parquet run ledger
+    (sinks/ledger.py) has exactly one writer — the driver — so there is no
+    concurrent-update race to guard.
 
 Spark shape: the sink is a *transformation* ``rest_write(df) -> status_df``
 implemented with ``mapInPandas`` — each partition runs a bounded thread pool
@@ -82,6 +96,7 @@ class RestSinkOptions:
     max_concurrent: int = 80  # reference default, per rate domain
     min_time_ms: int = 20  # reference default spacing
     timeout_s: float = 10.0
+    expiration_s: float | None = 25.0  # per-job kill bound (reference :332)
     rate_domains: int | None = None  # None = keep input partitioning
     access_token: str | None = None  # appended as ?access_token= (O14 parity)
     transport: Transport | None = None
@@ -132,9 +147,40 @@ def _send_one(row: dict, opts: RestSinkOptions, transport: Transport, bucket: To
         url += ("&" if "?" in url else "?") + "access_token=" + opts.access_token
     bucket.acquire()
     body = None if method == "GET" else json.dumps(payload)
-    code, err = transport(url, method, headers, body)
+    code, err = _call_with_expiration(
+        transport, (url, method, headers, body), opts.expiration_s
+    )
     status = "SUCCESS" if code == 200 and err is None else "FAILED"
     return status, code, err
+
+
+def _call_with_expiration(
+    transport: Transport, args: tuple, expiration_s: float | None
+) -> tuple[int, str | None]:
+    """Hard per-job bound (reference's 25 s Bottleneck expiration): the
+    transport runs on a daemon thread and is abandoned at the deadline even
+    if its own socket timeout never fires (e.g. a server trickling bytes).
+    The job's clock starts AFTER throttle admission, matching Bottleneck
+    (expiration bounds execution, not queue wait)."""
+    if expiration_s is None:
+        try:
+            return transport(*args)
+        except Exception as e:  # noqa: BLE001 — transport contract: no raise
+            return 0, f"transport error: {e}"
+    result: list[tuple[int, str | None]] = []
+
+    def target() -> None:
+        try:
+            result.append(transport(*args))
+        except Exception as e:  # noqa: BLE001
+            result.append((0, f"transport error: {e}"))
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(expiration_s)
+    if not result:
+        return 0, f"job expired after {expiration_s:g}s (reference expiration)"
+    return result[0]
 
 
 def rest_write(parsed: DataFrame, opts: RestSinkOptions) -> DataFrame:

@@ -220,3 +220,33 @@ def test_auth_token_precedence(monkeypatch):
 
     # fallback: explicit ctx token
     assert get_access_token(ctx_access_token="ctxtok") == "ctxtok"
+
+
+def test_rest_write_job_expiration_bounds_wedged_transport(spark):
+    """A transport call that ignores its own timeout (e.g. a server
+    trickling bytes) is abandoned at the per-job expiration bound
+    (reference's 25 s Bottleneck expiration) and the record FAILs instead
+    of stalling the partition."""
+
+    def wedged_transport(url, method, headers, body):
+        payload = json.loads(body) if body else {}
+        if payload.get("key") == "K1":
+            time.sleep(30)  # would wedge the partition without the bound
+            return 200, None
+        return 200, None
+
+    opts = RestSinkOptions(
+        app_base_url="http://app.example/api",
+        model_api="TestData",
+        transport=wedged_transport,
+        expiration_s=1.0,
+        rate_domains=1,
+    )
+    t0 = time.time()
+    rows = rest_write(_parsed_frame(spark, n=4), opts).collect()
+    assert time.time() - t0 < 20  # bounded, not 30 s
+    by_key = {json.loads(r["parsed_json"])["key"]: r for r in rows}
+    assert by_key["K1"]["statusText"] == "FAILED"
+    assert "expired" in by_key["K1"]["error"]
+    assert by_key["K1"]["statusCode"] == 0
+    assert all(by_key[k]["statusText"] == "SUCCESS" for k in ("K2", "K3", "K4"))
