@@ -21,7 +21,8 @@ def test_cli_list():
     r = run_cli("list")
     assert r.returncode == 0
     assert "q1_pricing_summary  [oracle]" in r.stdout
-    assert "dedup_minhash_lsh  [rows-only]" in r.stdout
+    assert "dedup_minhash_lsh  [oracle]" in r.stdout
+    assert "agg_approx_count_distinct  [rows-only]" in r.stdout
 
 
 def test_cli_query_unknown():
