@@ -15,6 +15,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     similarity,
     textops,
     tpch_like,
+    tpch_like2,
     udaf,
 )
 from oe_batch_processing_spark.streaming import (  # noqa: F401
