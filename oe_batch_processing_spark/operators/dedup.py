@@ -128,8 +128,16 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, 3)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
+    # AQE would coalesce it to ~1 partition) but the join OUTPUT fans out
+    # quadratically per shingle bucket — the cost AQE's input-size heuristic
+    # can't see. An explicit keyed repartition keeps the join spread over
+    # the cluster; same-key partitioning on both sides means no extra
+    # exchange beyond the one the join needed anyway.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh_keyed = sh.repartition(n_part, "sh")
+    a = sh_keyed.alias("a")
+    b = sh_keyed.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -174,15 +182,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has giant duplicate classes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh_arrays = shingle_arrays(docs, 3).persist()
-    # 64 independent seeded hashes per shingle. A cheaper multiply-mix family
-    # over one base hash was tried and dropped: it loses recall (correlated
-    # minima across seeds) for <5% speedup.
+    # The testdata tables are single-row-group parquet files, so the scan is
+    # ONE split — without an explicit repartition the whole signature stage
+    # (the CPU-heavy part) runs in a single task. At 100 TB natural input
+    # splits provide this parallelism; when they don't match core count,
+    # this repartition is the knob.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh_arrays = shingle_arrays(docs.repartition(n_part), 3).persist()
+    # Each shingle STRING is hashed once; the 64 signature slots re-hash the
+    # resulting 8-byte int with per-slot seeds — a true independent family
+    # (unlike an affine multiply-mix over one hash, which was tried and
+    # dropped for correlated minima/recall loss), at ~1/64th of the string
+    # hashing cost. Recall is guarded by the exact-Jaccard oracle: any
+    # candidate the bands miss fails the hash-match.
     sig = sh_arrays.select(
+        "doc_id",
+        F.expr("transform(shingles, x -> xxhash64(x))").alias("hs"),
+    ).select(
         "doc_id",
         F.expr(
             f"transform(sequence(0, {N_HASHES - 1}), "
-            f"s -> array_min(transform(shingles, x -> xxhash64(x, s))))"
+            f"s -> array_min(transform(hs, h -> xxhash64(h, s))))"
         ).alias("sig"),
     )
     band_keys = sig.select(
@@ -290,6 +310,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks the full relation (not just row counts).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # single-row-group scan => repartition before the CPU-heavy fingerprint
+    # fold (see dedup_minhash_lsh note)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(n_part)
     # The whole fingerprint is ONE single-pass fold so every expensive piece
     # is evaluated exactly once at runtime: md5 once per shingle (the inner
     # aggregate-over-singleton binds the hex string to a lambda variable —
