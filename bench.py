@@ -47,9 +47,14 @@ HEADLINE = [
     "text_fingerprint_dedup",
     "similarity_topk_cosine",
     "similarity_topk_lsh",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
     # TPC-H shapes (fact-fact heavy):
+    "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q13_customer_order_distribution",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     # advanced relational + streaming + UDAF:
     "asof_purchase_last_click",
     "stats_exact_moments",
