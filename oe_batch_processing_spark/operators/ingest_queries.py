@@ -94,3 +94,43 @@ def csv_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return parsed.select("p.orderkey", "p.status", "p.priority")
+
+
+@query(
+    "json_parse_roundtrip",
+    oracle="""
+    WITH lines AS (
+      SELECT '{"id": ' || CAST(event_id AS VARCHAR)
+             || ', "kind": "' || event_type
+             || '", "cents": ' || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             || '}' AS rec
+      FROM events
+    )
+    SELECT CAST(json_extract(rec, '$.id') AS BIGINT) AS id,
+           json_extract_string(rec, '$.kind') AS kind,
+           CAST(json_extract(rec, '$.cents') AS BIGINT) AS cents
+    FROM lines
+    """,
+)
+def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines native parse via from_json with a declared schema (the
+    third line-oriented source format next to CSV/FW): format event rows as
+    JSON objects, parse back typed. Values print as integer cents so no
+    float-format round trip. PERMISSIVE-mode corrupt-record routing for this
+    path is exercised in tests/test_ingestion.py on real files."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit('{"id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "kind": "'),
+            F.col("event_type"),
+            F.lit('", "cents": '),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("}"),
+        ).alias("rec")
+    )
+    parsed = lines.select(
+        F.from_json("rec", "id BIGINT, kind STRING, cents BIGINT").alias("p")
+    )
+    return parsed.select("p.id", "p.kind", "p.cents")

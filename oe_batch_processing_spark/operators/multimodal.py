@@ -5,7 +5,7 @@ as Arrow-batched Pandas UDFs.
 The container has no image/audio libraries, so the *decode* step is stubbed
 behind ``NotImplementedError`` with a deterministic fake (byte-level feature
 extraction) — the Spark-side plumbing (schema, partitioning, UDF signature,
-batch shape) is real and tested (tests/test_multimodal.py).
+batch shape) is real and tested (tests/test_ingestion.py).
 
 Scale notes: binary payloads ride in parquet/Arrow untouched until the UDF
 stage; ``mapInPandas`` streams Arrow batches so executor memory is bounded by
@@ -149,4 +149,121 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         *[F.col("byte_histogram").getItem(i).alias(f"bin_{i:02d}") for i in range(16)],
         "mean_byte",
+    )
+
+
+# --- resize / frame-sample plumbing ----------------------------------------
+
+FRAME_BYTES = 64  # fixed "frame" size for the deterministic fake (small docs => several frames)
+FRAME_STRIDE = 4  # sample every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_len", IntegerType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize — requires decode (see ``decode_image``). Swap in a
+    Pillow-backed implementation on a cluster with codecs; the mapInPandas
+    plumbing in ``thumbnail_frame`` is what carries over unchanged."""
+    raise NotImplementedError(
+        "image resize requires decode; this container has no imaging codecs"
+    )
+
+
+def thumbnail_frame(media: DataFrame, n_bytes_out: int = 64) -> DataFrame:
+    """Deterministic stand-in for decode→resize→re-encode: stride-sample the
+    payload down to ``n_bytes_out`` bytes. Same mapInPandas shape a real
+    resize has: binary in, (smaller) binary out, one row per row."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("thumb", BinaryType(), True),
+            StructField("thumb_len", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                stride = max(1, len(b) // n_bytes_out)
+                thumb = b[::stride][:n_bytes_out]
+                rows.append(
+                    {"media_id": media_id, "thumb": thumb, "thumb_len": len(thumb)}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=schema)
+
+
+_FRAME_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents
+    ),
+    f AS (
+      SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+             substring(hx, CAST(i * {2 * FRAME_BYTES} + 1 AS BIGINT),
+                       {2 * FRAME_BYTES}) AS fh
+      FROM m, UNNEST(range(CAST(CEIL(len(hx) / {2.0 * FRAME_BYTES}) AS BIGINT))) t(i)
+      WHERE i % {FRAME_STRIDE} = 0
+    )
+    SELECT media_id, frame_idx,
+           CAST(len(fh) / 2 AS INTEGER) AS frame_len,
+           md5(fh) AS frame_md5
+    FROM f
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: treat the opaque payload as a sequence of
+    fixed-size frames, keep every FRAME_STRIDE-th, emit one row per sampled
+    frame — the one-binary-in, many-rows-out mapInPandas shape (the same
+    plumbing a real ffmpeg-backed sampler needs; only the slicing lambda
+    changes).
+
+    Oracle-checked despite being a Python-UDF path: frames are identified by
+    md5 over the UPPERCASE HEX of their bytes, which DuckDB can reproduce
+    with hex()/substring() (byte-aligned since every byte is 2 hex chars) —
+    so the driver hash-verifies the full sampled relation, not just counts.
+
+    Scale: embarrassingly parallel, zero shuffles; Arrow batch size bounds
+    executor memory, and output size is input/STRIDE.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        step = 2 * FRAME_BYTES
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                hx = bytes(payload or b"").hex().upper()
+                n_frames = (len(hx) + step - 1) // step
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    fh = hx[i * step : (i + 1) * step]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": i,
+                            "frame_len": len(fh) // 2,
+                            "frame_md5": hashlib.md5(fh.encode()).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_frame(docs).select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
     )

@@ -377,3 +377,48 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+RH_BASE = 257
+RH_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne): acc*257 + cp stays < 2^40
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 [CAST(ascii(c) AS BIGINT) FOR c IN string_split(text, '')]),
+               (acc, x) -> (acc * {RH_BASE} + x) % {RH_MOD}) AS rolling_fp
+      FROM documents
+    )
+    SELECT doc_id, rolling_fp,
+           COUNT(*) OVER (PARTITION BY rolling_fp) AS dup_count
+    FROM fp
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp polynomial over unicode
+    codepoints, base 257 mod 2^31-1) + per-fingerprint duplicate count — the
+    O(1)-state streaming fingerprint a chunked/rolling dedup builds on
+    (vs the md5 batch fingerprint in ``text_fingerprint_dedup``).
+
+    Exactness: the fold is pure integer arithmetic in a fixed left-to-right
+    order in both engines (Spark ``aggregate`` / DuckDB ``list_reduce``), so
+    fingerprints are bit-identical. Scale: one pass per doc, zero shuffles
+    before the window count on the (tiny) fingerprint key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(split(text, ''), 0L, "
+            f"(acc, c) -> (acc * {RH_BASE} + ascii(c)) % {RH_MOD})"
+        ).alias("rolling_fp"),
+    )
+    w = Window.partitionBy("rolling_fp")
+    return fp.select(
+        "doc_id", "rolling_fp", F.count(F.lit(1)).over(w).alias("dup_count")
+    )

@@ -197,3 +197,56 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(dedup_pairs(events_stream(spark, sf_dir)), "append")
+
+
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner interval join: purchases attributed to a same-user
+    click in the preceding 2 hours. Both sides carry watermarks and the join
+    condition is time-bounded in BOTH directions, so each side's buffered
+    state is evicted once the watermark passes the bound — the canonical
+    bounded-state stream-stream join."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", WATERMARK)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        "purchase_value",
+    )
+
+
+@query(
+    "stream_click_purchase_join",
+    oracle="""
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as a bounded stream (append mode:
+    inner-join matches emit immediately) and differential-checked against the
+    equivalent batch self-join."""
+    ev = events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_available_now(click_purchase_join(clicks, purchases), "append")

@@ -316,3 +316,45 @@ def test_multimodal_decode_is_explicitly_stubbed():
 
     with pytest.raises(NotImplementedError, match="imaging library"):
         decode_image(b"\x89PNG...")
+
+
+def test_multimodal_resize_is_explicitly_stubbed():
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError, match="imaging codecs"):
+        resize_image(b"\x89PNG...", 32, 32)
+
+
+def test_multimodal_thumbnail_plumbing(spark, sf_dir):
+    """The resize stand-in must preserve row count, bound output size, and
+    be deterministic (same stride-sampled bytes on every run)."""
+    from oe_batch_processing_spark.operators.multimodal import (
+        media_frame,
+        thumbnail_frame,
+    )
+    from oe_batch_processing_spark.tables import load_table
+
+    media = media_frame(load_table(spark, sf_dir, "documents"))
+    t1 = thumbnail_frame(media, n_bytes_out=64).orderBy("media_id").collect()
+    assert len(t1) == media.count()
+    assert all(r["thumb_len"] <= 64 and r["thumb_len"] == len(r["thumb"]) for r in t1)
+    t2 = thumbnail_frame(media, n_bytes_out=64).orderBy("media_id").collect()
+    assert [bytes(r["thumb"]) for r in t1] == [bytes(r["thumb"]) for r in t2]
+
+
+def test_multimodal_frame_sample_covers_payload(spark, sf_dir):
+    """Sampled frame indices must be stride-aligned and frame lengths must
+    tile the payload (last frame may be short)."""
+    from oe_batch_processing_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        multimodal_frame_sample,
+    )
+
+    rows = multimodal_frame_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % FRAME_STRIDE == 0
+        assert 1 <= r["frame_len"] <= FRAME_BYTES

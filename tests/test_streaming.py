@@ -128,3 +128,27 @@ def test_stateful_operator_carries_state_across_microbatches(spark, tmp_path):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
     )
     assert {tuple(r) for r in latest.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_stream_stream_join_batch_equals_stream(spark):
+    """The interval join applied to batch frames must agree with its bounded
+    stream-stream execution (inner joins emit matches immediately)."""
+    from oe_batch_processing_spark.streaming.event_windows import (
+        click_purchase_join,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    stream = run_available_now(
+        click_purchase_join(
+            events_stream(spark, SF_DIR).filter(F.col("event_type") == "click"),
+            events_stream(spark, SF_DIR).filter(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
