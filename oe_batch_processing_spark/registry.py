@@ -88,11 +88,13 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "text_ngram_bigrams",
     "docs_length_histogram",
     "events_sessionize_batch",
-    # -- regression re-checks to fill the window (4) --
-    "flagship_revenue_by_nation",
-    "q1_pricing_summary",
-    "dedup_jaccard_shingles",
-    "csv_parse_roundtrip",
+    # -- riskiest round-2 additions (4): novel join/UDF shapes. The other
+    # round-2 queries (tpch_like2 sweep, rolling fingerprint, json roundtrip)
+    # follow in registration order and rotate into round 3's window. --
+    "dedup_embedding_cosine",
+    "q2_min_cost_supplier",
+    "multimodal_frame_sample",
+    "stream_click_purchase_join",
 )
 
 
