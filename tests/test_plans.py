@@ -89,3 +89,35 @@ def test_aqe_converts_smj_to_broadcast_at_runtime(spark):
     joined.collect()
     final_plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final_plan
+
+
+def test_q8_star_single_shuffle(spark):
+    """The 7-way star must reach one hash-exchange (the final groupBy):
+    every dimension rides in as a broadcast, never reshuffling lineitem."""
+    df = registry.QUERIES["q8_market_share"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 6
+    # the only hash exchange allowed is the final groupBy partial-agg merge
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q6_filters_reach_the_scan(spark):
+    df = registry.QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
+def test_q10_top20_uses_take_ordered(spark):
+    df = registry.QUERIES["q10_returned_items"](spark, SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_embedding_dedup_has_no_nested_loop(spark):
+    """The grid block join must plan as a hash/sort-merge equi-join — a
+    BroadcastNestedLoopJoin would silently drop the whole pair stream out of
+    codegen (SCALE.md, measured lesson #2)."""
+    df = registry.QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
