@@ -422,3 +422,80 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         "doc_id", "rolling_fp", F.count(F.lit(1)).over(w).alias("dup_count")
     )
+
+
+MG_CAPACITY = 512  # Misra-Gries counters per partition
+TOP_K_FREQ = 25
+
+
+@query(
+    "text_frequent_tokens_sketch",
+    oracle=f"""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+      FROM (
+        SELECT lower(UNNEST(regexp_extract_all(text, '{TOKEN_RE}'))) AS token
+        FROM documents
+      )
+      GROUP BY token
+    ) WHERE rnk <= {TOP_K_FREQ}
+    """,
+)
+def text_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-k (k=25) tokens via the 2-pass sketch-then-verify
+    pattern: a Misra-Gries heavy-hitters sketch per partition (bounded
+    memory, one pass) proposes candidates; an exact recount restricted to
+    the candidate set ranks them.
+
+    Why this shape at 100 TB: a naive groupBy(token) shuffles every token
+    occurrence. Here pass 1 is shuffle-free (``mapInPandas`` emits at most
+    MG_CAPACITY candidate rows per partition), and pass 2's shuffle carries
+    only occurrences of candidate tokens (a broadcast semi-join prunes the
+    rest at the scan). The MG union guarantee (any token with global count
+    > N/MG_CAPACITY survives in some partition's sketch) makes the final
+    top-k EXACT when k ≪ capacity — which the DuckDB oracle verifies
+    against a full exact count every round.
+    """
+    from collections.abc import Iterator
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tokens = docs.repartition(n_part).select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("token")
+    )
+
+    def mg_sketch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < MG_CAPACITY:
+                    counters[tok] = 1
+                else:  # decrement-all: the Misra-Gries eviction step
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg_sketch, schema="token string").distinct()
+    exact = (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K_FREQ)
+        .select("token", "n")
+    )
