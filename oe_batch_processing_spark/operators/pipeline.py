@@ -224,3 +224,93 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("bin_min"),
         F.max("value").alias("bin_max"),
     )
+
+
+# --- deterministic split + sequence packing ---------------------------------
+
+# train/val/test by the first md5 byte of the doc id: 80/10/10. Hash-based
+# (not modulo-id) so the split is stable under re-ingestion, insertion order,
+# and partial reprocessing — the property a training pipeline actually needs.
+_SPLIT_BYTE = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(CAST(doc_id AS STRING)), 2, 1)) - 1"
+)
+_SPLIT_BYTE_DUCK = _SPLIT_BYTE.replace("CAST(doc_id AS STRING)", "CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "docs_train_val_test_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN ({_SPLIT_BYTE_DUCK}) % 10 < 8 THEN 'train'
+                WHEN ({_SPLIT_BYTE_DUCK}) % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split keyed on md5(doc_id) — identical
+    assignment on any engine, any partitioning, any ingestion order (the
+    md5-byte decode is the same instr() idiom the simhash oracle uses, so
+    DuckDB reproduces it bit-for-bit). Pure codegen projection: zero
+    shuffles, runs at scan speed at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+
+
+PACK_BUDGET = 4096  # token budget per packed training sequence
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, lang,
+             LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             SUM(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')))
+               OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    packs (4096 tokens) per language, by running token count in stable
+    doc_id order — pack_id = floor(offset / budget), the linear-packing
+    rule. Deterministic integer arithmetic, so both engines agree exactly.
+
+    Scale shape: one shuffle to partition by lang; the running sum is a
+    within-partition window (Spark computes it without a second exchange).
+    A giant language is the skew risk — shard the window key to
+    (lang, doc_id div RANGE) and offset pack ids per shard to keep packs
+    deterministic while bounding partition size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit("[A-Za-z0-9]+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum", F.sum("n_tokens").over(w))
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / float(PACK_BUDGET))
+        .cast("long")
+        .alias("pack_id"),
+    )
