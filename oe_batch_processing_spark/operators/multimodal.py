@@ -132,7 +132,39 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_frame(docs).select("media_id", "media_type", "n_bytes", "checksum")
 
 
-@query("multimodal_byte_features")  # Pandas-UDF path => rows-only
+_BYTE_FEATURES_ORACLE = (
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, media_type, n_bytes,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS bytes
+      FROM h
+    )
+    SELECT media_id, media_type, n_bytes,
+"""
+    + ",\n".join(
+        f"           CAST(LIST_SUM([CASE WHEN x // 16 = {i} THEN 1 ELSE 0 END"
+        f" FOR x IN bytes]) AS BIGINT) AS bin_{i:02d}"
+        for i in range(16)
+    )
+    + """,
+           CAST(CASE WHEN n_bytes > 0 THEN LIST_SUM(bytes) // n_bytes
+                     ELSE 0 END AS INTEGER) AS mean_byte
+    FROM b
+"""
+)
+
+
+@query("multimodal_byte_features", oracle=_BYTE_FEATURES_ORACLE)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction plumbing end-to-end: binary payload → Arrow batch →
     Pandas UDF → fixed-width feature vector (16-bin byte histogram).
@@ -140,6 +172,8 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The histogram is emitted as 16 flat ``bin_00``..``bin_15`` columns —
     downstream comparators (and the driver's value-hasher) only ever see
     scalar columns; the array form stays available via ``extract_features``.
+    Oracle-checked despite the Python path: DuckDB reconstructs every byte
+    from hex nibbles, so the full histogram relation is hash-verified.
     """
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(media_frame(docs))
