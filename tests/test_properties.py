@@ -143,3 +143,35 @@ def test_rolling_fingerprint_python_mirror_matches_sql_semantics(s):
     fold sees, so the Python mirror is a valid executable spec."""
     assert 0 <= _rh(s) < 2_147_483_647
     assert _rh(s) == _rh(s)  # deterministic
+
+
+# --- FastSS deletion-neighborhood blocking ----------------------------------
+
+def _del_keys(s: str) -> set:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+def _lev1(a: str, b: str) -> bool:
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with one insertion?
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+@given(st.text(alphabet="ab", max_size=8), st.text(alphabet="ab", max_size=8))
+@settings(max_examples=500)
+def test_deletion_neighborhood_blocking_never_misses(a, b):
+    """The fuzzy join's candidate guarantee: any pair within edit distance 1
+    shares a deletion-neighborhood key (substitution: both delete the
+    differing position; indel: the longer side's deletion equals the
+    shorter). Small alphabet forces dense collisions."""
+    if _lev1(a, b):
+        assert _del_keys(a) & _del_keys(b), (a, b)
