@@ -14,6 +14,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational2,
     sessions,
     similarity,
+    skew,
     textops,
     tpch_like,
     tpch_like2,
