@@ -679,3 +679,45 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(l_orderkey, 2)").alias("shl2"),
         F.expr("shiftright(l_orderkey, 3)").alias("shr3"),
     )
+
+
+@query(
+    "win_analytic_battery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           PERCENT_RANK() OVER w AS bal_pct_rank,
+           CUME_DIST() OVER w AS bal_cume_dist,
+           NTH_VALUE(c_custkey, 3) OVER
+             (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+           FIRST_VALUE(c_custkey) OVER w AS richest_key,
+           LAST_VALUE(c_custkey) OVER
+             (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS poorest_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def win_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window family not covered by the ranking battery:
+    PERCENT_RANK / CUME_DIST (distribution), NTH_VALUE over a running frame,
+    FIRST_VALUE, and LAST_VALUE over the full-partition frame (the default
+    frame ends at CURRENT ROW — the classic LAST_VALUE trap, made explicit
+    in both engines). Tie-free ordering (balance, then key) keeps the
+    distribution functions engine-exact.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.nth_value("c_custkey", 3).over(w_run).alias("third_key"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+        F.last("c_custkey").over(w_full).alias("poorest_key"),
+    )
