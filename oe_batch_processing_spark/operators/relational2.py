@@ -721,3 +721,46 @@ def win_analytic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_key"),
         F.last("c_custkey").over(w_full).alias("poorest_key"),
     )
+
+
+@query(
+    "scalar_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS maybe_status
+      FROM orders
+    )
+    SELECT COALESCE(maybe_status, '<none>') AS status_or_default,
+           COUNT(*) AS n_rows,
+           COUNT(maybe_status) AS n_nonnull,
+           COUNT(*) - COUNT(maybe_status) AS n_null,
+           CAST(SUM(CASE WHEN maybe_status IS NOT DISTINCT FROM 'F'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_f
+    FROM t
+    GROUP BY 1
+    ORDER BY status_or_default NULLS LAST
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: NULLIF manufacture, COALESCE defaulting,
+    COUNT(col) vs COUNT(*) null skipping, null-safe equality (Spark `<=>`
+    == SQL IS NOT DISTINCT FROM), and EXPLICIT null ordering — the engines
+    disagree on default null placement (Spark sorts nulls first ASC, DuckDB
+    last), so portable queries must say NULLS FIRST/LAST out loud.
+    """
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("maybe_status"),
+    )
+    return (
+        t.groupBy(F.coalesce("maybe_status", F.lit("<none>")).alias("status_or_default"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("maybe_status").alias("n_nonnull"),
+            (F.count(F.lit(1)) - F.count("maybe_status")).alias("n_null"),
+            F.sum(
+                F.when(F.col("maybe_status").eqNullSafe(F.lit("F")), 1).otherwise(0)
+            ).alias("n_nullsafe_f"),
+        )
+        .orderBy(F.col("status_or_default").asc_nulls_last())
+    )

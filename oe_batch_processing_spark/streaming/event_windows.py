@@ -250,3 +250,35 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase"
     )
     return run_available_now(click_purchase_join(clicks, purchases), "append")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming fact joins a STATIC dimension
+    (no watermark needed on the static side — Spark re-plans it per
+    micro-batch, and it broadcasts like any dim join), then aggregates by
+    the enriched key. The production shape for "join the stream to the
+    customer table".
+
+    Batch/stream unified: the same join+agg on the batch frame is the
+    DuckDB-checked oracle.
+    """
+    from oe_batch_processing_spark.tables import load_table as _lt
+
+    ev = events_stream(spark, sf_dir)
+    cust = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    return run_available_now(agg, "complete")
