@@ -22,26 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from oe_batch_processing_spark.registry import dsum, query
+from oe_batch_processing_spark.registry import query
 from oe_batch_processing_spark.tables import load_table
 
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % 100 == 0 (deterministic, sf-stable)
-
-
-def _elements(emb: DataFrame) -> DataFrame:
-    """(vec_id, i, v): 1-based position + double-cast element."""
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("v").cast("double").alias("v")
-    )
-
-
-def _norms(elems: DataFrame) -> DataFrame:
-    return elems.groupBy("vec_id").agg(
-        F.sqrt(dsum(F.col("v") * F.col("v"), scale=9)).alias("nrm")
-    )
 
 
 # Exact-match dot products without a position join: each product is rounded
@@ -286,55 +271,77 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_ORACLE = """
-    WITH elems AS (
-      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-      FROM (SELECT vec_id, embedding, generate_subscripts(embedding, 1) AS i
-            FROM embeddings)
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT)
+              FOR x IN embedding] AS qe
+      FROM embeddings WHERE vec_id % 10 = 0
     ),
     norms AS (
-      SELECT vec_id,
-             SQRT(CAST(SUM(CAST(v * v AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
-      FROM elems GROUP BY vec_id
-    ),
-    dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             CAST(SUM(CAST(a.v * b.v AS DECIMAL(18,9))) AS DOUBLE) AS dot
-      FROM elems a JOIN elems b ON a.i = b.i AND a.vec_id < b.vec_id
-      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
-      GROUP BY 1, 2
+      SELECT vec_id, qe, SQRT(LIST_SUM([x * x FOR x IN qe]) / 1e8) AS nrm
+      FROM q
     )
-    SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE dot / (na.nrm * nb.nrm) >= 0.2
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (LIST_SUM([a.qe[i] * b.qe[i] FOR i IN GENERATE_SERIES(1, 64)]) / 1e8)
+             / (a.nrm * b.nrm) AS cosine
+    FROM norms a
+    JOIN norms b ON a.vec_id < b.vec_id
+    WHERE (LIST_SUM([a.qe[i] * b.qe[i] FOR i IN GENERATE_SERIES(1, 64)]) / 1e8)
+            / (a.nrm * b.nrm) >= 0.2
 """
+
+
+PAIRS_GRID = 4  # subset is ~N/10 vectors; 16 grid cells spread the pairs
 
 
 @query("similarity_pairs_above", oracle=_PAIRS_ORACLE)
 def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine >= 0.2 on a deterministic 10% subset (vec_id % 10
-    == 0) — the embedding near-dedup primitive, exact math."""
+    == 0) — the embedding near-dedup primitive, exact math.
+
+    Same physical shape as ``dedup_embedding_cosine``: vectors quantize once
+    to 1e-4 BIGINT arrays (exact in both engines), pairs come from a grid
+    block equi-join (codegen-friendly, parallel — never a position-explode
+    join on the dimension index, which shuffles 64 rows per vector, nor a
+    nested-loop cross join, which drops out of codegen), and the dot product
+    is an integer zip_with/aggregate fold.
+    """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    elems = _elements(emb)
-    norms = _norms(elems)
-    a = elems.select(F.col("vec_id").alias("vec_a"), "i", F.col("v").alias("av"))
-    b = elems.select(F.col("vec_id").alias("vec_b"), "i", F.col("v").alias("bv"))
-    dots = (
-        a.join(b, "i")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(dsum(F.col("av") * F.col("bv"), scale=9).alias("dot"))
+    qe = F.expr(
+        "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))"
     )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nrm_b"))
+    nrm = F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8))
+    vecs = emb.select("vec_id", qe.alias("qe")).select(
+        "vec_id", "qe", nrm.alias("nrm"), (F.col("vec_id") % PAIRS_GRID).alias("g")
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qe").alias("qe_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(
+            F.expr(f"transform(sequence(0, {PAIRS_GRID - 1}), j -> g * {PAIRS_GRID} + j)")
+        ).alias("cell"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qe").alias("qe_b"),
+        F.col("nrm").alias("nrm_b"),
+        F.explode(
+            F.expr(f"transform(sequence(0, {PAIRS_GRID - 1}), i -> i * {PAIRS_GRID} + g)")
+        ).alias("cell"),
+    )
+    dot = "aggregate(zip_with(qe_a, qe_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
+        a.repartition(n_part, "cell")
+        .join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+            ((F.expr(dot) / F.lit(1e8)) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= 0.2)
     )
