@@ -8,10 +8,12 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     dedup,
     fuzzy,
     ingest_queries,
+    llmops,
     multimodal,
     pipeline,
     relational,
     relational2,
+    relational3,
     sessions,
     similarity,
     skew,
