@@ -16,6 +16,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational3,
     sessions,
     similarity,
+    similarity2,
     skew,
     textops,
     tpch_like,

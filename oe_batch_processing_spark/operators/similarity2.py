@@ -1,0 +1,200 @@
+"""Round-3 vector operators: k-means cell assignment (the trainable half of
+IVF) and product-quantization ANN (encode + asymmetric-distance search).
+
+Unlike the LSH/IVF candidate generators (rows-only by nature), both of these
+are DETERMINISTIC integer-math pipelines: vectors quantize once to 1e-4
+BIGINT arrays, every distance is an exact integer sum with a deterministic
+(dist, id) tie-break — so both queries carry full DuckDB hash oracles, the
+strongest signal available for a vector operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+CELLS_MOD = 37  # centroid subset: vec_id % 37 == 1 (matches similarity_topk_ivf)
+EMB_DIM = 64
+
+_QE = "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))"
+_L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0L, (acc, v) -> acc + v)"
+)
+
+_DUCK_QE = "[CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT) FOR x IN embedding]"
+
+
+@query(
+    "embedding_kmeans_assign",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cell_id, qe AS ce FROM q WHERE vec_id % {CELLS_MOD} = 1),
+    d AS (
+      SELECT v.vec_id, c.cell_id,
+             CAST(LIST_SUM([(v.qe[i] - c.ce[i]) * (v.qe[i] - c.ce[i])
+                            FOR i IN GENERATE_SERIES(1, {EMB_DIM})]) AS BIGINT)
+               AS l2sq_scaled
+      FROM q v CROSS JOIN c
+    )
+    SELECT vec_id, cell_id, l2sq_scaled FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY l2sq_scaled, cell_id) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means assignment step (one Lloyd E-step): every vector to its
+    nearest centroid by exact squared L2 on 1e-4-quantized integers, ties
+    broken by cell id. The centroid set is the deterministic subset the IVF
+    query uses — on a cluster you'd swap in sampled+trained centroids; the
+    plan is identical.
+
+    Scale: centroids BROADCAST (k×d doubles — tiny); assignment is one
+    argmin per vector computed as a per-row min-of-struct aggregation, so
+    the only exchange is the groupBy(vec_id) combine. No window over the
+    full N×k product, no shuffle of the embedding arrays.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    cents = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
+        F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        F.expr(_L2.format(a="qe", b="ce")).alias("l2sq_scaled"),
+    )
+    # argmin via min(struct(dist, cell)) — lexicographic struct ordering is
+    # exactly the (dist, cell_id) tie-break, and a partial-aggregating
+    # groupBy beats a row_number window (map-side combine, no sort).
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("l2sq_scaled", "cell_id")).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cell_id").alias("cell_id"),
+        F.col("best.l2sq_scaled").alias("l2sq_scaled"),
+    )
+
+
+# --- product quantization ----------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBD = EMB_DIM // PQ_M  # dims per subspace
+CODES_MOD = 31  # codebook vectors: vec_id % 31 == 1 (~16 codes per subspace)
+PQ_TOP_K = 5
+QUERY_MOD = 100  # query set matches the other similarity ops
+
+_DUCK_SUBL2 = (
+    f"CAST(LIST_SUM([(v.qe[t.s * {PQ_SUBD} + i] - c.ce[t.s * {PQ_SUBD} + i])"
+    f" * (v.qe[t.s * {PQ_SUBD} + i] - c.ce[t.s * {PQ_SUBD} + i])"
+    f" FOR i IN GENERATE_SERIES(1, {PQ_SUBD})]) AS BIGINT)"
+)
+
+
+@query(
+    "similarity_topk_pq",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, qe AS ce FROM q
+              WHERE vec_id % {CODES_MOD} = 1),
+    enc AS (
+      SELECT vec_id, s, cent_id AS code FROM (
+        SELECT v.vec_id, t.s, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id, t.s
+                                  ORDER BY {_DUCK_SUBL2}, c.cent_id) AS rn
+        FROM q v, (SELECT UNNEST(range({PQ_M})) AS s) t, cents c
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT v.vec_id AS query_id, t.s, c.cent_id,
+             {_DUCK_SUBL2} AS qdist
+      FROM q v, (SELECT UNNEST(range({PQ_M})) AS s) t, cents c
+      WHERE v.vec_id % {QUERY_MOD} = 0
+    ),
+    adc AS (
+      SELECT qt.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(qt.qdist) AS BIGINT) AS approx_dist
+      FROM enc e JOIN qtab qt ON qt.s = e.s AND qt.cent_id = e.code
+      WHERE e.vec_id <> qt.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, approx_dist, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY approx_dist, neighbor_id) AS INTEGER) AS rnk
+      FROM adc
+    ) WHERE rnk <= {PQ_TOP_K}
+    """,
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-d vectors split into {PQ_M} subspaces of
+    {PQ_SUBD} dims; each subvector is encoded as its nearest codebook entry
+    (exact integer L2, deterministic tie-break), and queries search by
+    asymmetric distance (ADC) — sum over subspaces of the query-to-code
+    distance — then take top-k.
+
+    Why PQ at 100 TB: the corpus compresses from 64 floats to {PQ_M} bytes
+    per vector ({EMB_DIM * 4 // PQ_M}× smaller than raw), and the search scan
+    reads ONLY codes plus a per-query distance table of k_codes × {PQ_M}
+    entries — the memory-bandwidth profile that makes billion-vector search
+    feasible. Encode: codebook BROADCAST, argmin per (vector, subspace) via
+    min-of-struct groupBy (one combine-friendly exchange). Search: the
+    query distance table BROADCAST onto the code stream, one sum per
+    (query, vector), one top-k window. Every step is deterministic integer
+    math, so the whole ANN pipeline is hash-checked against DuckDB — a
+    stronger gate than the recall-based rows-only checks LSH/IVF allow.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    cents = vecs.filter(F.col("vec_id") % CODES_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
+    )
+    sub_l2 = F.expr(
+        _L2.format(
+            a=f"slice(qe, s * {PQ_SUBD} + 1, {PQ_SUBD})",
+            b=f"slice(ce, s * {PQ_SUBD} + 1, {PQ_SUBD})",
+        )
+    )
+    subspaces = F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("s")
+
+    scored = (
+        vecs.select("vec_id", "qe", subspaces)
+        .join(F.broadcast(cents))
+        .select("vec_id", "s", "cent_id", sub_l2.alias("subdist"))
+    )
+    enc = (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("subdist", "cent_id")).alias("best"))
+        .select("vec_id", "s", F.col("best.cent_id").alias("code"))
+    )
+    qtab = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "qe", subspaces)
+        .join(F.broadcast(cents))
+        .select("query_id", "s", "cent_id", sub_l2.alias("qdist"))
+    )
+    adc = (
+        enc.join(
+            F.broadcast(qtab),
+            (enc["s"] == qtab["s"]) & (enc["code"] == qtab["cent_id"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "approx_dist", "rnk")
+    )
