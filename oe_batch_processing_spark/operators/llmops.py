@@ -312,7 +312,7 @@ def docs_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(hosts).cast("int").alias("n_urls"),
         F.array_join(hosts, ",").alias("hosts"),
-        F.element_at(hosts, 1).alias("first_host"),
+        F.try_element_at(hosts, F.lit(1)).alias("first_host"),
     )
 
 

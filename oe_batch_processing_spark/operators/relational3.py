@@ -10,6 +10,7 @@ hash decisions, rank-based exact medians.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -147,8 +148,8 @@ def scalar_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(arr).cast("int").alias("n_matches"),
         F.array_join(arr, ",").alias("all_matches"),
-        F.element_at(arr, 1).alias("first_match"),
-        F.element_at(arr, -1).alias("last_match"),
+        F.try_element_at(arr, F.lit(1)).alias("first_match"),
+        F.try_element_at(arr, F.lit(-1)).alias("last_match"),
     )
 
 
@@ -374,8 +375,8 @@ def events_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_approx_quantile_stats",
     # Same exactness regime as stats_percentile_approx: Spark's GK sketch is
-    # exact while per-group n <= accuracy (10000) and then equals DuckDB's
-    # quantile_disc. Events at the driver's check SFs: ~2000 rows/type.
+    # exact while per-group n <= accuracy (1e6) and then equals DuckDB's
+    # quantile_disc — comfortably above per-group counts at every check SF.
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
@@ -393,7 +394,10 @@ def events_approx_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Greenwald-Khanna sketch — single-pass, mergeable, the 100 TB quantile
     path) and exact-decimal mean. Flat scalar outputs."""
     e = _t(spark, sf_dir, "events")
-    q = F.percentile_approx("value", [0.10, 0.50, 0.90], 10000)
+    # accuracy 1_000_000 keeps the GK sketch exact (== quantile_disc) well
+    # past sf0.1's ~20k rows/group, so the oracle hash holds at any SF the
+    # driver checks; memory is still O(accuracy) per group — fine per-task.
+    q = F.percentile_approx("value", [0.10, 0.50, 0.90], 1_000_000)
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         q.getItem(0).alias("p10"),
@@ -431,8 +435,14 @@ def join_bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     here per-call only because the demo materializes its own inputs; a real
     deployment buckets at ingest.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # Discriminate by sf-dir AND session so two concurrent runs on the same
+    # scale factor cannot clobber each other's bucketed files mid-read; the
+    # app-scoped demo dir is re-created per call, so artifacts don't pile up.
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    app_tag = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
+    tag = f"{sf_tag}_{app_tag}"
     base = f"/tmp/oe_bucket_demo/{tag}"
+    shutil.rmtree(base, ignore_errors=True)
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

@@ -111,6 +111,10 @@ _RUNTIME_CONFS = {
     # date/time formatting must agree with the (UTC) DuckDB oracle
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Operators are written and oracle-matched for non-ANSI semantics
+    # (element_at / strict CAST): pin it off even when the harness hands us
+    # a session built elsewhere with Spark 4's ANSI-on default.
+    "spark.sql.ansi.enabled": "false",
 }
 
 
