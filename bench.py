@@ -131,32 +131,45 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    # Failure isolation: one broken query must not sink the round's entire
+    # bench signal (round 4 lost all numbers to a single AnalysisException).
+    # Errors are recorded per-query and the JSON always prints.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
+            errors[name] = "not registered"
             continue
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
 
-    bench_ingest(spark, timings)
-    total += timings["ingest_csv_100k_fidelity"] + timings["ingest_csv_100k_native"]
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    try:
+        bench_ingest(spark, timings)
+        total += (
+            timings["ingest_csv_100k_fidelity"] + timings["ingest_csv_100k_native"]
         )
-    )
+    except Exception as exc:  # noqa: BLE001
+        errors["ingest"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

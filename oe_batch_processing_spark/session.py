@@ -55,9 +55,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
-        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read as int64 nanos and convert in tables.py.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         # keep bucketed-table experiments out of the repo tree

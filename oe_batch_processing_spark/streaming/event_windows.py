@@ -46,8 +46,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # same ts normalization as tables.load_table (version-dependent read:
+    # int64 nanos on <=3.x with the legacy conf, TIMESTAMP_NTZ on 4.1+)
+    kind = dict(stream.dtypes).get("ts")
+    if kind == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif kind == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch.schema
     return stream
 

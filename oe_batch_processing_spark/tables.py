@@ -39,14 +39,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # Parquet TIMESTAMP(NANOS) arrives as int64 nanos (see session.py);
-        # surface it as a microsecond TimestampType column, same name. The
-        # sub-microsecond truncation is irrelevant to every windowing op.
+        # events.parquet stores ts as parquet TIMESTAMP(NANOS). How Spark
+        # surfaces that depends on version: <=3.x with nanosAsLong reads it
+        # as int64 nanos; 4.1+ ignores that conf and reads TIMESTAMP_NTZ.
+        # Normalize both to a microsecond TimestampType column, same name.
+        # The session timezone is pinned UTC (registry._RUNTIME_CONFS), so
+        # the NTZ->LTZ cast is value-exact; sub-microsecond truncation is
+        # irrelevant to every windowing op.
         for f in df.schema.fields:
-            if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            if f.name != "ts":
+                continue
+            kind = f.dataType.simpleString()
+            if kind == "bigint":
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif kind == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
