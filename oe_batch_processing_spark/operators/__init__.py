@@ -9,6 +9,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     fuzzy,
     ingest_queries,
     llmops,
+    llmops2,
     multimodal,
     pipeline,
     relational,

@@ -1,0 +1,301 @@
+"""Round-5 LLM training-data operators: fixed-token document chunking with
+overlap (the RAG / pretraining prep primitive), TF-IDF top-terms, an SCD2
+(slowly-changing-dimension) history build from the event stream, and a
+CDC-style merge/upsert — the batch "MERGE INTO" shape expressed as a full
+outer join.
+
+All decisions are integer arithmetic or single identical IEEE divisions of
+integer-derived doubles, so every query is bit-exact against DuckDB.
+No Python UDFs — everything is JVM codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import dsum, query
+from oe_batch_processing_spark.tables import BROADCAST_DIMS, load_table
+
+# --- fixed-token chunking with overlap --------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, UNNEST(generate_series(0, LEN(t) - 1, {CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(s AS INTEGER) AS start_tok,
+           CAST(LEN(t[s + 1 : LEAST(s + {CHUNK_TOKENS}, LEN(t))]) AS INTEGER)
+             AS n_tokens,
+           array_to_string(t[s + 1 : LEAST(s + {CHUNK_TOKENS}, LEN(t))], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE} tokens (8-token overlap)
+    — the standard RAG-index / pretraining-context prep step.
+
+    Spark shape: one narrow projection — ``split`` once per document, then
+    ``posexplode`` over a ``sequence`` of chunk starts and a ``slice`` +
+    ``array_join`` per chunk. No shuffle at all: chunking is embarrassingly
+    parallel, the scan partitioning carries through, and at 100 TB this runs
+    as a single map stage whose output feeds the tokenizer directly. The
+    only data growth is the declared overlap ratio (~{CHUNK_TOKENS}/{CHUNK_STRIDE}x).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.expr(f"sequence(0, size(t) - 1, {CHUNK_STRIDE})")
+        ).alias("chunk_idx", "s"),
+    )
+    chunk = F.expr(f"slice(t, s + 1, {CHUNK_TOKENS})")
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("s").cast("int").alias("start_tok"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --- TF-IDF top terms -------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+@query(
+    "docs_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOPK} distinguishing terms by a rational
+    TF-IDF (score = tf/df — one IEEE division of two integer-derived
+    doubles, bit-identical in both engines; log-weighting would differ in
+    final ULPs between libm and java.lang.Math and is deliberately avoided
+    for the differential gate — the RANKING is what the operator is).
+
+    Scale shape: tokenize once, two aggregations off it (per-doc TF keyed by
+    (doc_id, token); corpus DF keyed by token with map-side partial
+    count-distinct), one join on token, one per-doc window top-k. The DF
+    side is vocabulary-sized — orders of magnitude smaller than the corpus —
+    so at 100 TB it broadcasts and the join never shuffles the TF stream;
+    AQE picks that up from runtime stats (the explicit hint is left out so
+    tiny test SFs keep a plannable exchange).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "score", "rnk")
+    )
+
+
+# --- SCD2 history build -----------------------------------------------------
+
+TIER_EDGES = (100.0, 500.0)  # value < 100 -> bronze, < 500 -> silver, else gold
+
+
+def _tier_case_sql() -> str:
+    return (
+        f"CASE WHEN value < {TIER_EDGES[0]} THEN 'bronze' "
+        f"WHEN value < {TIER_EDGES[1]} THEN 'silver' ELSE 'gold' END"
+    )
+
+
+@query(
+    "scd2_user_value_tiers",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, {_tier_case_sql()} AS tier
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT user_id, ts, tier,
+             CASE WHEN LAG(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0
+               END AS chg
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, tier,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT user_id, tier, run_id, MIN(ts) AS vf
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, tier,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+             AS is_current
+    FROM hist
+    """,
+)
+def scd2_user_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: each user's purchase
+    events assign a value tier; consecutive same-tier runs collapse into one
+    versioned row with ``valid_from`` / ``valid_to`` / ``is_current`` — the
+    gaps-and-islands pattern that turns an event log into a slowly-changing
+    dimension.
+
+    Scale shape: ONE shuffle on user_id serves every step — the change-flag
+    lag, the running run-id sum, the per-run MIN, and the valid_to lead all
+    reuse the same partitioning (Catalyst plans a single Exchange; the
+    window sorts are local). At 100 TB this is the canonical "rebuild the
+    dimension history from the log" batch job; the incremental variant
+    unions the open tail (is_current) with new events and re-runs the same
+    plan on the delta partition.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select("user_id", "ts", "event_id", F.expr(_tier_case_sql()).alias("tier"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = p.select(
+        "user_id",
+        "ts",
+        "tier",
+        F.when(
+            ~F.lag("tier").over(w).eqNullSafe(F.col("tier")), F.lit(1)
+        ).otherwise(F.lit(0)).alias("chg"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = marked.select(
+        "user_id", "ts", "tier", F.sum("chg").over(wrun).alias("run_id")
+    )
+    hist = runs.groupBy("user_id", "tier", "run_id").agg(F.min("ts").alias("vf"))
+    wver = Window.partitionBy("user_id").orderBy("run_id")
+    nxt = F.lead("vf").over(wver)
+    return hist.select(
+        "user_id",
+        "tier",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# --- CDC merge / upsert -----------------------------------------------------
+
+@query(
+    "merge_upsert_customer_balance",
+    oracle="""
+    WITH src AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, s.user_id) AS c_custkey,
+           COALESCE(c.c_name, 'Customer#new-' || CAST(s.user_id AS VARCHAR))
+             AS c_name,
+           CASE WHEN s.user_id IS NULL THEN c.c_acctbal
+                WHEN c.c_custkey IS NULL THEN s.purchase_total
+                ELSE c.c_acctbal + s.purchase_total END AS new_acctbal,
+           CASE WHEN s.user_id IS NULL THEN 'unchanged'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS action
+    FROM customer c FULL JOIN src s ON c.c_custkey = s.user_id
+    """,
+)
+def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE INTO expressed Spark-first: the change source (summed
+    purchase value per user) full-outer-joins the target dimension;
+    matched rows update (balance += purchases), unmatched-source rows
+    insert, unmatched-target rows pass through unchanged — exactly the
+    three-branch semantics of ``MERGE WHEN [NOT] MATCHED`` on engines
+    without a transactional table format.
+
+    Scale shape: the source aggregate is one map-side-combined shuffle on
+    user_id; the merge itself is a single full outer hash join on the key.
+    At 100 TB the target is read bucket-partitioned on the merge key so the
+    join co-locates with zero target shuffle, and the output rewrites only
+    the partitions containing touched keys (the classic pre-lakehouse
+    upsert); on Delta/Iceberg the SAME source frame feeds ``MERGE INTO``.
+    The exact-decimal sum keeps the updated balances bit-identical across
+    engines (registry.dsum convention).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("purchase_total"))
+    )
+    m = cust.join(src, cust["c_custkey"] == src["user_id"], "full_outer")
+    no_src = F.col("user_id").isNull()
+    no_tgt = F.col("c_custkey").isNull()
+    return m.select(
+        F.coalesce("c_custkey", "user_id").alias("c_custkey"),
+        F.coalesce(
+            "c_name", F.concat(F.lit("Customer#new-"), F.col("user_id").cast("string"))
+        ).alias("c_name"),
+        F.when(no_src, F.col("c_acctbal"))
+        .when(no_tgt, F.col("purchase_total"))
+        .otherwise(F.col("c_acctbal") + F.col("purchase_total"))
+        .alias("new_acctbal"),
+        F.when(no_src, F.lit("unchanged"))
+        .when(no_tgt, F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )

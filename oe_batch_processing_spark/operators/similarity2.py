@@ -198,3 +198,148 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "approx_dist", "rnk")
     )
+
+
+# --- IVF + PQ hybrid ---------------------------------------------------------
+
+IVFPQ_NPROBE = 16  # cells probed per query (matches similarity_topk_ivf)
+IVFPQ_RERANK = 60  # ADC shortlist rescored exactly per query (uniform-random
+# test vectors are PQ's worst case — ADC ordering is noisy, so the shortlist
+# must be deep to reach the IVF probe ceiling; clustered real corpora get the
+# same recall at ~1/4 the depth)
+IVFPQ_TOP_K = 5
+
+
+@query("similarity_topk_ivfpq")  # approximate candidate gen => rows-only
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ hybrid ANN — the production billion-vector search shape
+    (FAISS IVFPQ): a coarse quantizer prunes the corpus to N_PROBE cells,
+    asymmetric PQ distance scans ONLY the probed cells' 8-byte codes, and
+    an exact rescore of the top-{IVFPQ_RERANK} ADC shortlist produces the
+    final cosine top-{IVFPQ_TOP_K}.
+
+    Why this beats either half alone at 100 TB: IVF-only rescores every
+    vector in the probed cells with full 64-d exact math (memory-bandwidth
+    bound on raw vectors); PQ-only scans ALL N compressed codes. The hybrid
+    scans codes for corpus/cells*nprobe candidates and touches raw vectors
+    for just {IVFPQ_RERANK} rows per query. Every stage is the broadcast /
+    partial-agg shape of its parent operator (embedding_kmeans_assign,
+    similarity_topk_pq); the only candidate-sized shuffle is the ADC
+    groupBy. Recall@5 vs exact brute force is tracked per round in
+    COVERAGE.md (rows-only: candidate generation is approximate by design).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    nrm = F.sqrt(
+        F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)
+    )
+
+    # coarse quantizer: same deterministic centroid subset as IVF/kmeans
+    coarse = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
+        F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
+    )
+    cell_l2 = F.expr(_L2.format(a="qe", b="ce")).alias("l2c")
+    cell_scored = vecs.join(F.broadcast(coarse)).select(
+        "vec_id", "cell_id", cell_l2
+    )
+    assigned = (
+        cell_scored.groupBy("vec_id")
+        .agg(F.min(F.struct("l2c", "cell_id")).alias("best"))
+        .select("vec_id", F.col("best.cell_id").alias("cell_id"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("l2c", "cell_id")
+    probes = (
+        cell_scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+
+    # PQ codes (same codebook subset + integer sub-L2 as similarity_topk_pq)
+    codes = vecs.filter(F.col("vec_id") % CODES_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
+    )
+    sub_l2 = F.expr(
+        _L2.format(
+            a=f"slice(qe, s * {PQ_SUBD} + 1, {PQ_SUBD})",
+            b=f"slice(ce, s * {PQ_SUBD} + 1, {PQ_SUBD})",
+        )
+    )
+    subspaces = F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("s")
+    sub_scored = (
+        vecs.select("vec_id", "qe", subspaces)
+        .join(F.broadcast(codes))
+        .select("vec_id", "s", "cent_id", sub_l2.alias("subdist"))
+    )
+    enc = (
+        sub_scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("subdist", "cent_id")).alias("best"))
+        .select("vec_id", "s", F.col("best.cent_id").alias("code"))
+    )
+    qtab = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "qe", subspaces)
+        .join(F.broadcast(codes))
+        .select("query_id", "s", "cent_id", sub_l2.alias("qdist"))
+    )
+
+    # ADC over probed cells only
+    cand = (
+        probes.join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qtab2 = qtab.select(
+        F.col("query_id").alias("q2"),
+        F.col("s").alias("s2"),
+        F.col("cent_id").alias("c2"),
+        "qdist",
+    )
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(
+            F.broadcast(qtab2),
+            (F.col("q2") == F.col("query_id"))
+            & (F.col("s2") == F.col("s"))
+            & (F.col("c2") == F.col("code")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("approx_dist"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w_adc))
+        .filter(F.col("rk") <= IVFPQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact cosine rescore of the shortlist
+    raw = vecs.select("vec_id", "qe", nrm.alias("nrm"))
+    queries = (
+        raw.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qe").alias("q_qe"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = "aggregate(zip_with(q_qe, qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    rescored = (
+        shortlist.join(raw, shortlist["neighbor_id"] == raw["vec_id"])
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            ((F.expr(dot) / F.lit(1e8)) / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rnk") <= IVFPQ_TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -38,6 +38,11 @@ ORACLE: dict[str, str] = {}
 # legacy-behavior-sensitive shapes (events_*, scalar_date_*, parser
 # coercion, range frames). Everything not named here is re-verified by the
 # committed full local sweep (CHECK_LOCAL_r05.md).
+# Round-6 window note: rotate in the round-5 additions first
+# (docs_chunk_overlap, docs_tfidf_topterms, scd2_user_value_tiers,
+# merge_upsert_customer_balance — local-sweep-verified only so far), then
+# the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q18/q19/q22,
+# text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- NTZ-fixed this round (13): need post-upgrade driver rows --
     "win_session_gaps",

@@ -121,3 +121,30 @@ def test_embedding_dedup_has_no_nested_loop(spark):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """docs_chunk_overlap is a pure map stage: split/posexplode/slice with
+    no Exchange at all — chunking must not shuffle at any scale."""
+    df = registry.QUERIES["docs_chunk_overlap"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan
+
+
+def test_scd2_reuses_one_user_partitioning(spark):
+    """The SCD2 build's windows, run-grouping, and versioning lead all key
+    on user_id: Catalyst must plan exactly ONE Exchange (formatted explain
+    names each node twice: tree + detail)."""
+    df = registry.QUERIES["scd2_user_value_tiers"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    n_nodes = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_nodes == 1, f"expected 1 Exchange node, plan has {n_nodes}"
+
+
+def test_merge_upsert_is_single_full_outer_join(spark):
+    df = registry.QUERIES["merge_upsert_customer_balance"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan

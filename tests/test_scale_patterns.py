@@ -124,3 +124,48 @@ def test_output_file_count_control(spark, tmp_path):
     src.coalesce(1).write.parquet(one)
     assert len(glob.glob(four + "/part-*")) == 4
     assert len(glob.glob(one + "/part-*")) == 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime row-level filtering: a selective dim-side filter is
+    injected as a bloom filter (`might_contain`) on the fact side of a
+    shuffle join BEFORE the exchange, so non-matching fact rows never
+    shuffle. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~1/5 that can possibly join; it composes
+    with AQE and needs no code change — the test pins that the optimizer
+    still injects it (thresholds lowered because the test tables are tiny;
+    production sizes clear the defaults)."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = formatted_plan(j)
+        assert "might_contain" in plan, "bloom filter not injected"
+        # and the result is identical with the filter in place
+        n_bloom = j.collect()[0]["n"]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+    n_plain = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_bloom == n_plain
