@@ -299,3 +299,99 @@ def merge_upsert_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("updated"))
         .alias("action"),
     )
+
+
+# --- CDC latest-state compaction --------------------------------------------
+
+@query(
+    "events_cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, value AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: reduce the change log to the LATEST row per key
+    (newest ts, event_id as the deterministic intra-timestamp sequencer) —
+    the materialize-current-state half of every CDC pipeline, and the
+    companion to the SCD2 history build above.
+
+    Scale shape: one shuffle on user_id + a per-key top-1. Spark plans
+    ROW_NUMBER()=1 with a rank-limit pushdown (WindowGroupLimit): each map
+    task keeps only its per-key newest row BEFORE the exchange, so the
+    shuffle carries ~|keys| rows, not |log| rows — the same effect as the
+    log-compaction combiner in a streaming system. At 100 TB the log is
+    additionally partitioned by arrival date and the compaction reads only
+    partitions newer than the last checkpoint, merging onto the prior
+    compacted state with merge_upsert semantics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+# --- streaming corpus gate ---------------------------------------------------
+
+@query(
+    "stream_docs_quality_gate",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN LEN(string_split(text, ' ')) < 10 THEN 'too_few_words'
+             WHEN LENGTH(text) < 180 THEN 'too_short'
+             WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 'non_target_lang'
+             ELSE 'keep'
+           END AS decision
+    FROM documents
+    """,
+)
+def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality gate run as a STREAM: documents arrive as files
+    (readStream over the parquet directory), each micro-batch classifies
+    rows with the same pure-projection rules as the batch gate, and kept
+    rows flow onward — the continuous-ingestion shape of an LLM data
+    pipeline (new crawl shards land, the gate never stops).
+
+    Row-level projection streams in append mode with no watermark, no
+    state, and no shuffle — each micro-batch is a map-only job, so
+    backpressure is purely source-rate-bound (``maxFilesPerTrigger`` is the
+    production knob). Differential-checked against the batch SQL on the
+    same files — the unified-API guarantee that the stream computes exactly
+    the batch answer.
+    """
+    from oe_batch_processing_spark.streaming.event_windows import (
+        run_available_now,
+    )
+    from oe_batch_processing_spark.tables import table_path
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "documents")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = stream.select(
+        "doc_id",
+        F.when(F.size(F.split("text", " ")) < 10, F.lit("too_few_words"))
+        .when(F.length("text") < 180, F.lit("too_short"))
+        .when(~F.col("lang").isin("en", "de", "es", "fr"), F.lit("non_target_lang"))
+        .otherwise(F.lit("keep"))
+        .alias("decision"),
+    )
+    return run_available_now(gated, "append")

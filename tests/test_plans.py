@@ -148,3 +148,11 @@ def test_merge_upsert_is_single_full_outer_join(spark):
     df = registry.QUERIES["merge_upsert_customer_balance"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "FullOuter" in plan
+
+
+def test_cdc_latest_state_uses_window_group_limit(spark):
+    """ROW_NUMBER()=1 compaction must get the rank-limit pushdown
+    (WindowGroupLimit): per-key top-1 filtering BEFORE the exchange, so the
+    shuffle carries ~|keys| rows instead of the whole log."""
+    df = registry.QUERIES["events_cdc_latest_state"](spark, SF_DIR)
+    assert "WindowGroupLimit" in formatted_plan(df)
