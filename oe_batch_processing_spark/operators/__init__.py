@@ -7,6 +7,7 @@ Modules register named queries (and DuckDB oracles) into
 from oe_batch_processing_spark.operators import (  # noqa: F401
     dedup,
     fuzzy,
+    graph,
     ingest_queries,
     llmops,
     llmops2,
