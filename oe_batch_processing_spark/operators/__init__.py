@@ -18,6 +18,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational3,
     sessions,
     similarity,
+    sketches,
     similarity2,
     skew,
     textops,

@@ -1,0 +1,88 @@
+"""Mergeable-sketch operators (Apache DataSketches, built into Spark 3.5+/4.x).
+
+Why sketches are a first-class 100 TB capability: a sketch computed once per
+partition / per day / per segment can be UNIONED later into any rollup
+without touching raw data again — the re-aggregatable distinct-count shape
+that exact COUNT(DISTINCT) fundamentally lacks (it must re-shuffle raw keys
+for every new grouping). Theta sketches additionally support set ALGEBRA
+(intersection / difference) between segments, answering "how many distinct
+users did BOTH X and Y" from two pre-computed summaries.
+
+Estimates are approximate by nature, so these queries are rows-only for the
+driver; their accuracy is pinned by `tests/test_sketches.py` against exact
+distinct counts (default lgConfigK=12 => ~1.6% standard error for HLL;
+theta similar at default lgNomEntries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+
+@query("sketch_hll_user_rollup")  # estimates => rows-only (accuracy pytest'd)
+def sketch_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup: one HLL sketch per event_type, plus
+    an ALL row built by UNIONING the per-type sketches — never re-reading
+    events. This is the production telemetry shape: sketch at ingest
+    granularity (hour/partition/segment), answer every coarser rollup later
+    by union — each union is O(sketch size), not O(data).
+
+    Plan: one shuffle to build per-type sketches (partial sketch merge is
+    map-side — sketches combine associatively), then a single-row union of
+    the handful of per-type sketch blobs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("distinct_users_est"),
+    )
+    overall = per_type.agg(
+        F.hll_union_agg("sk").alias("u")
+    ).select(
+        F.lit("ALL").alias("scope"),
+        F.hll_sketch_estimate("u").alias("distinct_users_est"),
+    )
+    return typed.unionAll(overall).orderBy("scope")
+
+
+@query("sketch_theta_segment_overlap")  # estimates => rows-only
+def sketch_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra between behavioral segments: from ONE
+    sketch per event_type, estimate for every type pair the distinct-user
+    INTERSECTION (users who did both) and DIFFERENCE (users who did A but
+    never B) — questions exact distinct counts can only answer with a
+    re-shuffle of raw user ids per pair, but sketches answer from the
+    pre-computed per-segment summaries in O(pairs x sketch size) on the
+    driver-side-sized result.
+
+    Plan: one shuffle builds the per-type sketches; the pair matrix is a
+    broadcast self-join of a <10-row frame — no second pass over events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("overlap_est"),
+        F.theta_sketch_estimate(
+            F.theta_difference("sk_a", "sk_b")
+        ).alias("only_a_est"),
+    ).orderBy("type_a", "type_b")
