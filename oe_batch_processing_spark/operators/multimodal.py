@@ -301,3 +301,187 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_frame(docs).select("media_id", "payload").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+# --- real codec-free decode: raw PCM audio -----------------------------------
+
+_PCM_ORACLE = """
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS bytes,
+             n_bytes // 2 AS n_samples
+      FROM h
+    ),
+    s AS (
+      SELECT media_id, n_samples,
+             [ CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               FOR v IN [bytes[2*i+1] + 256 * bytes[2*i+2]
+                         FOR i IN range(n_samples)]] AS smp
+      FROM b
+    )
+    SELECT media_id,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(LIST_SUM([x * x FOR x IN smp]) AS BIGINT) AS energy,
+           CAST(COALESCE(LIST_MAX([ABS(x) FOR x IN smp]), 0) AS INTEGER)
+             AS peak_abs,
+           CAST(COALESCE(LIST_SUM([
+             CASE WHEN (smp[i] < 0) <> (smp[i+1] < 0) THEN 1 ELSE 0 END
+             FOR i IN range(1, n_samples)]), 0) AS INTEGER) AS zero_crossings
+    FROM s
+"""
+
+
+PCM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("energy", LongType(), False),
+        StructField("peak_abs", IntegerType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+    ]
+)
+
+
+@query("multimodal_audio_pcm_features", oracle=_PCM_ORACLE)
+def multimodal_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no codec library required: raw PCM is a
+    codec-free format, so the audio-typed payloads are interpreted as
+    16-bit little-endian samples and actual DSP features come out — total
+    energy (sum of squares), peak amplitude, and zero-crossing count (the
+    classic voice-activity trio). Unlike the declared image/video stubs
+    (compressed formats genuinely need external codecs), this path is a
+    full decode→feature pipeline running end to end in this container.
+
+    Implementation is a VECTORIZED pandas/numpy mapInPandas —
+    ``np.frombuffer`` reinterprets each Arrow binary zero-copy, the feature
+    math is numpy reductions (no per-sample Python) — and the whole
+    relation is still hash-checked: DuckDB rebuilds every int16 sample from
+    hex nibbles and computes the same integer features. Zero shuffles;
+    executor memory bounded by Arrow batch size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    audio = media_frame(docs).filter(F.col("media_type") == "audio")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n = len(b) // 2
+                smp = np.frombuffer(b[: 2 * n], dtype="<i2").astype(np.int64)
+                neg = smp < 0
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_samples": n,
+                        "energy": int((smp * smp).sum()),
+                        "peak_abs": int(np.abs(smp).max()) if n else 0,
+                        "zero_crossings": int((neg[1:] != neg[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return audio.select("media_id", "payload").mapInPandas(run, schema=PCM_SCHEMA)
+
+
+# --- real codec-free decode: raw grayscale raster ----------------------------
+
+RASTER_W = 32  # raw 8-bit grayscale row width
+
+_RASTER_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS px,
+             (n_bytes // {RASTER_W}) * {RASTER_W} AS npx
+      FROM h
+    )
+    SELECT media_id,
+           CAST(npx // {RASTER_W} AS INTEGER) AS n_rows,
+           CAST(CASE WHEN npx > 0
+                     THEN LIST_SUM(px[1:npx]) // npx ELSE 0 END AS INTEGER)
+             AS mean_lum,
+           CAST(COALESCE(LIST_SUM([
+             CASE WHEN i % {RASTER_W} <> 0 THEN ABS(px[i+1] - px[i]) ELSE 0 END
+             FOR i IN range(1, npx)]), 0) AS BIGINT) AS hgrad,
+           CAST(COALESCE(LIST_SUM([
+             ABS(px[i + {RASTER_W} + 1] - px[i + 1])
+             FOR i IN range(npx - {RASTER_W})]), 0) AS BIGINT) AS vgrad
+    FROM b
+"""
+
+
+RASTER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_rows", IntegerType(), False),
+        StructField("mean_lum", IntegerType(), False),
+        StructField("hgrad", LongType(), False),
+        StructField("vgrad", LongType(), False),
+    ]
+)
+
+
+@query("multimodal_raster_gradients", oracle=_RASTER_ORACLE)
+def multimodal_raster_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode for the codec-free raster case: the image-typed
+    payloads are interpreted as raw 8-bit grayscale rows of width
+    {RASTER_W} (the PGM/raw-raster model — no compression, no codec
+    needed), and actual image statistics come out: mean luminance plus
+    horizontal/vertical gradient energy (the edge-detector primitives, and
+    the standard blur/quality heuristics for image-corpus filtering).
+
+    numpy path: zero-copy ``np.frombuffer`` → reshape(rows, {RASTER_W}) →
+    vectorized `np.abs(np.diff(...))` along each axis. Fully hash-checked —
+    DuckDB rebuilds every pixel from hex nibbles and computes identical
+    integer sums. Compressed formats (JPEG/PNG/H.264) remain declared stubs;
+    this shows the identical pipeline on the format class that needs none.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = media_frame(docs).filter(F.col("media_type") == "image")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n_rows = len(b) // RASTER_W
+                npx = n_rows * RASTER_W
+                a = (
+                    np.frombuffer(b[:npx], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n_rows, RASTER_W)
+                    if npx
+                    else np.zeros((0, RASTER_W), dtype=np.int64)
+                )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_rows": n_rows,
+                        "mean_lum": int(a.sum() // npx) if npx else 0,
+                        "hgrad": int(np.abs(np.diff(a, axis=1)).sum()),
+                        "vgrad": int(np.abs(np.diff(a, axis=0)).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return imgs.select("media_id", "payload").mapInPandas(run, schema=RASTER_SCHEMA)
