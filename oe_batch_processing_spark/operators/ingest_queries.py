@@ -134,3 +134,48 @@ def json_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("rec", "id BIGINT, kind STRING, cents BIGINT").alias("p")
     )
     return parsed.select("p.id", "p.kind", "p.cents")
+
+
+@query(
+    "xml_parse_roundtrip",
+    oracle="""
+    WITH lines AS (
+      SELECT '<rec><id>' || CAST(event_id AS VARCHAR)
+             || '</id><kind>' || event_type
+             || '</kind><cents>'
+             || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             || '</cents></rec>' AS rec
+      FROM events
+    )
+    SELECT CAST(regexp_extract(rec, '<id>(-?[0-9]+)</id>', 1) AS BIGINT) AS id,
+           regexp_extract(rec, '<kind>([^<]*)</kind>', 1) AS kind,
+           CAST(regexp_extract(rec, '<cents>(-?[0-9]+)</cents>', 1) AS BIGINT)
+             AS cents
+    FROM lines
+    """,
+)
+def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML native parse via ``from_xml`` (built into Spark 4 — the fourth
+    line-oriented source format next to CSV/FW/JSON): format event rows as
+    XML records, parse back typed with a declared schema. The DuckDB oracle
+    independently re-parses the same synthesized records with regexes, so
+    the serialize→parse round trip is hash-verified end to end. The
+    file-based path is ``spark.read.format('xml').option('rowTag', ...)``
+    (same PERMISSIVE corrupt-record semantics as CSV/JSON).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("<rec><id>"),
+            F.col("event_id").cast("string"),
+            F.lit("</id><kind>"),
+            F.col("event_type"),
+            F.lit("</kind><cents>"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("</cents></rec>"),
+        ).alias("rec")
+    )
+    parsed = lines.select(
+        F.from_xml("rec", "id BIGINT, kind STRING, cents BIGINT").alias("p")
+    )
+    return parsed.select("p.id", "p.kind", "p.cents")

@@ -471,3 +471,49 @@ def join_bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "scalar_variant_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+           CAST(json_extract('{"a": {"b": [' || CAST(event_id AS VARCHAR)
+                || ', ' || CAST(event_id * 3 AS VARCHAR) || ']}}',
+                '$.a.b[1]') AS BIGINT) AS nested_pick
+    FROM events
+    """,
+)
+def scalar_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: ``parse_json``
+    turns the props JSON into an open-schema VARIANT once, and
+    ``variant_get`` extracts typed values by path — including a nested
+    array path over a synthesized document. VARIANT is the schema-on-read
+    answer for event properties that drift across producers: the binary
+    encoding is columnar-shredding-friendly and path access is evaluated
+    JVM-side (no regex, no per-row Python), unlike string json_extract
+    which re-parses the text per call.
+
+    Differential note: the oracle reads the same paths with DuckDB's JSON
+    functions — VARIANT vs JSON-text engines agree on the extracted typed
+    values, which is exactly the portability contract a user migrating
+    props pipelines needs.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested = F.parse_json(
+        F.concat(
+            F.lit('{"a": {"b": ['),
+            F.col("event_id").cast("string"),
+            F.lit(", "),
+            (F.col("event_id") * 3).cast("string"),
+            F.lit("]}}"),
+        )
+    )
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        (F.variant_get(v, "$.k", "bigint") * 2).alias("k_doubled"),
+        F.variant_get(nested, "$.a.b[1]", "bigint").alias("nested_pick"),
+    )
