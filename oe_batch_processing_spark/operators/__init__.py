@@ -16,12 +16,14 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     sessions,
     similarity,
     sketches,
     similarity2,
     skew,
     textops,
+    timeseries,
     tpch_like,
     tpch_like2,
     udaf,

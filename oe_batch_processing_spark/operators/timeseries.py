@@ -1,0 +1,194 @@
+"""Time-series operators: forward-fill gap repair and windowed EWMA.
+
+The reference's pipelines stop at record parsing (lib/batchProcessing.js is
+a row-at-a-time ETL loop); these are the time-series shapes a telemetry /
+training-data pipeline layers on top once events are tabular. Both are pure
+JVM column expressions (no Python UDFs).
+
+Scale notes (SCALE.md has the full argument):
+  - ``events_gap_fill_locf`` windows over the *dense grid*, not the raw
+    events — the grid is O(time-span / bucket) rows (105k/year at 5-min
+    buckets), thousands of times smaller than the 100 TB event set, so the
+    single-partition ordered window over it is deliberate and bounded. The
+    per-bucket aggregation that feeds it is a normal hash-partitioned
+    groupBy over events. For per-series fill (millions of series), the same
+    expressions run under ``Window.partitionBy("series")`` unchanged.
+  - ``events_ewma_user`` is a bounded ROWS window (18 rows) partitioned by
+    user — state per task is constant; skewed users are split by AQE. The
+    binary decay (alpha = 1/2, 18 terms) keeps every weight a power of two,
+    so weighted terms are exact double scalings and the decimal-sum
+    convention (registry.dsum) gives bit-identical cross-engine results —
+    the same trick that makes the money sums exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+_BUCKET_S = 300  # 5-minute buckets
+
+# EWMA contract: alpha = 1/2, truncated at 18 terms (adjust=True form:
+# weights renormalized over the terms present). Weight of the k-th most
+# recent term is 2^(17-k); terms older than 18 steps would carry relative
+# weight < 2^-17 ~ 8e-6 and are dropped — identically in both engines,
+# because the formula (not floating-point luck) defines the cutoff.
+_EWMA_TERMS = 18
+_EWMA_TOP = _EWMA_TERMS - 1  # exponent of the newest term
+
+
+@query(
+    "events_gap_fill_locf",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(MIN(epoch(ts)) / {_BUCKET_S}) AS BIGINT) AS b0,
+             CAST(floor(MAX(epoch(ts)) / {_BUCKET_S}) AS BIGINT) AS b1
+      FROM events
+    ),
+    grid AS (
+      SELECT b0 + i AS bucket FROM bounds, UNNEST(range(b1 - b0 + 1)) AS t(i)
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS avg_value
+      FROM events GROUP BY 1
+    ),
+    joined AS (
+      SELECT grid.bucket, COALESCE(n, 0) AS n_events, avg_value,
+             COUNT(avg_value) OVER (ORDER BY grid.bucket) AS fill_grp
+      FROM grid LEFT JOIN agg ON grid.bucket = agg.bucket
+    )
+    SELECT strftime(make_timestamp(bucket * {_BUCKET_S} * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           n_events,
+           MAX(avg_value) OVER (PARTITION BY fill_grp) AS filled_avg,
+           CAST(n_events = 0 AS BOOLEAN) AS is_filled
+    FROM joined
+    """,
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair by last-observation-carried-forward: densify event time
+    to a 5-minute grid (sequence+explode — no driver loop), then carry the
+    last seen bucket-average across empty buckets. The fill uses the
+    non-null running count as a group id and a per-group MAX — the
+    formulation that needs no IGNORE NULLS support and plans as two Window
+    ops sharing one sort. ``is_filled`` marks carried rows so downstream
+    models can weight them.
+
+    Distinct from ``events_resample_5min`` (zero-fill counts): LOCF repairs
+    a *level* signal, zero-fill repairs a *rate* signal.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / F.lit(_BUCKET_S * 1_000_000)).alias(
+        "bucket"
+    )
+    bounds = e.select(bucket).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket")
+    )
+    agg = (
+        e.select(bucket, "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+    )
+    w_run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    joined = (
+        grid.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            "avg_value",
+        )
+        .withColumn("fill_grp", F.count("avg_value").over(w_run))
+    )
+    w_grp = Window.partitionBy("fill_grp")
+    return joined.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("bucket") * _BUCKET_S),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket_ts"),
+        "n_events",
+        F.max("avg_value").over(w_grp).alias("filled_avg"),
+        (F.col("n_events") == 0).alias("is_filled"),
+    )
+
+
+@query(
+    "events_ewma_user",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_id, a.value,
+             CAST(b.value * POW(2, {_EWMA_TOP} - (a.rn - b.rn))
+                  AS DECIMAL(18,6)) AS term,
+             CAST(POW(2, {_EWMA_TOP} - (a.rn - b.rn)) AS DECIMAL(18,6)) AS wt
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id
+       AND b.rn BETWEEN a.rn - {_EWMA_TOP} AND a.rn
+    )
+    SELECT user_id, event_id, value,
+           CAST(SUM(term) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS ewma
+    FROM pairs
+    GROUP BY user_id, event_id, value
+    """,
+)
+def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (alpha = 1/2, 18-term truncated, adjust=True renormalization — the
+    pandas ``ewm(alpha=.5, adjust=True)`` form, truncated where weights
+    fall below 2^-17).
+
+    Implementation: one bounded ROWS window collects the last 18 values in
+    order; a higher-order ``transform`` assigns each the power-of-two
+    weight 2^(17 - age) and an ``aggregate`` folds the decimal sum — all
+    JVM expressions, no shuffle beyond the one hash partition on user_id.
+    Powers of two make every weighted term an exact double scaling, so the
+    decimal casts agree bit-for-bit with the oracle's self-join form.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_EWMA_TOP, 0)
+    )
+    arr = F.collect_list("value").over(w)  # oldest -> current, <= 18 values
+    witharr = e.select("user_id", "event_id", "value", arr.alias("arr"))
+    # age of element i (0-based, oldest first) = size - 1 - i; weight
+    # exponent = TOP - age, matching the oracle's TOP - (a.rn - b.rn).
+    sz = F.size("arr")
+    exp_of = lambda i: F.lit(_EWMA_TOP) - (sz - 1 - i)  # noqa: E731
+    dec = "decimal(18,6)"
+    terms = F.transform(
+        "arr", lambda x, i: (x * F.pow(F.lit(2.0), exp_of(i))).cast(dec)
+    )
+    wts = F.transform(
+        "arr", lambda x, i: F.pow(F.lit(2.0), exp_of(i)).cast(dec)
+    )
+    zero = F.lit(0).cast(dec)
+    # decimal + widens to (19,6); cast back so the fold keeps the
+    # accumulator type (values stay ~1e10, far under the (18,6) bound).
+    add = lambda acc, x: (acc + x).cast(dec)  # noqa: E731
+    num = F.aggregate(terms, zero, add).cast("double")
+    den = F.aggregate(wts, zero, add).cast("double")
+    return witharr.select(
+        "user_id", "event_id", "value", (num / den).alias("ewma")
+    )
