@@ -179,3 +179,46 @@ def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_xml("rec", "id BIGINT, kind STRING, cents BIGINT").alias("p")
     )
     return parsed.select("p.id", "p.kind", "p.cents")
+
+
+@query(
+    "pyds_synthetic_events",
+    oracle=f"""
+    WITH gen AS (
+      SELECT i AS id, (i * 48271) % 2147483647 AS amount
+      FROM (SELECT UNNEST(range(20000)) AS i)
+    )
+    SELECT CASE amount % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                           ELSE 'gamma' END AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(amount) AS BIGINT) AS total_amount,
+           MIN(id) AS min_id,
+           MAX(id) AS max_id
+    FROM gen
+    GROUP BY 1
+    """,
+)
+def pyds_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the registered Python DataSource connector
+    (sources/py_datasource.py — Spark 4's user-defined-source API, the
+    Spark-native form of the reference's custom parser/source hook,
+    lib/batchProcessing.js:130-200) and aggregate. The connector's
+    deterministic LCG lets the DuckDB oracle regenerate the exact same
+    rows, so a *custom connector* gets a full value-hash correctness row,
+    not just a smoke test. 16 input partitions -> 16 parallel read tasks.
+    """
+    from oe_batch_processing_spark.sources import py_datasource
+
+    py_datasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 20000)
+        .option("partitions", 16)
+        .load()
+    )
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").alias("total_amount"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -89,3 +89,52 @@ def agg_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_partial").alias("n_events"),
         F.sum("v_partial").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "join_salted_orders_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted_orders_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted JOIN (the agg twin is ``agg_salted_user_totals``): the
+    fact side's hot keys are spread over 8 salts keyed off the unique
+    o_orderkey, the dimension side is exploded across all 8, and the join
+    runs on (custkey, salt) — so a single viral customer's orders land on
+    8 tasks instead of 1. The oracle is the plain unsalted join: salting
+    must be a pure physical rewrite with zero semantic drift, and the
+    value-hash check enforces exactly that. Post-join aggregation reuses
+    the decimal-sum convention so totals are order-independent.
+
+    At 100 TB this is the fallback when AQE's skew split can't help —
+    e.g. a hot key inside a single unsplittable shuffle block; the 8x
+    dimension replication is bounded by the dimension's size. A merge-join
+    hint pins the shuffle path at test SF (the dim is broadcast-small
+    there, which would otherwise bypass the salt being demonstrated).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # The SMJ hint forces the shuffle path (the dim is broadcast-small at
+    # test SF, which would silently bypass the salt being demonstrated).
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .hint("merge")
+    )
+    joined = salted_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        customer,
+        "o_custkey",
+        "c_custkey",
+        n_salts=8,
+        salt_source="o_orderkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
