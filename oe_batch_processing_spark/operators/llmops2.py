@@ -395,3 +395,98 @@ def stream_docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decision"),
     )
     return run_available_now(gated, "append")
+
+
+@query(
+    "text_repetition_ratios",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+      FROM w
+    ),
+    big AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    cnt AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM big GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY 1
+    )
+    SELECT s.doc_id, n_words, n_distinct,
+           CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+           top_bigram_n, n_bigrams,
+           CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CASE WHEN CAST(top_bigram_n AS DOUBLE) / n_bigrams > 0.2
+                  OR CAST(n_words - n_distinct AS DOUBLE) / n_words > 0.6
+                THEN 'repetitive' ELSE 'keep' END AS decision
+    FROM stats s JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher/MassiveText heuristics
+    (``text_gopher_quality`` has the word-form half): duplicate-word
+    fraction and most-frequent-bigram coverage, with the published
+    flag-if-repetitive decision. Boilerplate and keyboard-mash documents
+    score high on exactly these two ratios.
+
+    Shape: the bigram mode per doc is computed relationally (posexplode ->
+    per-(doc,bigram) count -> per-doc max) — one shuffle keyed on doc_id,
+    map-side combined, instead of building per-row hash maps in Python.
+    Every ratio is a single division of two exact integers, so both
+    engines agree bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    stats = docs.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    dup_frac = (
+        (F.col("n_words") - F.col("n_distinct")).cast("double")
+        / F.col("n_words")
+    )
+    top_frac = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            dup_frac.alias("dup_word_frac"),
+            "top_bigram_n",
+            "n_bigrams",
+            top_frac.alias("top_bigram_frac"),
+            F.when(
+                (top_frac > 0.2) | (dup_frac > 0.6), "repetitive"
+            )
+            .otherwise("keep")
+            .alias("decision"),
+        )
+    )

@@ -485,3 +485,119 @@ def multimodal_raster_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return imgs.select("media_id", "payload").mapInPandas(run, schema=RASTER_SCHEMA)
+
+
+# --- real codec-free compression: RLE encode -> decode round trip -----------
+
+RLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_raw", IntegerType(), False),
+        StructField("n_runs", IntegerType(), False),
+        StructField("n_compressed", IntegerType(), False),
+        StructField("mean_byte", IntegerType(), False),
+        StructField("decoded_md5", StringType(), False),
+    ]
+)
+
+_RLE_ORACLE = """
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_raw,
+             md5(text) AS raw_md5
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, n_raw, raw_md5,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_raw)] AS px
+      FROM h
+    )
+    SELECT media_id,
+           CAST(n_raw AS INTEGER) AS n_raw,
+           CAST(COALESCE(LIST_SUM([
+             CASE WHEN i = 1 OR px[i] <> px[i - 1] THEN 1 ELSE 0 END
+             FOR i IN range(1, n_raw + 1)]), 0) AS INTEGER) AS n_runs,
+           CAST(2 * COALESCE(LIST_SUM([
+             CASE WHEN i = 1 OR px[i] <> px[i - 1] THEN 1 ELSE 0 END
+             FOR i IN range(1, n_raw + 1)]), 0) AS INTEGER) AS n_compressed,
+           CAST(CASE WHEN n_raw > 0 THEN LIST_SUM(px) // n_raw
+                     ELSE 0 END AS INTEGER) AS mean_byte,
+           raw_md5 AS decoded_md5
+    FROM b
+"""
+
+
+def rle_encode(b: "bytes") -> tuple:
+    """Byte-wise RLE: (counts uint8-capped at 255, values). Vectorized —
+    run boundaries via diff, over-long runs split without a Python loop."""
+    import numpy as np
+
+    arr = np.frombuffer(b, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint8)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(arr)) + 1))
+    lens = np.diff(np.concatenate((starts, [arr.size])))
+    vals = arr[starts]
+    q, r = np.divmod(lens, 255)
+    n_chunks = q + (r > 0)
+    out_vals = np.repeat(vals, n_chunks)
+    counts = np.full(int(n_chunks.sum()), 255, dtype=np.int64)
+    ends = np.cumsum(n_chunks) - 1
+    has_rem = r > 0
+    counts[ends[has_rem]] = r[has_rem]
+    return counts, out_vals
+
+
+def rle_decode(counts, vals) -> "bytes":
+    import numpy as np
+
+    return np.repeat(vals, counts).tobytes()
+
+
+@query("multimodal_rle_roundtrip", oracle=_RLE_ORACLE)
+def multimodal_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compression codec, no external library: byte-wise run-length
+    encode each payload, decode it back, and prove the round trip — the
+    ``decoded_md5`` column is the md5 of the DECODED stream, which the
+    oracle computes from the ORIGINAL bytes, so any encoder/decoder defect
+    hash-mismatches the whole relation. ``n_runs``/``n_compressed`` are
+    independently recomputed by the oracle from run boundaries.
+
+    Same scale shape as the other decodes: vectorized numpy over Arrow
+    batches (run boundaries via ``np.diff``, expansion via ``np.repeat``),
+    zero shuffles, memory bounded by batch size. The 255-cap run splitting
+    is exercised by property tests (tests/test_ingestion.py) since natural
+    text never produces such runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_frame(docs)
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                counts, vals = rle_encode(b)
+                decoded = rle_decode(counts, vals)
+                assert decoded == b  # codec invariant, cheap on test data
+                arr = np.frombuffer(decoded, dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_raw": len(b),
+                        "n_runs": int(counts.size),
+                        "n_compressed": int(2 * counts.size),
+                        "mean_byte": int(arr.sum() // arr.size) if arr.size else 0,
+                        "decoded_md5": hashlib.md5(decoded).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=RLE_SCHEMA)

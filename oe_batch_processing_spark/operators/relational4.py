@@ -139,3 +139,48 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek(d) - 1).alias("dow_sun0"),
         F.date_format(F.date_add(d, 45), fmt).alias("plus_45d"),
     )
+
+
+@query(
+    "recursive_cte_custkey_tree",
+    oracle="""
+    WITH RECURSIVE tree AS (
+      SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey <= 1
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM customer c JOIN tree t ON c.c_custkey // 2 = t.c_custkey
+      WHERE c.c_custkey >= 2
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM tree GROUP BY depth
+    """,
+)
+def recursive_cte_custkey_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): iterate an implicit binary-tree
+    hierarchy over custkeys (parent = key div 2) from the roots down,
+    computing each node's depth — the classic org-chart / BOM traversal
+    users previously had to hand-loop on the driver. The engine now runs
+    the fixed point itself; per level it is one equi-join against the
+    accumulated frontier, so each iteration is a normal shuffled join at
+    scale (log2(N) iterations total here).
+
+    Spark-vs-DuckDB: both run the same ANSI WITH RECURSIVE text modulo
+    integer-division spelling (``div`` vs ``//``) — a full value-hash
+    agreement on an iterative computation.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey <= 1
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer c JOIN tree t ON c.c_custkey div 2 = t.c_custkey
+          WHERE c.c_custkey >= 2
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM tree GROUP BY depth
+        """
+    )

@@ -358,3 +358,32 @@ def test_multimodal_frame_sample_covers_payload(spark, sf_dir):
     for r in rows:
         assert r["frame_idx"] % FRAME_STRIDE == 0
         assert 1 <= r["frame_len"] <= FRAME_BYTES
+
+
+def test_rle_codec_roundtrip_properties():
+    """RLE encode/decode inverse — including >255-byte runs (the cap split
+    the parquet corpus never exercises) and empty/degenerate payloads."""
+    import numpy as np
+
+    from oe_batch_processing_spark.operators.multimodal import (
+        rle_decode,
+        rle_encode,
+    )
+
+    cases = [
+        b"",
+        b"\x00",
+        b"a" * 1000,               # single run split into 255+255+255+235
+        b"ab" * 300,               # alternating, no compression
+        bytes(range(256)) * 3,
+        b"x" * 255 + b"y" + b"x" * 510,  # runs exactly at the cap
+        np.random.RandomState(7).bytes(4096),
+    ]
+    for b in cases:
+        counts, vals = rle_encode(b)
+        assert rle_decode(counts, vals) == b
+        assert counts.size == vals.size
+        assert (counts > 0).all() and (counts <= 255).all()
+        # adjacent equal values only at cap boundaries (count == 255)
+        same = vals[1:] == vals[:-1]
+        assert (counts[:-1][same] == 255).all()
