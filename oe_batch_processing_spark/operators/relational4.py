@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oe_batch_processing_spark.registry import query
 from oe_batch_processing_spark.tables import load_table, register_views
@@ -183,4 +184,203 @@ def recursive_cte_custkey_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
         FROM tree GROUP BY depth
         """
+    )
+
+
+@query(
+    "stats_corr_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity * 1e-2 AS DECIMAL(18,8))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(l_extendedprice * 1e-5 AS DECIMAL(18,8)))
+                  AS DOUBLE) AS sy,
+             CAST(SUM(CAST((l_quantity * 1e-2) * (l_quantity * 1e-2)
+                  AS DECIMAL(20,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST((l_extendedprice * 1e-5) * (l_extendedprice * 1e-5)
+                  AS DECIMAL(20,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST((l_quantity * 1e-2) * (l_extendedprice * 1e-5)
+                  AS DECIMAL(20,10))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ((sxy - sx * sy / n) / n) * 1e7 AS covar_pop,
+           ((sxy - sx * sy / n) / (n - 1)) * 1e7 AS covar_samp,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e3 AS regr_slope,
+           ((sy / n) * 1e5)
+             - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e3 * ((sx / n) * 1e2)
+             AS regr_intercept
+    FROM m
+    """,
+)
+def stats_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / OLS regression per return flag, computed
+    from EXACT decimal co-moments rather than the built-in ``corr``/
+    ``covar_samp``/``regr_*`` (whose float accumulation order differs
+    between engines — same statistics, last-ULP drift). Measures are
+    pre-scaled (1e-2 / 1e-5) so sums and squared terms stay far below the
+    2^53 decimal->double exactness bound — the ``stats_exact_moments``
+    convention extended to co-moments; correlation is scale-invariant so
+    it needs no rescale, covariance/slope/intercept rescale with identical
+    double multiplications in both engines.
+
+    One map-side-combined groupBy — the five co-moments ride in the same
+    partial aggregate, so this costs exactly one shuffle of 6 numbers per
+    group at any data size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") * 1e-2
+    y = F.col("l_extendedprice") * 1e-5
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(18,8)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,8)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(20,10)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(20,10)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(20,10)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope_scaled = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        (((sxy - sx * sy / n) / n) * 1e7).alias("covar_pop"),
+        (((sxy - sx * sy / n) / (n - 1)) * 1e7).alias("covar_samp"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        (slope_scaled * 1e3).alias("regr_slope"),
+        (
+            ((sy / n) * 1e5) - slope_scaled * 1e3 * ((sx / n) * 1e2)
+        ).alias("regr_intercept"),
+    )
+
+
+@query(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer WHERE c_nationkey < 15 GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier WHERE s_nationkey >= 10 GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           CASE WHEN c.nationkey IS NULL THEN 'suppliers_only'
+                WHEN s.nationkey IS NULL THEN 'customers_only'
+                ELSE 'both' END AS presence
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the join type the suite didn't yet pin down
+    (inner/left/semi/anti/range/theta/asof/fuzzy are covered elsewhere):
+    per-nation customer vs supplier counts, keeping nations present on
+    either side only, with the null-coalescing bookkeeping full outer
+    requires. Shuffle-on-key both sides; at scale this is the standard
+    reconciliation shape (two aggregates full-outer-joined to diff them).
+    """
+    # Each side keeps a different nation range (overlap 10-14) so all
+    # three presence cases genuinely occur at every test SF.
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    c, s = cust.alias("c"), supp.alias("s")
+    return c.join(
+        s, F.col("c.nationkey") == F.col("s.nationkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.when(F.col("c.nationkey").isNull(), "suppliers_only")
+        .when(F.col("s.nationkey").isNull(), "customers_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+@query(
+    "win_rolling_distinct_users",
+    oracle="""
+    WITH hourly AS (
+      SELECT DISTINCT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             user_id
+      FROM events
+    ),
+    win AS (
+      SELECT event_type, hour_bucket,
+             COUNT(*) OVER (PARTITION BY event_type, hour_bucket)
+               AS n_users_this_hour,
+             COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY hour_bucket
+               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW
+             ) AS n_users_24h
+      FROM hourly
+    )
+    SELECT DISTINCT event_type, hour_bucket,
+           CAST(n_users_this_hour AS BIGINT) AS n_users_this_hour,
+           CAST(n_users_24h AS BIGINT) AS n_users_24h
+    FROM win
+    """,
+)
+def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count — the window shape Spark has no native
+    aggregate for: distinct users per (event_type, hour) plus distinct
+    users over the trailing 24 hours. Spark side builds it from
+    ``collect_set`` over a RANGE frame of hour buckets, then takes
+    ``array_distinct``+``flatten`` sizes — set semantics in JVM expressions,
+    no Python. The oracle uses DuckDB's native COUNT(DISTINCT) OVER RANGE.
+
+    Scale: state per window position is the distinct-user set of 24 hourly
+    groups — bounded by true cardinality, and the heavy dedup happened in
+    the hourly pre-aggregation, which is an ordinary map-side-combined
+    groupBy. (The exact-sets approach is for when correctness is the gate;
+    the HLL-sketch rollup twin in sketches.py is the approximate path.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias(
+                "hour_bucket"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rangeBetween(-23, 0)
+    )
+    return hourly.select(
+        "event_type",
+        "hour_bucket",
+        F.size("users").cast("long").alias("n_users_this_hour"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("users").over(w)))
+        )
+        .cast("long")
+        .alias("n_users_24h"),
     )
