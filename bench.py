@@ -62,6 +62,13 @@ HEADLINE = [
     "user_value_trend_native",
     "stream_tumbling_counts",
     "fw_parse_roundtrip",
+    # round-5 additions (time-series, iterative SQL, repetition, codec):
+    "events_ewma_user",
+    "events_gap_fill_locf",
+    "win_rolling_distinct_users",
+    "recursive_cte_custkey_tree",
+    "text_repetition_ratios",
+    "multimodal_rle_roundtrip",
 ]
 
 

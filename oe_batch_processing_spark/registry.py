@@ -38,10 +38,20 @@ ORACLE: dict[str, str] = {}
 # legacy-behavior-sensitive shapes (events_*, scalar_date_*, parser
 # coercion, range frames). Everything not named here is re-verified by the
 # committed full local sweep (CHECK_LOCAL_r05.md).
-# Round-6 window note: rotate in the round-5 additions first
-# (docs_chunk_overlap, docs_tfidf_topterms, scd2_user_value_tiers,
-# merge_upsert_customer_balance — local-sweep-verified only so far), then
-# the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q18/q19/q22,
+# Round-6 window note: rotate in the round-5 additions first — all are
+# local-sweep-verified (CHECK_LOCAL_r05.md) but have no driver row yet:
+# docs_chunk_overlap, docs_tfidf_topterms, scd2_user_value_tiers,
+# merge_upsert_customer_balance, events_cdc_latest_state,
+# stream_docs_quality_gate, graph_pagerank_trade, layout_zorder_events,
+# sketch_hll_user_rollup, sketch_theta_segment_overlap,
+# similarity_topk_ivfpq, multimodal_audio_pcm_features,
+# multimodal_raster_gradients, xml_parse_roundtrip, scalar_variant_events,
+# events_gap_fill_locf, events_ewma_user, lateral_recent_orders,
+# set_union_by_name, scalar_interval_arith, pyds_synthetic_events,
+# join_salted_orders_segment, recursive_cte_custkey_tree,
+# text_repetition_ratios, multimodal_rle_roundtrip, stats_corr_regression,
+# join_full_outer_nation_presence, win_rolling_distinct_users.
+# Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- NTZ-fixed this round (13): need post-upgrade driver rows --
