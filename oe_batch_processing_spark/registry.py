@@ -50,7 +50,8 @@ ORACLE: dict[str, str] = {}
 # set_union_by_name, scalar_interval_arith, pyds_synthetic_events,
 # join_salted_orders_segment, recursive_cte_custkey_tree,
 # text_repetition_ratios, multimodal_rle_roundtrip, stats_corr_regression,
-# join_full_outer_nation_presence, win_rolling_distinct_users.
+# join_full_outer_nation_presence, win_rolling_distinct_users,
+# stream_ewma_user.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (

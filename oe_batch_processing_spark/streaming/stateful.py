@@ -99,3 +99,127 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.groupBy("user_id").agg(latest).select(
         "user_id", "s.n_events", "s.total_cents"
     )
+
+
+# --- stateful operator #2: streaming EWMA (order-dependent state) -----------
+
+from pyspark.sql.types import ArrayType, DoubleType  # noqa: E402
+
+EWMA_TERMS = 18  # mirror operators/timeseries.py: alpha=1/2, 18-term window
+_EWMA_TOP = EWMA_TERMS - 1
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("value", DoubleType(), False),
+        StructField("ewma", DoubleType(), False),
+    ]
+)
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("tail", ArrayType(DoubleType()), False)]
+)
+
+
+def _ewma_row(window_vals: list) -> float:
+    """Bit-exact twin of the batch fold (operators/timeseries.py): each term
+    v * 2^(TOP - age) cast to DECIMAL(18,6) — Spark casts doubles via their
+    shortest repr, which Decimal(repr(x)) reproduces — summed exactly, one
+    final double division."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+    num = Decimal(0)
+    den = Decimal(0)
+    n = len(window_vals)
+    for i, v in enumerate(window_vals):  # oldest -> newest, n <= 18
+        w = 2.0 ** (_EWMA_TOP - (n - 1 - i))  # exact power-of-two double
+        num += Decimal(repr(v * w)).quantize(q, rounding=ROUND_HALF_UP)
+        den += Decimal(repr(w)).quantize(q, rounding=ROUND_HALF_UP)
+    return float(num) / float(den)
+
+
+def _update_user_ewma(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    import pandas as pd
+
+    (tail,) = state.get if state.exists else ([],)
+    tail = list(tail)
+    out_ids, out_vals, out_ewma = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for event_id, v in zip(pdf["event_id"], pdf["value"]):
+            tail.append(float(v))
+            if len(tail) > EWMA_TERMS:
+                tail.pop(0)
+            out_ids.append(int(event_id))
+            out_vals.append(float(v))
+            out_ewma.append(_ewma_row(tail))
+    state.update((tail,))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": out_ids,
+            "value": out_vals,
+            "ewma": out_ewma,
+        }
+    )
+
+
+def stateful_user_ewma(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA: state carries the trailing <=18 values.
+
+    Order contract: EWMA is order-DEPENDENT (unlike the totals operator),
+    so exactness requires events to arrive per-key in event-time order
+    across micro-batches — the per-key-ordered-log replay guarantee (e.g.
+    a keyed Kafka topic); within a batch the operator sorts. The bounded
+    single-pass replay used here satisfies it, which is what lets the
+    result hash-match the batch oracle.
+    """
+    prepped = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_ewma_user",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_id, a.value,
+             CAST(b.value * POW(2, 17 - (a.rn - b.rn))
+                  AS DECIMAL(18,6)) AS term,
+             CAST(POW(2, 17 - (a.rn - b.rn)) AS DECIMAL(18,6)) AS wt
+      FROM seq a JOIN seq b
+        ON b.user_id = a.user_id
+       AND b.rn BETWEEN a.rn - 17 AND a.rn
+    )
+    SELECT user_id, event_id, value,
+           CAST(SUM(term) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS ewma
+    FROM pairs
+    GROUP BY user_id, event_id, value
+    """,
+)
+def stream_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``events_ewma_user`` (operators/timeseries.py)
+    run as a bounded stream — a second custom stateful operator proving the
+    state-store path handles ORDER-DEPENDENT per-key state, not just
+    commutative totals. Same oracle as the batch op: stream and batch must
+    agree bit-for-bit on every row.
+    """
+    return run_available_now(
+        stateful_user_ewma(events_stream(spark, sf_dir)), "append"
+    )

@@ -152,3 +152,54 @@ def test_stream_stream_join_batch_equals_stream(spark):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s and len(b) > 0
+
+
+def test_stateful_ewma_carries_ordered_state_across_microbatches(spark, tmp_path):
+    """The ORDER-DEPENDENT stateful operator (trailing-window EWMA) must be
+    exact across micro-batches when batches arrive in event-time order (its
+    documented contract): split events into 3 chronological files, one file
+    per trigger, and every emitted row must equal the batch EWMA."""
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oe_batch_processing_spark.operators.timeseries import events_ewma_user
+    from oe_batch_processing_spark.streaming.stateful import stateful_user_ewma
+
+    events = load_table(spark, SF_DIR, "events")
+    ranked = events.withColumn(
+        "tercile",
+        F.ntile(3).over(Window.orderBy("ts", "event_id")),
+    )
+    src = tmp_path / "events_by_time"
+    for t in (1, 2, 3):  # sequential writes => mtime order == time order
+        ranked.filter(F.col("tercile") == t).drop("tercile").coalesce(
+            1
+        ).write.parquet(str(src / f"b{t}"))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/b*")
+    )
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stateful_user_ewma(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id): r.ewma for r in spark.table(name).collect()
+    }
+    expected = {
+        (r.user_id, r.event_id): r.ewma
+        for r in events_ewma_user(spark, SF_DIR).collect()
+    }
+    assert got == expected  # bit-exact, including rows whose window spans batches
