@@ -76,10 +76,12 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap repair by last-observation-carried-forward: densify event time
     to a 5-minute grid (sequence+explode — no driver loop), then carry the
     last seen bucket-average across empty buckets. The fill uses the
-    non-null running count as a group id and a per-group MAX — the
-    formulation that needs no IGNORE NULLS support and plans as two Window
-    ops sharing one sort. ``is_filled`` marks carried rows so downstream
-    models can weight them.
+    non-null running count as a group id and a per-group MAX — a
+    formulation that needs no IGNORE NULLS support. Both windows run in
+    the single grid-sized partition (one SinglePartition exchange; the
+    second window re-sorts in place on the group id — no second
+    exchange). ``is_filled`` marks carried rows so downstream models can
+    weight them.
 
     Distinct from ``events_resample_5min`` (zero-fill counts): LOCF repairs
     a *level* signal, zero-fill repairs a *rate* signal.

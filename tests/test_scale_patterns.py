@@ -169,3 +169,32 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         .collect()[0]["n"]
     )
     assert n_bloom == n_plain
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ewma_plan_single_exchange(spark, sf_dir):
+    """The EWMA window must cost exactly one hash exchange (on user_id) —
+    the bounded-frame fold is all post-shuffle expression work."""
+    from oe_batch_processing_spark.operators.timeseries import events_ewma_user
+
+    plan = _executed_plan(events_ewma_user(spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1
+    assert "hashpartitioning(user_id" in exchanges[0]
+
+
+def test_salted_join_plan_joins_on_salt(spark, sf_dir):
+    """The salted skew join must plan a SortMergeJoin keyed on
+    (custkey, salt) — proof the salt actually spreads the hot key across
+    tasks rather than being optimized away or bypassed by a broadcast."""
+    from oe_batch_processing_spark.operators.skew import (
+        join_salted_orders_segment,
+    )
+
+    plan = _executed_plan(join_salted_orders_segment(spark, sf_dir))
+    smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
+    assert smj and "__salt" in smj[0] and "o_custkey" in smj[0]
+    assert "BroadcastHashJoin" not in plan
