@@ -9,6 +9,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     fuzzy,
     graph,
     ingest_queries,
+    langmodel,
     llmops,
     llmops2,
     multimodal,
