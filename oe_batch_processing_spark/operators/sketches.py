@@ -86,3 +86,53 @@ def sketch_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_difference("sk_a", "sk_b")
         ).alias("only_a_est"),
     ).orderBy("type_a", "type_b")
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    oracle="""
+    SELECT scope, distinct_users FROM (
+      SELECT event_type AS scope, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS distinct_users
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    ) ORDER BY scope
+    """,
+)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Spark's bitmap functions — the
+    precision counterpart to ``sketch_hll_user_rollup``. Each (event_type,
+    bucket) group folds its user ids into a fixed 4 KB bitmap
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` shard the 32768-bit
+    id space); bitmaps OR together associatively, so coarser scopes (the
+    ALL row) come from unioning the already-built bitmaps — never
+    re-reading events — and, unlike HLL, the merged counts are exact.
+
+    100 TB shape: the first groupBy is the only pass over raw events
+    (partial bitmap construction is map-side — each task emits one 4 KB
+    blob per group, not its raw ids); the ALL rollup shuffles only
+    |types| x |buckets| bitmap blobs. Dense-id domains (users, items) fit
+    ~32k ids per 4 KB bucket; the bucket count scales linearly with the id
+    space, independent of row count. Oracle: plain COUNT(DISTINCT) per
+    scope — exactness is the whole claim, so this is fully hash-checked.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per_bucket = base.groupBy("event_type", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    typed = per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users")
+    ).select(F.col("event_type").alias("scope"), "distinct_users")
+    overall = (
+        per_bucket.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("distinct_users"))
+        .select(F.lit("ALL").alias("scope"), "distinct_users")
+    )
+    return typed.unionAll(overall).orderBy("scope")
