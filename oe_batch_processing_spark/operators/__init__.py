@@ -28,6 +28,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     tpch_like,
     tpch_like2,
     udaf,
+    udtf_py,
 )
 from oe_batch_processing_spark.streaming import (  # noqa: F401
     event_windows,
