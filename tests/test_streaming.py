@@ -203,3 +203,45 @@ def test_stateful_ewma_carries_ordered_state_across_microbatches(spark, tmp_path
         for r in events_ewma_user(spark, SF_DIR).collect()
     }
     assert got == expected  # bit-exact, including rows whose window spans batches
+
+
+def test_tws_plan_constructs_without_protobuf(spark):
+    """transformWithStateInPandas plan construction (schema, streaming flag)
+    must work even where google.protobuf is absent; only execution needs the
+    protobuf state client. Guards the conditional registration in
+    streaming/stateful.py."""
+    from oe_batch_processing_spark.streaming import stateful
+
+    df = stateful.tws_type_stats(events_stream(spark, SF_DIR))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_type", "n_events", "total_cents", "min_cents", "max_cents"
+    ]
+    from oe_batch_processing_spark import registry
+
+    assert ("stream_tws_type_stats" in registry.QUERIES) == stateful.HAS_PROTOBUF
+
+
+def test_tws_matches_batch_oracle_when_runnable(spark):
+    """Full end-to-end check of the transformWithState operator — runs only
+    where the protobuf state client exists."""
+    import pytest
+
+    from oe_batch_processing_spark.streaming import stateful
+
+    if not stateful.HAS_PROTOBUF:
+        pytest.skip("google.protobuf not available in this container")
+    out = stateful.stream_tws_type_stats(spark, SF_DIR).collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("total_cents"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .collect()
+    )
+    assert {tuple(r) for r in out} == {tuple(r) for r in batch}
