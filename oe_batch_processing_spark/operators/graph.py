@@ -179,3 +179,93 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(v16).alias("v16"),
         F.expr(z).alias("zval"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+      WHERE l1.l_suppkey < l2.l_suppkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT s) FROM (
+             SELECT a AS s FROM pairs UNION SELECT b FROM pairs
+           )) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle counting on the supplier co-supply graph (edge =
+    two suppliers sharing a part). The Spark plan uses DEGREE-ORDERED
+    edge orientation — every edge points from its lower-degree endpoint
+    to the higher (ties by id) — so each triangle is counted exactly once
+    and, critically for 100 TB graphs, the wedge (2-path) intermediate is
+    minimized: high-degree hubs fan IN, never out, bounding each node's
+    out-neighborhood (the classic compact-forward bound of O(E^1.5) wedge
+    rows instead of sum-of-squared-degrees). The oracle counts the same
+    triangles with the simpler id-ordered 3-way join — identical triangle
+    set, different join order.
+
+    Plan: edge build is one distinct-pair shuffle; wedges are a self-join
+    on the oriented edge list; the close step joins wedges back to edges
+    on both endpoints. All hash joins on key columns, no driver state.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    pairs = (
+        a.join(b, F.col("x.l_partkey") == F.col("y.l_partkey"))
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    # degree-ordered orientation: src = lower-degree endpoint
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    w1 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    w2 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("r"))
+    wedges = w1.join(w2, "p").filter(F.col("q") < F.col("r"))
+    # close the wedge with an edge q-r in EITHER orientation
+    closing = oriented.select(
+        F.least("src", "dst").alias("q"), F.greatest("src", "dst").alias("r")
+    )
+    tri = wedges.join(closing, ["q", "r"], "leftsemi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    # three one-row frames; broadcast cross joins, zero driver-side actions
+    return nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))

@@ -384,3 +384,95 @@ def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users_24h"),
     )
+
+
+@query(
+    "stats_equidepth_bins",
+    oracle="""
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INTEGER) AS bin
+      FROM orders
+    )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stats_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning — the feature-discretization primitive:
+    10 equal-population buckets over order value with each bucket's count
+    and [lo, hi] edges. NTILE over the total order (o_totalprice,
+    o_orderkey) makes tie-breaks deterministic, so both engines produce
+    identical buckets.
+
+    Scale: a global NTILE is a global sort — Spark range-partitions the
+    sort (sampled boundaries), so this is the one operator family where a
+    single ordered pass is inherent, not a plan defect. For 100 TB you'd
+    swap NTILE for approx_percentile edges (events_approx_quantile_stats
+    covers that shape) unless exact equal population is contractual.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part a
+      WHERE a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
+        AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size)
+    )
+    ORDER BY p_retailprice, p_partkey
+    """,
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts minimizing retail price while
+    maximizing size — no other part is at-least-as-good on both axes and
+    strictly better on one. Equal (price, size) points do not dominate
+    each other, so whole duplicate groups survive together.
+
+    Spark plan is the SORT-based skyline, not the O(N^2) NOT-EXISTS
+    self-join the oracle uses: (1) per distinct price keep only max-size
+    rows (a grouped agg — anything smaller at the same price is dominated
+    by them); (2) over the DISTINCT price axis, a point survives iff its
+    size strictly exceeds the running max over all cheaper prices (one
+    ordered window whose input is |distinct prices| rows, orders of
+    magnitude smaller than the table); (3) semi-join survivors back to
+    recover duplicates. Every step is a hash shuffle except the bounded
+    window.
+    """
+    p = load_table(spark, sf_dir, "part")
+    per_price = p.groupBy("p_retailprice").agg(F.max("p_size").alias("msize"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_price.withColumn("best_cheaper", F.max("msize").over(w))
+        .filter(
+            F.col("best_cheaper").isNull()
+            | (F.col("msize") > F.col("best_cheaper"))
+        )
+        .select("p_retailprice", F.col("msize").alias("p_size"))
+    )
+    return (
+        p.join(F.broadcast(frontier), ["p_retailprice", "p_size"], "leftsemi")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

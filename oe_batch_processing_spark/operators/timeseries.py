@@ -194,3 +194,61 @@ def events_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return witharr.select(
         "user_id", "event_id", "value", (num / den).alias("ewma")
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT prev_type, SUM(n) AS row_n FROM cnt GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+           CAST((1000000 * c.n) // t.row_n AS BIGINT) AS p_scaled
+    FROM cnt c JOIN tot t USING (prev_type)
+    ORDER BY 1, 2
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (prev_type -> next_type) pair, the transition count and the
+    row-normalized probability quantized to parts-per-million ((1e6 * n)
+    div row_total — integer floor division, engine-exact; same convention
+    as the langmodel operators). The behavioral-model primitive for
+    funnels, anomaly detection, and synthetic-session generation.
+
+    Scale: one shuffle partitions users for the LAG window (per-user state,
+    AQE splits skewed users), then a |types|^2-row aggregation — the
+    transition matrix is tiny regardless of event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        cnt.join(tot, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(1000000L * n) div row_n").alias("p_scaled"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
