@@ -12,6 +12,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     langmodel,
     llmops,
     llmops2,
+    mining,
     multimodal,
     pipeline,
     relational,

@@ -1,0 +1,209 @@
+"""Pattern-mining and data-quality operators.
+
+Frequent-itemset mining (association rules) and a Deequ-style declarative
+constraint report — the two pipeline-hygiene shapes a production batch
+platform grows next to its ETL core (the reference's BatchStatus/BatchRun
+ledgers record per-record outcomes; these operators audit whole-table
+invariants and cross-item structure).
+
+All metrics are exact integers or ppm-quantized integer ratios
+((1_000_000 * num) div den — floor division, bit-identical across engines;
+same convention as operators/langmodel.py), so both queries carry full
+DuckDB hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+_MIN_SUPPORT = 3  # absolute basket count at sf<=0.1; a fraction at scale
+_PPM = 1_000_000
+
+
+@query(
+    "itemsets_frequent_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ),
+    n_baskets AS (SELECT COUNT(DISTINCT basket) AS nb FROM items),
+    item_cnt AS (
+      SELECT item, COUNT(*) AS n FROM items GROUP BY 1
+      HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    pair_cnt AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+      FROM items a
+      JOIN items b ON a.basket = b.basket AND a.item < b.item
+      JOIN item_cnt ca ON ca.item = a.item
+      JOIN item_cnt cb ON cb.item = b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MIN_SUPPORT}
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(({_PPM} * p.n_ab) // ca.n AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(({_PPM} * p.n_ab) // cb.n AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(({_PPM} * p.n_ab * nb.nb) // (ca.n * cb.n) AS BIGINT)
+             AS lift_ppm
+    FROM pair_cnt p
+    JOIN item_cnt ca ON ca.item = p.item_a
+    JOIN item_cnt cb ON cb.item = p.item_b
+    CROSS JOIN n_baskets nb
+    ORDER BY n_ab DESC, item_a, item_b
+    """,
+)
+def itemsets_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: frequent part PAIRS across orders
+    with support, both-direction confidence, and lift — all ppm-quantized
+    integers. The a-priori property does the heavy lifting: items below
+    min-support are pruned BEFORE the pair join (an infrequent item cannot
+    appear in a frequent pair), collapsing the quadratic per-basket blowup
+    to frequent-item co-occurrences only.
+
+    100 TB plan: distinct (basket, item) is one shuffle; the frequent-item
+    filter is a broadcast-able dimension (item counts are Zipf-bounded);
+    the pair join shuffles by basket with per-basket fan-out capped by
+    (frequent items per basket)^2 — the standard two-round distributed
+    a-priori. No driver state; min-support becomes a fraction of basket
+    count at scale (absolute here so the sf0.01 oracle is non-trivial).
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+    )
+    n_baskets = items.agg(
+        F.count_distinct("basket").alias("nb")
+    )
+    item_cnt = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _MIN_SUPPORT)
+    )
+    freq_items = (
+        items.join(F.broadcast(item_cnt.select("item")), "item", "leftsemi")
+    )
+    a = freq_items.select("basket", F.col("item").alias("item_a"))
+    b = freq_items.select("basket", F.col("item").alias("item_b"))
+    pair_cnt = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _MIN_SUPPORT)
+    )
+    ca = item_cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    cb = item_cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb_i"))
+    return (
+        pair_cnt.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr(f"({_PPM}L * n_ab) div na").alias("conf_a_to_b_ppm"),
+            F.expr(f"({_PPM}L * n_ab) div nb_i").alias("conf_b_to_a_ppm"),
+            F.expr(f"({_PPM}L * n_ab * nb) div (na * nb_i)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("n_ab").desc(), "item_a", "item_b")
+    )
+
+
+@query(
+    "dq_constraint_report",
+    oracle=f"""
+    WITH o AS (SELECT * FROM orders),
+    m AS (
+      SELECT
+        COUNT(*) AS n_rows,
+        COUNT(o_custkey) AS n_custkey,
+        COUNT(DISTINCT o_orderkey) AS n_distinct_key,
+        SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS n_price_pos,
+        SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+          AS n_status_ok,
+        SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+      FROM o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT name, passed, metric_ppm FROM (
+      SELECT 'complete_custkey' AS name,
+             n_custkey = n_rows AS passed,
+             CAST(({_PPM} * n_custkey) // n_rows AS BIGINT) AS metric_ppm, 1 AS ord
+      FROM m
+      UNION ALL
+      SELECT 'unique_orderkey', n_distinct_key = n_rows,
+             CAST(({_PPM} * n_distinct_key) // n_rows AS BIGINT), 2 FROM m
+      UNION ALL
+      SELECT 'positive_totalprice', n_price_pos = n_rows,
+             CAST(({_PPM} * n_price_pos) // n_rows AS BIGINT), 3 FROM m
+      UNION ALL
+      SELECT 'status_in_domain', n_status_ok = n_rows,
+             CAST(({_PPM} * n_status_ok) // n_rows AS BIGINT), 4 FROM m
+      UNION ALL
+      SELECT 'fk_custkey_resolves', n_orphans = 0,
+             CAST(({_PPM} * (n_rows - n_orphans)) // n_rows AS BIGINT), 5 FROM m
+    ) ORDER BY ord
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ/expectations shape): five
+    constraints over orders — completeness, key uniqueness, value bounds,
+    domain membership, referential integrity vs customer — evaluated in
+    ONE pass + one join, emitted as a (constraint, passed, metric_ppm)
+    report. This is the pre-ingest gate a 100 TB pipeline runs before
+    publishing a partition; pass/fail booleans plus ppm metrics make the
+    report engine-exact.
+
+    Plan: all row-local constraint counters fold into a single aggregate
+    over the fact scan; the FK check rides one broadcast-able dim join.
+    The 5-row report is a driver-sized unpivot of that one-row aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count_distinct("o_orderkey").alias("n_distinct_key"),
+        F.sum((F.col("o_totalprice") > 0).cast("long")).alias("n_price_pos"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("long")
+        ).alias("n_status_ok"),
+        F.sum(F.col("c_custkey").isNull().cast("long")).alias("n_orphans"),
+    )
+    checks = [
+        ("complete_custkey", "n_custkey = n_rows",
+         f"({_PPM}L * n_custkey) div n_rows"),
+        ("unique_orderkey", "n_distinct_key = n_rows",
+         f"({_PPM}L * n_distinct_key) div n_rows"),
+        ("positive_totalprice", "n_price_pos = n_rows",
+         f"({_PPM}L * n_price_pos) div n_rows"),
+        ("status_in_domain", "n_status_ok = n_rows",
+         f"({_PPM}L * n_status_ok) div n_rows"),
+        ("fk_custkey_resolves", "n_orphans = 0L",
+         f"({_PPM}L * (n_rows - n_orphans)) div n_rows"),
+    ]
+    report = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("name"),
+                        F.expr(cond).alias("passed"),
+                        F.expr(ppm).alias("metric_ppm"),
+                    )
+                    for name, cond, ppm in checks
+                ]
+            )
+        ).alias("r")
+    )
+    return report.select("r.name", "r.passed", "r.metric_ppm")
