@@ -32,11 +32,25 @@ from oe_batch_processing_spark.tables import load_table
 # --- shared shingling ------------------------------------------------------
 
 def shingle_arrays(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingles sorted-distinct array) — zero shuffles: the words
-    array is materialized once per row and shingles are built with JVM array
-    expressions. Split on single space to match the oracle's string_split."""
+    """(doc_id, shingles sorted-distinct array): the words array is
+    materialized once per row and shingles are built with JVM array
+    expressions. Split on single space to match the oracle's string_split.
+
+    The leading round-robin repartition exists for SMALL-FILE inputs: the
+    test corpora are single-row-group parquet files, so the scan yields ONE
+    partition and the (expensive, ~1 ms/doc) per-row shingle transform
+    would otherwise run on one core (measured 5.7 s of the old 7-10 s
+    jaccard wall at sf0.1). Shuffling the raw docs costs MBs; running the
+    transform 32-wide repays it immediately. On a production multi-file
+    100 TB corpus the scan is already thousands of splits and Spark's
+    round-robin of an already-parallel input is a near-no-op per partition.
+    """
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     return (
-        df.withColumn("words", F.split(F.col(text_col), " "))
+        df.repartition(n_part)
+        .withColumn("words", F.split(F.col(text_col), " "))
         .filter(F.size("words") >= n)
         .select(
             "doc_id",
@@ -127,17 +141,20 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = word_shingles(docs, 3)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
     # AQE would coalesce it to ~1 partition) but the join OUTPUT fans out
     # quadratically per shingle bucket — the cost AQE's input-size heuristic
     # can't see. An explicit keyed repartition keeps the join spread over
     # the cluster; same-key partitioning on both sides means no extra
-    # exchange beyond the one the join needed anyway.
+    # exchange beyond the one the join needed anyway. The shuffle_hash hint
+    # (vs the default broadcast) makes BOTH join sides — and the per-doc
+    # count below — consume the SAME Exchange(sh) subplan, so Spark's
+    # ReusedExchange computes the shingle build once instead of three times.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sh_keyed = sh.repartition(n_part, "sh")
+    counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh_keyed.alias("a")
-    b = sh_keyed.alias("b")
+    b = sh_keyed.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -476,3 +476,187 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+@query(
+    "asof_nearest_click",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+      FROM events
+    ),
+    purchases AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    clicks AS (SELECT * FROM ev WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts_us AS purchase_us,
+           (SELECT c.ts_us FROM clicks c WHERE c.user_id = p.user_id
+            ORDER BY ABS(c.ts_us - p.ts_us), c.ts_us LIMIT 1) AS click_us
+    FROM purchases p
+    WHERE EXISTS (SELECT 1 FROM clicks c WHERE c.user_id = p.user_id)
+    ORDER BY 1
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join (both directions): for each purchase,
+    the same user's click closest in time — before OR after — ties going
+    to the earlier click. Complements ``asof_purchase_last_click``
+    (backward-only ASOF).
+
+    Implementation: the union-window trick, twice — one ordered pass per
+    user carries the latest click at-or-before each purchase, a reverse
+    pass carries the earliest click after it; a row-local comparison
+    picks the nearer (tie -> earlier, which is always the backward one
+    since a tie means equal |delta|). One shuffle on user_id total; no
+    range-join blowup, no per-row subquery — that O(P x C) formulation is
+    what the ORACLE runs. Integer-microsecond times keep ordering
+    engine-exact.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    tagged = e.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).withColumn("is_click", (F.col("event_type") == "click").cast("int"))
+    # clicks sort before purchases at identical ts: '>=' / '<=' semantics
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", F.col("is_click").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts_us"))
+    carried = tagged.withColumn(
+        "prev_click", F.last(click_ts, ignorenulls=True).over(wb)
+    ).withColumn("next_click", F.first(click_ts, ignorenulls=True).over(wf))
+    best = F.when(
+        F.col("prev_click").isNull(), F.col("next_click")
+    ).when(
+        F.col("next_click").isNull(), F.col("prev_click")
+    ).when(
+        # tie -> earlier click, i.e. prev (equal distance both sides)
+        (F.col("ts_us") - F.col("prev_click"))
+        <= (F.col("next_click") - F.col("ts_us")),
+        F.col("prev_click"),
+    ).otherwise(F.col("next_click"))
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_us"),
+            best.alias("click_us"),
+        )
+        .filter(F.col("click_us").isNotNull())
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "mv_incremental_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def mv_incremental_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is
+    computed as BASE (events before the cutoff — "the MV we built
+    yesterday") merged with DELTA (the new partition), by RE-AGGREGATING
+    the partial states — counts add, exact decimal sums add. The oracle is
+    the direct one-shot rollup: hash-equality proves the merge is lossless,
+    which is the whole point of re-aggregatable MV state (and exactly why
+    the engine's money-sums use decimal, not double: double partial sums
+    would NOT merge associatively bit-for-bit).
+
+    100 TB shape: each refresh aggregates ONLY the delta partition, then
+    merges |hours x types|-sized states — never re-reads history. Same
+    partial-agg contract Spark's own map-side combine relies on.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.col("ts"),
+    )
+    cutoff = e.agg(
+        F.date_trunc("day", F.max("ts")).alias("c")
+    )  # last full day boundary = the "new partition" split
+    with_cut = e.crossJoin(F.broadcast(cutoff))
+    partial = lambda df: df.groupBy("hour", "event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    base = partial(with_cut.filter(F.col("ts") < F.col("c")))
+    delta = partial(with_cut.filter(F.col("ts") >= F.col("c")))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "hour", "event_type", "n", F.col("sv").cast("double").alias("total_value")
+    ).orderBy("hour", "event_type")
+
+
+@query(
+    "win_percent_of_total",
+    oracle="""
+    WITH c AS (
+      SELECT n.n_name, o.o_orderpriority, COUNT(*) AS n
+      FROM orders o
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY n_name) AS BIGINT)
+             AS share_ppm,
+           CAST((1000000 * n) // SUM(n) OVER () AS BIGINT) AS overall_ppm
+    FROM c
+    ORDER BY 1, 2
+    """,
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (nation, priority) cell's share of its nation
+    and of the grand total, as ppm integers (floor division — engine-
+    exact). The OLAP percent-of-total shape: one grouped aggregate, then
+    two window sums over the already-tiny cell grid (|nations x
+    priorities|), so the windows cost nothing at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        o.join(cu, o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_nat = Window.partitionBy("n_name")
+    w_all = Window.partitionBy()
+    return cells.select(
+        "n_name",
+        "o_orderpriority",
+        "n",
+        F.expr("1000000L * n").alias("_num"),
+        F.sum("n").over(w_nat).alias("_nat"),
+        F.sum("n").over(w_all).alias("_tot"),
+    ).select(
+        "n_name",
+        "o_orderpriority",
+        "n",
+        F.expr("_num div _nat").alias("share_ppm"),
+        F.expr("_num div _tot").alias("overall_ppm"),
+    ).orderBy("n_name", "o_orderpriority")

@@ -51,7 +51,11 @@ ORACLE: dict[str, str] = {}
 # join_salted_orders_segment, recursive_cte_custkey_tree,
 # text_repetition_ratios, multimodal_rle_roundtrip, stats_corr_regression,
 # join_full_outer_nation_presence, win_rolling_distinct_users,
-# stream_ewma_user.
+# stream_ewma_user, and the late-round-5 batch: text_bigram_lm_score,
+# docs_lang_tvd_drift, agg_bitmap_exact_distinct, udtf_python_word_stats,
+# stats_equidepth_bins, pareto_frontier_parts, events_type_transitions,
+# graph_triangle_count, itemsets_frequent_pairs, dq_constraint_report,
+# asof_nearest_click, mv_incremental_hourly, win_percent_of_total.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (

@@ -56,6 +56,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Shuffle/spill files on tmpfs when available: this sandbox's block
+        # device writes are slow enough to dominate small shuffles (measured
+        # 2.2 s -> 0.48 s for a 260k-row exchange). Spill volumes at test SFs
+        # are MBs — far under the tmpfs ceiling; production clusters set
+        # spark.local.dir to fast NVMe per standard practice.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/oebp-spark-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp/oebp-spark-local",
+            ),
+        )
         .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         # keep bucketed-table experiments out of the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/oebp-warehouse")
