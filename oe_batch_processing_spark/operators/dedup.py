@@ -350,8 +350,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    (acc2, m) -> zip_with(acc2,"
             "      flatten(transform("
             "        transform(sequence(0, 7), c ->"
-            "          (instr('0123456789abcdef', substr(m, c*2+1, 1)) - 1) * 16 +"
-            "          (instr('0123456789abcdef', substr(m, c*2+2, 1)) - 1)),"
+            "          cast(conv(substr(m, c*2+1, 2), 16, 10) as int)),"
             "        h -> transform(sequence(0, 7), b ->"
             "          (shiftright(h, b) & 1) * 2 - 1))),"
             "      (u, v) -> u + v)),"
