@@ -19,6 +19,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     sessions,
     similarity,
     sketches,

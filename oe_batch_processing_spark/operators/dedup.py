@@ -605,3 +605,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# Containment (asymmetric Jaccard): |A ∩ B| / |A|. Near-SUBSET duplication —
+# a doc whose shingles are swallowed by a larger doc (boilerplate inclusion,
+# quoted reposts, template wrapping) scores low on symmetric Jaccard (the
+# union is dominated by the big doc) but ~1.0 on containment, which is why
+# corpus curation runs both. Same inverted-index candidate generation as
+# the Jaccard query; ppm floor-division keeps the ratio engine-exact.
+_CONTAINMENT_ORACLE = """
+    WITH shingles AS (
+      SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           (1000000 * n_common) // na.n AS cont_a_in_b_ppm,
+           (1000000 * n_common) // nb.n AS cont_b_in_a_ppm
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE LEAST(na.n, nb.n) >= 10
+      AND (1000000 * n_common) // LEAST(na.n, nb.n) >= 800000
+    """
+
+
+@query("dedup_shingle_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset duplicate pairs by shingle CONTAINMENT >= 0.8 (of the
+    smaller side, which is the one that can be swallowed), min 10 shingles.
+
+    Asymmetric Jaccard is the boilerplate-inclusion detector symmetric
+    Jaccard structurally misses: if |A|=20 and A ⊂ B with |B|=200,
+    J = 20/200 = 0.1 (invisible at any sane threshold) while
+    containment(A,B) = 1.0. Both direction ratios are emitted so the
+    keep/drop policy downstream can distinguish "A is a fragment of B"
+    from mutual near-equality.
+
+    Scale: identical candidate structure to ``dedup_jaccard_shingles`` —
+    inverted-index self-join, pairs only for docs sharing a shingle; the
+    LSH scale path applies unchanged (MinHash estimates containment via
+    J and the two set sizes, both already in the signature join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh_keyed = sh.repartition(n_part, "sh")
+    counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh_keyed.alias("a")
+    b = sh_keyed.hint("shuffle_hash").alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            (F.least("na", "nb") >= 10)
+            & (F.expr("(1000000 * n_common) div least(na, nb)") >= 800000)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(1000000 * n_common) div na").alias("cont_a_in_b_ppm"),
+            F.expr("(1000000 * n_common) div nb").alias("cont_b_in_a_ppm"),
+        )
+    )
