@@ -688,3 +688,86 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_common) div nb").alias("cont_b_in_a_ppm"),
         )
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        WITH shingles AS (
+          SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+          FROM (
+            SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE len(string_split(text, ' ')) >= 3
+          ), UNNEST(range(len(words) - 2)) AS t(i)
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM common JOIN counts na ON na.doc_id = doc_a
+                    JOIN counts nb ON nb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8
+      )
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(src, dst) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rk
+      FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           MIN(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+           MIN(CASE WHEN rk = 1 THEN n_chars END) AS keep_n_chars,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop DECISION layer of near-dup dedup: connected
+    components over the J >= 0.8 pair graph, then one canonical document
+    per cluster — longest text wins, ties to the smallest doc_id — with
+    member/drop counts. This is the step that turns pairwise similarity
+    output into the actual training-corpus delete list (the reference's
+    pipelines stop at pairs; curation needs the verdict).
+
+    Scale: the pair graph and its components are tiny relative to the
+    corpus (only docs with a near-dup appear); the quality join pulls
+    n_chars for member docs only, and the per-cluster pick is a
+    WindowGroupLimit-able top-1. Deterministic tie-breaks make the
+    keep-set re-ingestion-stable — same corpus, same survivors, any
+    cluster size, any partitioning.
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql.window import Window
+
+    members = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.min(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("keep_n_chars"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

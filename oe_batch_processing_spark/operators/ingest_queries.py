@@ -222,3 +222,51 @@ def pyds_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@query(
+    "ingest_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read round trip: the events table (value pre-quantized
+    to integer cents so the round trip is bit-exact by construction) is
+    written as ORC — Spark's second built-in columnar format, the one
+    Hive-lineage warehouses hand over — read back, and aggregated. The
+    oracle aggregates the ORIGINAL parquet, so a hash match proves the
+    ORC encode/decode preserved every row and value, extending the
+    roundtrip family (CSV/FW/JSON/XML) to the columnar format axis.
+
+    Scale: ORC and parquet share Spark's vectorized columnar reader and
+    predicate-pushdown path; the write is
+    ``repartition``-controlled like any columnar sink (small-file hygiene
+    is the writer's partition count, here one file per shuffle partition).
+    """
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "oebp-orc-roundtrip", os.path.basename(sf_dir)
+    )
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

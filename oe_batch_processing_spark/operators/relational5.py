@@ -234,3 +234,81 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("mad") > 0) & (robust_z > 3.5))
         .select("event_id", "event_type", "value", robust_z.alias("robust_z"))
     )
+
+
+@query(
+    "join_null_safe_halves",
+    oracle="""
+    WITH halves AS (
+      SELECT event_id % 2 AS half,
+             CASE WHEN event_type = 'click' THEN NULL ELSE event_type END
+               AS tkey,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.tkey AS type_key, a.n AS n_even, b.n AS n_odd
+    FROM (SELECT * FROM halves WHERE half = 0) a
+    JOIN (SELECT * FROM halves WHERE half = 1) b
+      ON a.tkey IS NOT DISTINCT FROM b.tkey
+    """,
+)
+def join_null_safe_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the two
+    event-id-parity halves of the event stream, aggregated per type key
+    with one type nulled out, joined so the NULL groups MATCH each other
+    — a plain ``=`` join silently drops them, the classic bug when a
+    nullable dimension key feeds a reconciliation join. Catalyst plans
+    ``<=>`` as an ordinary hash join (null-safe keys still hash), so the
+    same shape holds at fact scale; DuckDB spells it IS NOT DISTINCT
+    FROM.
+    """
+    e = load_table(spark, sf_dir, "events")
+    halves = e.groupBy(
+        (F.col("event_id") % 2).alias("half"),
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("tkey"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = halves.filter(F.col("half") == 0).alias("a")
+    b = halves.filter(F.col("half") == 1).alias("b")
+    return a.join(b, F.col("a.tkey").eqNullSafe(F.col("b.tkey"))).select(
+        F.col("a.tkey").alias("type_key"),
+        F.col("a.n").alias("n_even"),
+        F.col("b.n").alias("n_odd"),
+    )
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           substr(o_orderdate::VARCHAR, 1, 4) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 4 sugar, same spelling in DuckDB): every
+    non-aggregate select item becomes a grouping key — the
+    keep-the-projection-and-grouping-in-sync form analysts reach for
+    first. Resolves at analysis time to an ordinary hash aggregate;
+    the oracle runs DuckDB's own GROUP BY ALL, pinning that both engines
+    infer the identical key set (including the computed year column).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               substr(CAST(o_orderdate AS STRING), 1, 4) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY ALL
+        """
+    )

@@ -136,3 +136,102 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("scope"), "distinct_users")
     )
     return typed.unionAll(overall).orderBy("scope")
+
+
+@query(
+    "sketch_countmin_user_counts",
+    oracle="""
+    WITH cells AS (
+      SELECT r.r AS r,
+             CAST(CAST('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR)
+                        || ':' || CAST(user_id AS VARCHAR)), 1, 8)
+                  AS INT64) % 64 AS INT) AS c,
+             COUNT(*) AS n
+      FROM events, (SELECT UNNEST(range(4)) AS r) r
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, COUNT(*) AS true_n FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, true_n FROM truth
+      ORDER BY true_n DESC, user_id LIMIT 10
+    ),
+    est AS (
+      SELECT t.user_id, t.true_n, MIN(cells.n) AS est_n
+      FROM top t
+      JOIN cells
+        ON cells.c = CAST(CAST('0x' || substr(md5('cms'
+                 || CAST(cells.r AS VARCHAR) || ':'
+                 || CAST(t.user_id AS VARCHAR)), 1, 8) AS INT64) % 64 AS INT)
+      GROUP BY t.user_id, t.true_n
+    )
+    SELECT user_id, true_n, est_n, est_n - true_n AS overestimate
+    FROM est
+    """,
+)
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built from relational primitives — the mergeable
+    FREQUENCY sketch (HLL answers "how many distinct", CMS answers "how
+    often is key X") — with its one-sided error surfaced: point estimates
+    for the 10 heaviest users alongside true counts.
+
+    Construction is pure integer arithmetic on md5-derived cell indexes
+    (d=4 rows × w=64 cols), so unlike a native noisy sketch the whole
+    thing is engine-reproducible and the ORACLE verifies the full build +
+    query path by value hash — estimate >= truth always (CMS never
+    undercounts), with collisions inflating small counters first.
+
+    Scale: the sketch build is ONE groupBy over (row, cell) — 256 counter
+    cells total regardless of event volume, map-side combinable, and two
+    sketches merge by cell-wise ADD (the same partial-agg contract as
+    ``mv_incremental_hourly``). Width trades collision error (ε ≈ e/w)
+    for fixed memory; at 100 TB you'd size w to the heavy-hitter gap and
+    keep d at 4-6.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # cell index for row r: first 4 md5 bytes of 'cms{r}:{user}' mod 64 —
+    # spelled identically (modulo hex-decode syntax) in both engines.
+    def cell(r_col, user_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            r_col.cast("string"),
+                            F.lit(":"),
+                            user_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            % 64
+        ).cast("int")
+
+    rows = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    cells = (
+        e.crossJoin(F.broadcast(rows))
+        .groupBy("r", cell(F.col("r"), F.col("user_id")).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    top = truth.orderBy(F.col("true_n").desc(), "user_id").limit(10)
+    est = (
+        top.crossJoin(F.broadcast(rows))
+        .withColumn("c", cell(F.col("r"), F.col("user_id")))
+        .join(cells, ["r", "c"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.select(
+        "user_id",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overestimate"),
+    )
