@@ -20,6 +20,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     sessions,
     similarity,
     sketches,

@@ -1,0 +1,272 @@
+"""Relational surface, part 6: interval coalescing (overlap islands),
+URL parsing battery, bitwise/mode aggregates, and projection-position
+EXISTS subqueries.
+
+Interval coalescing is the range twin of sessionization: sessions merge
+POINTS by gap threshold, this merges RANGES by actual overlap — the
+dominant shape for availability windows, maintenance periods, and
+validity-range compaction. The URL battery pins ``parse_url``'s
+component semantics (the log-analytics workhorse) against a regexp
+re-derivation. Bitwise aggregates are the flag-mask rollup; Spark's
+``mode(x, deterministic=true)`` breaks count ties by LOWEST value, which
+the oracle reproduces explicitly since DuckDB's own ``mode`` tie-break
+is unspecified. Projection EXISTS turns the filter-position subquery
+family (subqueries in relational2.py) into boolean COLUMNS — Catalyst
+plans each as a left-semi-style existence join, not a per-row probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table, register_views
+
+
+@query(
+    "intervals_coalesce_shipping",
+    oracle="""
+    WITH iv AS (
+      SELECT l_suppkey, l_shipdate AS s,
+             l_shipdate + INTERVAL (l_orderkey % 20) DAY AS e
+      FROM lineitem
+    ),
+    marked AS (
+      SELECT l_suppkey, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT l_suppkey, s, e,
+             SUM(new_island) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM marked
+    ),
+    per_island AS (
+      SELECT l_suppkey, island_id,
+             MIN(s) AS island_start, MAX(e) AS island_end,
+             COUNT(*) AS n_intervals
+      FROM islands GROUP BY l_suppkey, island_id
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_islands,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+           strftime(MIN(island_start), '%Y-%m-%d') AS first_start,
+           strftime(MAX(island_end), '%Y-%m-%d') AS last_end,
+           CAST(SUM(date_diff('day', island_start, island_end) + 1)
+                AS BIGINT) AS covered_days
+    FROM per_island GROUP BY l_suppkey
+    """,
+)
+def intervals_coalesce_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (overlap islands): per supplier, merge the
+    [shipdate, receiptdate] ranges of its lineitems into maximal
+    non-overlapping islands, reporting island count and exact covered
+    days. The range twin of sessionization — an interval starts a new
+    island only when it begins strictly after EVERYTHING seen so far has
+    ended (running max of end, not lag(end): an earlier long interval
+    can swallow several later short ones, the case naive gap logic gets
+    wrong).
+
+    Scale: one hash shuffle on the partition key; both window passes and
+    the two-level aggregation share that single partitioning (one
+    Exchange in the plan). Dates are day-integers, so coverage math is
+    engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("s"),
+        # testdata lineitem carries no receiptdate; synthesize a
+        # deterministic transit time so islands genuinely overlap
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.col("l_orderkey") % 20).cast("int"),
+        ).alias("e"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = li.withColumn(
+        "new_island",
+        F.when(F.col("s") > prev_max_e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_island = islands.groupBy("l_suppkey", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return per_island.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_intervals").alias("n_intervals"),
+        F.date_format(F.min("island_start"), "yyyy-MM-dd").alias("first_start"),
+        F.date_format(F.max("island_end"), "yyyy-MM-dd").alias("last_end"),
+        F.sum(
+            F.datediff(F.col("island_end"), F.col("island_start")) + 1
+        ).alias("covered_days"),
+    )
+
+
+@query(
+    "scalar_url_parse_battery",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop' || CAST(o_custkey % 5 AS VARCHAR)
+               || '.example.com:844' || CAST(o_orderkey % 10 AS VARCHAR)
+               || '/cat/' || lower(replace(o_orderpriority, ' ', '-'))
+               || '/item?order=' || CAST(o_orderkey AS VARCHAR)
+               || '&status=' || o_orderstatus
+               || '#frag' || CAST(o_orderkey % 3 AS VARCHAR) AS url
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'order=([^&#]*)', 1) AS order_param,
+           regexp_extract(url, '#(.*)$', 1) AS frag
+    FROM u
+    """,
+)
+def scalar_url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parse_url`` component battery: synthesize a URL per order (host
+    with port, multi-segment path, two query params, fragment), then
+    extract PROTOCOL / HOST / PATH / QUERY / QUERY-param / REF natively.
+    The oracle re-derives every component with regexes, pinning the exact
+    component boundaries (HOST excludes the port; PATH starts at the
+    first slash; QUERY excludes '?' and the fragment; REF excludes '#')
+    — the semantics log-pipeline code silently assumes.
+
+    Scale: pure codegen projection, no shuffle; ``parse_url`` is the JVM
+    fast path vs the regexp UDF a naive port would reach for.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".example.com:844"),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit("/cat/"),
+        F.lower(F.regexp_replace("o_orderpriority", " ", "-")),
+        F.lit("/item?order="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&status="),
+        F.col("o_orderstatus"),
+        F.lit("#frag"),
+        (F.col("o_orderkey") % 3).cast("string"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("order")).alias("order_param"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+    )
+
+
+@query(
+    "agg_bitwise_mode",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) % 10 AS digit
+      FROM events
+    ),
+    md AS (
+      SELECT event_type, digit, COUNT(*) AS n
+      FROM base GROUP BY event_type, digit
+    ),
+    mode_pick AS (
+      SELECT event_type, digit AS mode_digit
+      FROM (SELECT event_type, digit,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY n DESC, digit) AS rk
+            FROM md)
+      WHERE rk = 1
+    )
+    SELECT b.event_type,
+           bit_and(b.user_id) AS mask_and,
+           bit_or(b.user_id) AS mask_or,
+           bit_xor(b.user_id) AS mask_xor,
+           ANY_VALUE(m.mode_digit) AS mode_digit
+    FROM base b JOIN mode_pick m ON b.event_type = m.event_type
+    GROUP BY b.event_type
+    """,
+)
+def agg_bitwise_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR masks over user ids — the flag-mask
+    rollup for permission bits, feature flags, bloom-ish membership
+    unions) plus ``mode(digit, deterministic=true)`` of the cents digit.
+    Spark's deterministic mode breaks frequency ties by LOWEST value;
+    DuckDB's tie-break is unspecified, so the oracle materializes the
+    frequency table and picks (count DESC, value ASC) explicitly —
+    pinning the exact tie rule rather than trusting either engine's
+    default.
+
+    Scale: all four aggregates fold in one hash agg pass (bitwise ops
+    and mode's count-map are map-side combinable).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        (F.round(F.col("value") * 100).cast("long") % 10).alias("digit"),
+    )
+    return e.groupBy("event_type").agg(
+        F.bit_and("user_id").alias("mask_and"),
+        F.bit_or("user_id").alias("mask_or"),
+        F.bit_xor("user_id").alias("mask_xor"),
+        F.expr("mode(digit, true)").alias("mode_digit"),
+    )
+
+
+@query(
+    "subquery_exists_projection",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+           EXISTS(SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000) AS has_big_order
+    FROM customer c
+    """,
+)
+def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS in PROJECTION position: per customer, boolean columns for
+    "has an urgent order" and "has a >300k order" — the flag-building
+    form of the existence subquery (the WHERE-position family lives in
+    relational2.py). Catalyst rewrites each predicate into an existence
+    join (a left join producing the boolean, deduplicated build side),
+    NOT a per-row probe — two hash joins on o_custkey at any scale, and
+    both share the orders scan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+               EXISTS(SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000) AS has_big_order
+        FROM customer c
+        """
+    )
