@@ -35,5 +35,6 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
 )
 from oe_batch_processing_spark.streaming import (  # noqa: F401
     event_windows,
+    foreach_batch,
     stateful,
 )
