@@ -55,7 +55,14 @@ ORACLE: dict[str, str] = {}
 # docs_lang_tvd_drift, agg_bitmap_exact_distinct, udtf_python_word_stats,
 # stats_equidepth_bins, pareto_frontier_parts, events_type_transitions,
 # graph_triangle_count, itemsets_frequent_pairs, dq_constraint_report,
-# asof_nearest_click, mv_incremental_hourly, win_percent_of_total.
+# asof_nearest_click, mv_incremental_hourly, win_percent_of_total, and the
+# extended-session batch: sql_pipe_revenue_by_flag,
+# events_session_window_native, agg_listagg_segment_nations,
+# events_anomaly_mad, dedup_shingle_containment, join_null_safe_halves,
+# agg_group_by_all, ingest_orc_roundtrip, sketch_countmin_user_counts,
+# dedup_cluster_canonical, intervals_coalesce_shipping,
+# scalar_url_parse_battery, agg_bitwise_mode, subquery_exists_projection,
+# stream_foreachbatch_upsert.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
