@@ -269,3 +269,98 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     # three one-row frames; broadcast cross joins, zero driver-side actions
     return nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))
+
+
+BFS_MAX_LVL = 8
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM pairs
+    ),
+    reach(node, lvl) AS (
+      SELECT CAST(2 AS BIGINT), 0
+      UNION
+      SELECT e.dst, r.lvl + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.lvl < {BFS_MAX_LVL}
+    ),
+    levels AS (SELECT node, MIN(lvl) AS lvl FROM reach GROUP BY node)
+    SELECT lvl,
+           COUNT(*) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           MIN(node // 2) AS min_entity,
+           MAX(node // 2) AS max_entity
+    FROM levels GROUP BY lvl
+"""
+
+
+@query("graph_bfs_levels", oracle=_BFS_ORACLE)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search levels from customer 1 over the bipartite
+    customer<->supplier trade graph (same edge encoding as PageRank:
+    node = 2*custkey | 2*suppkey+1), aggregated per level. BFS on a
+    CYCLIC graph — unlike ``recursive_cte_custkey_tree``'s acyclic
+    hierarchy — so the fixed point must take MIN(level) over all paths;
+    the Spark loop keeps a settled frontier (a node joins at its first
+    discovery and never re-enters), which IS that min, while the oracle
+    bounds the recursive closure at {BFS_MAX_LVL} levels and aggregates
+    MIN per node (bit-identical whenever the true eccentricity <=
+    {BFS_MAX_LVL}, asserted here).
+
+    Scale: each BFS wave is one equi-join of the frontier against the
+    edge list + an anti-join against settled nodes — diameter-many
+    ordinary shuffles. Pre-bucketing edges by src makes every wave
+    shuffle only the frontier (the PageRank note applies verbatim).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("ck"),
+            (F.col("l_suppkey") * 2 + 1).alias("sk"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("ck").alias("src"), F.col("sk").alias("dst")
+    ).union(pairs.select(F.col("sk").alias("src"), F.col("ck").alias("dst")))
+    edges = edges.persist()
+    settled = spark.createDataFrame([(2, 0)], "node long, lvl int")
+    frontier = settled
+    for lvl in range(1, BFS_MAX_LVL + 1):
+        neighbors = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = neighbors.join(settled, "node", "left_anti").select(
+            "node", F.lit(lvl).cast("int").alias("lvl")
+        )
+        new = new.persist()
+        if new.rdd.isEmpty():
+            new.unpersist()
+            break
+        settled = settled.union(new)
+        frontier = new
+    edges.unpersist()
+    return settled.groupBy("lvl").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+            "n_customers"
+        ),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0)).alias(
+            "n_suppliers"
+        ),
+        F.min(F.expr("node div 2")).alias("min_entity"),
+        F.max(F.expr("node div 2")).alias("max_entity"),
+    )

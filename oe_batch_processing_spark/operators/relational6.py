@@ -270,3 +270,123 @@ def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@query(
+    "agg_ordered_set_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_cont(value, 0.25) AS pc25,
+           quantile_cont(value, 0.50) AS pc50,
+           quantile_cont(value, 0.90) AS pc90,
+           quantile_disc(value, 0.25) AS pd25,
+           quantile_disc(value, 0.50) AS pd50,
+           quantile_disc(value, 0.90) AS pd90
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_ordered_set_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates (SQL:2003 inverse distribution):
+    ``percentile_cont`` (interpolating) and ``percentile_disc`` (actual
+    element — the smallest value whose cumulative distribution reaches
+    p) side by side at three probabilities. Pins that both engines place
+    the disc/cont boundary identically on real double data — the
+    semantics gap that silently shifts SLA percentiles when a pipeline
+    migrates engines (cont invents values that never occurred; disc
+    reports an occurred value but jumps discretely).
+
+    Scale: exact percentiles sort within each group; the
+    ``approx_percentile`` twin (``stats_percentile_approx``) is the
+    sketch path when groups stop fitting a sort.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS pc25,
+               percentile_cont(0.50) WITHIN GROUP (ORDER BY value) AS pc50,
+               percentile_cont(0.90) WITHIN GROUP (ORDER BY value) AS pc90,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS pd25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS pd50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY value) AS pd90
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "alloc_largest_remainder",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n_docs FROM documents
+      GROUP BY lang, source
+    ),
+    t AS (
+      SELECT lang, source, n_docs,
+             (10000 * n_docs) // SUM(n_docs) OVER () AS base,
+             (10000 * n_docs) % SUM(n_docs) OVER () AS rem
+      FROM g
+    ),
+    r AS (
+      SELECT lang, source, n_docs, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rk,
+             10000 - SUM(base) OVER () AS deficit
+      FROM t
+    )
+    SELECT lang, source, n_docs,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r
+    """,
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment: split a fixed budget of 10,000
+    sample slots across (lang, source) slices proportional to their doc
+    counts, with the rounding deficit going to the largest fractional
+    remainders (deterministic ties) — quotas sum to EXACTLY the budget,
+    which plain rounding does not guarantee. The integer-exact quota
+    assignment a downsampling or eval-set builder runs before sampling
+    (``sample_stratified_documents`` is the sampling step that would
+    consume these quotas).
+
+    Scale: group counts are one map-side-combined shuffle; the
+    apportionment itself runs on the |slices|-sized grid (window over a
+    dimension-cardinality frame — negligible at any corpus size).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    t = g.select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr("10000 * n_docs").alias("scaled"),
+        F.sum("n_docs").over(w_all).alias("total"),
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.expr("scaled div total").alias("base"),
+        (F.col("scaled") % F.col("total")).alias("rem"),
+    )
+    r = t.select(
+        "lang",
+        "source",
+        "n_docs",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang", "source"))
+        .alias("rk"),
+        (F.lit(10000) - F.sum("base").over(w_all)).alias("deficit"),
+    )
+    return r.select(
+        "lang",
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        ).alias("quota"),
+    )

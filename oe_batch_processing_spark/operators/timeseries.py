@@ -252,3 +252,131 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_resample_interp_linear",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(MIN(epoch(ts)) / {_BUCKET_S}) AS BIGINT) AS b0,
+             CAST(floor(MAX(epoch(ts)) / {_BUCKET_S}) AS BIGINT) AS b1
+      FROM events
+    ),
+    grid AS (
+      SELECT b0 + i AS bucket FROM bounds, UNNEST(range(b1 - b0 + 1)) AS t(i)
+    ),
+    agg AS (
+      SELECT CAST(floor(epoch(ts) / {_BUCKET_S}) AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+               AS avg_value
+      FROM events GROUP BY 1
+    ),
+    ctx AS (
+      SELECT grid.bucket, COALESCE(n, 0) AS n_events, avg_value,
+             LAST_VALUE(avg_value IGNORE NULLS) OVER
+               (ORDER BY grid.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN grid.bucket END
+                        IGNORE NULLS) OVER
+               (ORDER BY grid.bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             FIRST_VALUE(avg_value IGNORE NULLS) OVER
+               (ORDER BY grid.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN grid.bucket END
+                         IGNORE NULLS) OVER
+               (ORDER BY grid.bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM grid LEFT JOIN agg ON grid.bucket = agg.bucket
+    )
+    SELECT strftime(make_timestamp(bucket * {_BUCKET_S} * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           n_events,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+                                       / CAST(nb - pb AS DOUBLE))
+           END AS interp_value,
+           CAST(avg_value IS NULL AS BOOLEAN) AS is_interpolated
+    FROM ctx
+    """,
+)
+def events_resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling: densify to the 5-minute grid and
+    fill empty buckets by time-weighted interpolation between the
+    nearest observed bucket averages on each side — the LEVEL-signal
+    repair for downstream models that can't tolerate LOCF's staircase
+    bias (``events_gap_fill_locf`` is the step-function twin; grid edges
+    with only one neighbor stay NULL rather than extrapolate).
+
+    Cross-engine exactness: the interpolation weight is a ratio of
+    bucket-index INTEGERS, and both engines evaluate the identical
+    double expression tree on identical inputs — one fused
+    multiply-free formula, no reassociation — so even invented values
+    hash-match bit-for-bit.
+
+    Scale: same single-Exchange shape as LOCF — the fact-sized work is
+    the per-bucket aggregate; all four carry windows run over the dense
+    GRID (time-span-bounded, not data-bounded), and per-series
+    interpolation just adds partitionBy(series) to every window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / F.lit(_BUCKET_S * 1_000_000)).alias(
+        "bucket"
+    )
+    bounds = e.select(bucket).agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket")
+    )
+    agg = (
+        e.select(bucket, "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
+        )
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    known_bucket = F.when(
+        F.col("avg_value").isNotNull(), F.col("bucket")
+    )
+    ctx = (
+        grid.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            "avg_value",
+        )
+        .withColumn("pv", F.last("avg_value", ignorenulls=True).over(wb))
+        .withColumn("pb", F.last(known_bucket, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("avg_value", ignorenulls=True).over(wf))
+        .withColumn("nb", F.first(known_bucket, ignorenulls=True).over(wf))
+    )
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("bucket") - F.col("pb")).cast("double")
+                / (F.col("nb") - F.col("pb")).cast("double")
+            )
+        )
+    )
+    return ctx.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("bucket") * _BUCKET_S),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("bucket_ts"),
+        "n_events",
+        interp.alias("interp_value"),
+        F.col("avg_value").isNull().alias("is_interpolated"),
+    )
