@@ -69,6 +69,13 @@ HEADLINE = [
     "recursive_cte_custkey_tree",
     "text_repetition_ratios",
     "multimodal_rle_roundtrip",
+    # extended-session additions (native sessionization, interval islands,
+    # CMS sketch, containment dedup, linear interp):
+    "events_session_window_native",
+    "intervals_coalesce_shipping",
+    "sketch_countmin_user_counts",
+    "dedup_shingle_containment",
+    "events_resample_interp_linear",
 ]
 
 
