@@ -390,3 +390,126 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
         ).alias("quota"),
     )
+
+
+@query(
+    "scalar_try_arith_battery",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id % 7 AS den,
+             CASE event_id % 3 WHEN 0 THEN CAST(event_id AS VARCHAR)
+                               WHEN 1 THEN CAST(event_id AS VARCHAR) || 'x'
+                               ELSE '' END AS numstr
+      FROM events
+    )
+    SELECT event_id,
+           cents // NULLIF(den, 0) AS safe_div,
+           cents % NULLIF(den, 0) AS safe_mod,
+           TRY_CAST(numstr AS BIGINT) AS parsed,
+           CASE WHEN 9223372036854775807 - cents < cents THEN NULL
+                ELSE cents + cents END AS safe_add_big
+    FROM t
+    """,
+)
+def scalar_try_arith_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_*`` permissive arithmetic battery: division/modulo by zero,
+    malformed numeric strings, and (construction-level) overflow all
+    yield NULL instead of raising — the engine-native form of the
+    reference's permissive coercion contract (lib/parsers.js
+    ``Number('')``-family, O6 in SURVEY §2.1), which routes bad VALUES
+    to null exactly as the outcome router routes bad ROWS to FAILED.
+    DuckDB has no try_ arithmetic, so the oracle spells each case with
+    NULLIF / TRY_CAST / an explicit overflow guard — pinning that the
+    shortcuts agree with the explicit SQL.
+
+    Scale: codegen projection; try_ variants cost the same as their
+    throwing forms (a branch, no exception machinery on the hot path).
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_id") % 7).alias("den"),
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("event_id").cast("string")
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.col("event_id").cast("string"), F.lit("x")),
+        )
+        .otherwise(F.lit(""))
+        .alias("numstr"),
+    )
+    return t.select(
+        "event_id",
+        F.try_divide(F.col("cents"), F.nullif("den", F.lit(0)))
+        .cast("long")
+        .alias("safe_div"),
+        F.try_mod(F.col("cents"), F.nullif("den", F.lit(0))).alias("safe_mod"),
+        F.expr("try_cast(numstr AS BIGINT)").alias("parsed"),
+        F.try_add(F.col("cents"), F.col("cents")).alias("safe_add_big"),
+    )
+
+
+@query(
+    "events_pattern_sequence",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           length(s) AS seq_len,
+           len(regexp_extract_all(s, 'cp')) AS n_quick_conversions,
+           CASE WHEN s LIKE '%cp%'
+                THEN CAST(strpos(s, 'cp') AS BIGINT) ELSE 0 END
+             AS first_quick_pos,
+           regexp_matches(s, 'c.*v.*p') AS has_cvp_funnel,
+           len(regexp_extract_all(s, 'e+')) AS n_error_bursts
+    FROM seq
+    """,
+)
+def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite sequence pattern matching: collapse each user's ordered
+    event history into a character sequence (one letter per type) and
+    run PATTERNS over it — immediate click→purchase conversions
+    (count + first position), a click…view…purchase funnel test, and
+    error-burst runs. The regex-over-sequence trick turns "events
+    A then B then C in order" questions into string matching — the poor
+    man's MATCH_RECOGNIZE, and often all a funnel analysis needs.
+    Ordering ties break on event_id, so the sequence string — and every
+    match — is engine-deterministic.
+
+    Scale: one shuffle to order each user's history (the same exchange
+    every per-user window op pays); per-user sequences are session-sized.
+    For multi-GB single users, segment the sequence by day first (the
+    pattern window rarely spans months).
+    """
+    e = load_table(spark, sf_dir, "events")
+    register_views(spark, sf_dir)
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "listagg(substring(event_type, 1, 1), '') "
+                "WITHIN GROUP (ORDER BY ts, event_id)"
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").alias("seq_len"),
+        F.regexp_count("s", F.lit("cp")).alias("n_quick_conversions"),
+        F.when(
+            F.col("s").contains("cp"),
+            F.instr(F.col("s"), "cp").cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("first_quick_pos"),
+        F.col("s").rlike("c.*v.*p").alias("has_cvp_funnel"),
+        F.regexp_count("s", F.lit("e+")).alias("n_error_bursts"),
+    )

@@ -380,3 +380,44 @@ def events_resample_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         interp.alias("interp_value"),
         F.col("avg_value").isNull().alias("is_interpolated"),
     )
+
+
+@query(
+    "events_weekly_seasonality",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow_sun0,
+           CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: the (day-of-week × hour) activity grid
+    — event counts, exact mean value, distinct users — the baseline
+    surface that anomaly detectors and capacity planners diff against
+    ("is this Tuesday 3pm normal FOR a Tuesday 3pm?"). Day numbering is
+    normalized to DuckDB's Sunday=0 (Spark's dayofweek is Sunday=1, the
+    ``scalar_interval_arith`` convention).
+
+    Scale: one map-side-combined aggregate into a fixed 168-cell grid —
+    the profile is constant-size regardless of event volume, and
+    re-buildable incrementally per partition then merged (counts and
+    decimal sums add; the distinct-user column is the one non-mergeable
+    — swap for an HLL sketch per cell at 100 TB, the
+    ``sketch_hll_user_rollup`` shape).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow_sun0"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -170,3 +170,78 @@ def user_value_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_min"
         ),
     )
+
+
+ARROW_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("total_cents", LongType(), True),
+        StructField("min_cents", LongType(), True),
+        StructField("max_cents", LongType(), True),
+        StructField("n_distinct_types", LongType(), True),
+    ]
+)
+
+
+@query(
+    "arrow_user_value_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+           MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents,
+           COUNT(DISTINCT event_type) AS n_distinct_types
+    FROM events GROUP BY user_id
+    """,
+)
+def arrow_user_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInArrow`` grouped map: per-user stats computed directly on
+    pyarrow Tables — Spark 4's zero-pandas grouped extension point (one
+    deserialization layer less than ``applyInPandas``: no
+    Arrow→pandas→Arrow bounce, no dtype coercion surprises for large
+    ints). The kernel runs pyarrow.compute aggregations over
+    integer-cents columns, so the result is exact and the plain-SQL
+    oracle hash-matches — same contract as the pandas UDAF twin
+    (``udaf_user_value_trend``), one runtime dependency fewer.
+
+    Scale: identical shuffle shape to applyInPandas (one exchange on the
+    group key, Arrow-batched groups); pyarrow.compute stays in C++ with
+    zero-copy views of the batch buffers.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        return pa.table(
+            {
+                "user_id": [table.column("user_id")[0].as_py()],
+                "n": [table.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "min_cents": [pc.min(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+                "n_distinct_types": [
+                    pc.count_distinct(table.column("event_type")).as_py()
+                ],
+            },
+            schema=pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("n", pa.int64()),
+                    ("total_cents", pa.int64()),
+                    ("min_cents", pa.int64()),
+                    ("max_cents", pa.int64()),
+                    ("n_distinct_types", pa.int64()),
+                ]
+            ),
+        )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("user_id").applyInArrow(stats, schema=ARROW_STATS_SCHEMA)
