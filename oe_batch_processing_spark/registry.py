@@ -64,7 +64,9 @@ ORACLE: dict[str, str] = {}
 # scalar_url_parse_battery, agg_bitwise_mode, subquery_exists_projection,
 # stream_foreachbatch_upsert, agg_ordered_set_percentiles,
 # alloc_largest_remainder, graph_bfs_levels,
-# events_resample_interp_linear.
+# events_resample_interp_linear, scalar_try_arith_battery,
+# events_pattern_sequence, arrow_user_value_stats,
+# events_weekly_seasonality.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
