@@ -513,3 +513,209 @@ def events_pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").rlike("c.*v.*p").alias("has_cvp_funnel"),
         F.regexp_count("s", F.lit("e+")).alias("n_error_bursts"),
     )
+
+
+@query(
+    "join_range_pure_bucketized",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_shipped_in_window
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_pure_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key) via the bucketization rewrite: count
+    ALL lineitems shipped inside each urgent order's 7-day window.
+    Without an equi key Catalyst's only plan is BroadcastNestedLoopJoin —
+    |orders| × |lineitems| predicate evaluations, the quadratic cliff
+    every pipeline with a point-in-interval join eventually falls off.
+    The rewrite: bucket time into interval-sized cells (7 days), explode
+    each interval onto the <=2 cells it can span, equi-join points to
+    intervals ON THE CELL, then re-verify the exact predicate. Join fan-in
+    per cell is days-worth-of-data, the shuffle carries each row at most
+    twice, and the plan becomes an ordinary hash join — the
+    BroadcastNestedLoop never appears (the oracle runs the naive form,
+    which DuckDB executes as an IEJoin; same relation, different planner
+    escape hatch).
+
+    Scale: cell width should match the interval length (one-interval ≈
+    one-to-two cells); heavily skewed cells split under AQE like any hash
+    join. This is the standard pattern for point-in-interval at 100 TB —
+    also the IP-range lookup and sensor-windowing shape.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("item_key"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    # weekly cells anchored at the epoch; a 7-day window spans <= 2 cells
+    cell = lambda c: F.floor(F.unix_date(c) / 7)  # noqa: E731
+    points = li.withColumn("cell", cell(F.col("sd")))
+    intervals = o.withColumn(
+        "cell", F.explode(F.sequence(cell(F.col("od")), cell(F.date_add("od", 6))))
+    )
+    matched = (
+        intervals.join(points, "cell")
+        .filter(
+            (F.col("sd") >= F.col("od"))
+            & (F.col("sd") < F.date_add(F.col("od"), 7))
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipped_in_window"))
+    )
+    # LEFT semantics: urgent orders with zero matches still appear
+    return (
+        o.select("o_orderkey")
+        .join(matched, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_shipped_in_window", F.lit(0)).alias(
+                "n_shipped_in_window"
+            ),
+        )
+    )
+
+
+@query(
+    "stats_chi2_type_dow",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    )
+    SELECT event_type,
+           COUNT(*) AS n_cells,
+           CAST(SUM(CAST(
+             (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+             * (o - CAST(row_tot * col_tot AS DOUBLE) / n)
+             / (CAST(row_tot * col_tot AS DOUBLE) / n)
+             AS DECIMAL(18,6))) AS DOUBLE) AS chi2_contrib
+    FROM tot GROUP BY event_type
+    """,
+)
+def stats_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence statistic for event_type × day-of-week:
+    per-cell (observed − expected)²/expected contributions, aggregated
+    per type — is activity mix independent of weekday? (The STATISTIC,
+    engine-exact; mapping to a p-value is a table lookup downstream —
+    the incomplete-gamma evaluation is the one piece that doesn't belong
+    in a distributed scan.) Each cell term is an identical double
+    expression both engines quantize to decimal before the
+    order-independent sum — the ``stats_exact_moments`` convention
+    applied to a contingency grid.
+
+    Scale: one shuffle builds the contingency table; everything after
+    runs on the |types| × 7 grid. The grid is mergeable (counts add), so
+    per-partition tables union before the statistic — a one-pass
+    monitor for "did this slice's weekly mix shift".
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "event_type",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return tot.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(term.cast("decimal(18,6)")).cast("double").alias("chi2_contrib"),
+    )
+
+
+@query(
+    "ab_test_conversion_lift",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 2)
+                       AS INT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a_users,
+      CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT)
+        AS a_converted,
+      CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS b_users,
+      CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT)
+        AS b_converted,
+      CAST((1000000 * SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END))
+        // SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS rate_a_ppm,
+      CAST((1000000 * SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END))
+        // SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS rate_b_ppm
+    FROM arms
+    """,
+)
+def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assigned to arms by a HASH-STABLE
+    md5 coin (same salt convention as ``docs_train_val_test_split`` —
+    re-running the pipeline never reassigns anyone), conversion = any
+    purchase event, per-arm rates as ppm floor-division integers. The
+    allocation-through-readout path every experimentation platform runs;
+    hash assignment is what makes it reproducible across engines, runs,
+    and retries — proven by the cross-engine hash match.
+
+    Scale: one per-user aggregate (map-side combinable max), then a
+    single global fold to the 1-row readout.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    arms = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    a_conv = F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+    a_n = F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+    b_conv = F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+    b_n = F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+    return arms.agg(
+        a_n.cast("long").alias("a_users"),
+        a_conv.cast("long").alias("a_converted"),
+        b_n.cast("long").alias("b_users"),
+        b_conv.cast("long").alias("b_converted"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END))"
+            " div sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)"
+        ).alias("rate_a_ppm"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END))"
+            " div sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)"
+        ).alias("rate_b_ppm"),
+    )
