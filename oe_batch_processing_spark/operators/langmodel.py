@@ -227,3 +227,170 @@ def docs_lang_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term).alias("tvd_scaled_x2"))
         .orderBy("lang")
     )
+
+
+# Fixed BPE merge table (priority-ordered). Applied to the space-separated
+# character form of each word; each rule rewrites every occurrence. The
+# token count after all rules IS the metric definition — deterministic and
+# engine-identical — matching exact greedy-BPE whenever rule outputs don't
+# re-overlap (true for this table over [a-z] words).
+_BPE_MERGES = (
+    ("t h", "th"),
+    ("a n", "an"),
+    ("i n", "in"),
+    ("e r", "er"),
+    ("r e", "re"),
+    ("o n", "on"),
+    ("s t", "st"),
+    ("th e", "the"),
+)
+
+
+def _bpe_sql(var: str, *, duck: bool) -> str:
+    """Expression applying the merge table to one word bound to ``var``."""
+    spaced = (
+        f"trim(regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+        if duck
+        else f"trim(regexp_replace({var}, '(.)', '$1 '))"
+    )
+    expr = spaced
+    for pat, rep in _BPE_MERGES:
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+@query(
+    "text_bpe_apply_fertility",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, w,
+             len(string_split({_bpe_sql('w', duck=True)}, ' ')) AS n_tok
+      FROM words WHERE w <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(n_tok)) // COUNT(*) AS BIGINT)
+             AS fertility_ppm
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table application — the tokenizer-side cost model of a
+    training-data pipeline: each word is exploded to characters and an
+    8-rule priority-ordered merge table is applied (th/an/in/er/re/on/st
+    /the); output is per-doc word count, BPE token count, and fertility
+    (tokens per word, ppm) — the metric that decides how much compute a
+    corpus slice actually costs and flags languages/domains a tokenizer
+    serves badly. The ordered-rewrite semantics IS the metric definition
+    (identical in both engines; matches exact greedy BPE when rule
+    outputs don't re-overlap, as here).
+
+    Scale: pure per-row JVM string rewriting inside one projection —
+    no explode-shuffle (the word loop runs in a higher-order transform);
+    one map-side-combined aggregate per doc. A real 50k-merge vocab
+    would move the table into a broadcast map + Arrow UDF loop, same
+    fan-out shape as ``multimodal_byte_features``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_per_word = (
+        f"transform(filter(split(text, ' '), w -> w <> ''), "
+        f"w -> size(split({_bpe_sql('w', duck=False)}, ' ')))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"{tok_per_word}").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_words"),
+            F.expr("aggregate(toks, 0L, (a, x) -> a + x)").alias("n_tokens"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div n_words").alias("fertility_ppm"),
+        )
+    )
+
+
+@query(
+    "docs_bigram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    train_bi AS (
+      SELECT DISTINCT words[i+1] || ' ' || words[i+2] AS bg
+      FROM toks, UNNEST(range(len(words) - 1)) AS t(i)
+      WHERE doc_id % 10 < 8
+    ),
+    val_bi AS (
+      SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] AS bg
+      FROM toks, UNNEST(range(len(words) - 1)) AS t(i)
+      WHERE doc_id % 10 >= 8
+    )
+    SELECT v.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unseen,
+           CAST((1000000 * SUM(CASE WHEN t.bg IS NULL THEN 1 ELSE 0 END))
+             // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM val_bi v LEFT JOIN train_bi t ON v.bg = t.bg
+    GROUP BY v.doc_id
+    """,
+)
+def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram NOVELTY of held-out documents vs the training split: the
+    fraction (ppm) of each val doc's distinct word bigrams never seen in
+    training — the inverse of contamination checking
+    (``text_contamination_ngrams`` asks "did eval leak INTO train"; this
+    asks "how much of this doc is genuinely new"), and the cheap proxy
+    for "will this slice teach the model anything". Same hash-stable
+    doc_id % 10 split as ``text_bigram_lm_score``.
+
+    Scale: two distinct-bigram shuffles (word-count shape) + one hash
+    join on the bigram key; the train side is vocabulary²-bounded in
+    principle but Zipf-sparse in practice. At 100 TB the train set
+    becomes a bloom filter broadcast to the scorers — same relation,
+    probabilistic membership.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split("text", " ")
+    ).filter(F.size("words") >= 2)
+    bigrams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(words) - 2), "
+                "i -> concat(words[i], ' ', words[i + 1])))"
+            )
+        ).alias("bg"),
+    )
+    train = (
+        bigrams(docs.filter(F.col("doc_id") % 10 < 8))
+        .select("bg")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    val = bigrams(docs.filter(F.col("doc_id") % 10 >= 8))
+    joined = val.join(train, "bg", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END))"
+            " div count(1)"
+        ).alias("novelty_ppm"),
+    )

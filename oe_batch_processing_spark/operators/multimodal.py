@@ -601,3 +601,134 @@ def multimodal_rle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=RLE_SCHEMA)
+
+
+# --- perceptual average-hash (aHash) over raw rasters -----------------------
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_rows", IntegerType(), False),
+        StructField("mean_lum", IntegerType(), False),
+        StructField("ahash_hex", StringType(), False),
+    ]
+)
+
+_AHASH_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS px,
+             (n_bytes // {RASTER_W}) * {RASTER_W} AS npx,
+             n_bytes // {RASTER_W} AS n_rows
+      FROM h
+    ),
+    blocks AS (
+      SELECT media_id, npx, n_rows,
+             CASE WHEN npx > 0 THEN LIST_SUM(px[1:npx]) ELSE 0 END AS gsum,
+             [ COALESCE(LIST_SUM([
+                 CASE WHEN ((8 * (i // {RASTER_W})) // n_rows) * 8
+                           + (i % {RASTER_W}) // 4 = blk
+                      THEN px[i + 1] ELSE 0 END
+                 FOR i IN range(npx)]), 0)
+               FOR blk IN range(64)] AS bsum,
+             [ COALESCE(LIST_SUM([
+                 CASE WHEN ((8 * (i // {RASTER_W})) // n_rows) * 8
+                           + (i % {RASTER_W}) // 4 = blk
+                      THEN 1 ELSE 0 END
+                 FOR i IN range(npx)]), 0)
+               FOR blk IN range(64)] AS bcnt
+      FROM b WHERE npx > 0
+    ),
+    bits AS (
+      SELECT media_id, npx, n_rows, gsum,
+             [ CASE WHEN bcnt[blk + 1] > 0
+                     AND bsum[blk + 1] * npx > gsum * bcnt[blk + 1]
+                    THEN 1 ELSE 0 END
+               FOR blk IN range(64)] AS bit
+      FROM blocks
+    )
+    SELECT media_id,
+           CAST(n_rows AS INTEGER) AS n_rows,
+           CAST(gsum // npx AS INTEGER) AS mean_lum,
+           printf('%08x%08x',
+             CAST(LIST_SUM([bit[blk + 1] << blk FOR blk IN range(32)])
+                  AS BIGINT),
+             CAST(LIST_SUM([bit[blk + 33] << blk FOR blk IN range(32)])
+                  AS BIGINT)) AS ahash_hex
+    FROM bits
+"""
+
+
+@query("multimodal_image_ahash", oracle=_AHASH_ORACLE)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) for image near-dup detection: the
+    raw {RASTER_W}-wide grayscale raster is partitioned into an 8×8 block
+    grid, and each bit records whether its block's mean luminance exceeds
+    the image mean — the classic 64-bit perceptual fingerprint that
+    survives resizing and small edits, and the image-side analog of
+    ``dedup_simhash`` (downstream: identical chunk-bucket candidate join
+    + hamming verify on the hex halves).
+
+    Exactness: the block-vs-global mean comparison is an integer
+    CROSS-MULTIPLY (block_sum × total_pixels > global_sum × block_pixels)
+    — no division, no floats — so the DuckDB oracle rebuilds every pixel
+    from hex nibbles and reproduces the hash bit-for-bit. Images too
+    short to fill a row-band leave those bits 0 by definition (bcnt = 0),
+    deterministically on both engines.
+
+    Scale: embarrassingly parallel mapInPandas over Arrow batches (the
+    ``multimodal_raster_gradients`` shape); per-image work is one numpy
+    pass + a 64-bin scatter-add.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = media_frame(docs).filter(F.col("media_type") == "image")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n_rows = len(b) // RASTER_W
+                npx = n_rows * RASTER_W
+                if npx == 0:
+                    continue
+                a = (
+                    np.frombuffer(b[:npx], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(n_rows, RASTER_W)
+                )
+                r_idx = (8 * np.arange(n_rows)) // n_rows
+                c_idx = np.arange(RASTER_W) // 4
+                blk = (r_idx[:, None] * 8 + c_idx[None, :]).ravel()
+                px = a.ravel()
+                bsum = np.zeros(64, dtype=np.int64)
+                bcnt = np.zeros(64, dtype=np.int64)
+                np.add.at(bsum, blk, px)
+                np.add.at(bcnt, blk, 1)
+                gsum = int(px.sum())
+                bit = ((bcnt > 0) & (bsum * npx > gsum * bcnt)).astype(
+                    np.int64
+                )
+                hi = int((bit[:32] << np.arange(32)).sum())
+                lo = int((bit[32:] << np.arange(32)).sum())
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_rows": n_rows,
+                        "mean_lum": gsum // npx,
+                        "ahash_hex": f"{hi:08x}{lo:08x}",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return imgs.select("media_id", "payload").mapInPandas(run, schema=AHASH_SCHEMA)
