@@ -66,7 +66,9 @@ ORACLE: dict[str, str] = {}
 # alloc_largest_remainder, graph_bfs_levels,
 # events_resample_interp_linear, scalar_try_arith_battery,
 # events_pattern_sequence, arrow_user_value_stats,
-# events_weekly_seasonality.
+# events_weekly_seasonality, join_range_pure_bucketized,
+# stats_chi2_type_dow, ab_test_conversion_lift, multimodal_image_ahash,
+# text_bpe_apply_fertility, docs_bigram_novelty.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
