@@ -183,3 +183,60 @@ def test_route_observed_counts_match_aggregation_pass(spark, tmp_path):
     assert got["totalRecordCount"] == 90  # IGNORED rows never counted
     assert got["successCount"] == 60
     assert got["failureCount"] == 30
+
+
+def test_bucketized_range_join_has_no_nested_loop(spark):
+    """join_range_pure_bucketized exists to AVOID the BroadcastNestedLoop
+    plan a no-equi-key range join otherwise gets: the cell equi-key must
+    make it an ordinary hash/sort-merge join."""
+    df = registry.QUERIES["join_range_pure_bucketized"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_anomaly_broadcasts_stats_back(spark):
+    """events_anomaly_mad: the per-type median/MAD rows must broadcast onto
+    the event stream — a shuffled fact-side join would defeat the point."""
+    df = registry.QUERIES["events_anomaly_mad"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """<=> keys hash like ordinary keys: the null-safe join must not fall
+    back to a nested-loop plan."""
+    df = registry.QUERIES["join_null_safe_halves"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_coalescing_single_exchange(spark):
+    """intervals_coalesce_shipping: both window passes and the two-level
+    aggregation ride ONE hash partitioning on l_suppkey."""
+    df = registry.QUERIES["intervals_coalesce_shipping"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    n_nodes = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_nodes == 1, f"expected 1 Exchange node, plan has {n_nodes}"
+
+
+def test_exists_projection_plans_existence_joins(spark):
+    """Projection-position EXISTS must rewrite to existence joins, not
+    per-row subquery execution."""
+    df = registry.QUERIES["subquery_exists_projection"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistenceJoin" in formatted_plan(df) or "exists" in plan
+
+
+def test_bpe_fertility_is_shuffle_light(spark):
+    """text_bpe_apply_fertility: the per-word rewrite loop runs inside a
+    projection (higher-order transform) — no explode shuffle; the only
+    Exchange allowed is a final small-output coalesce/agg boundary."""
+    df = registry.QUERIES["text_bpe_apply_fertility"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan  # no explode of the word stream
