@@ -771,3 +771,92 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("keep_n_chars"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+@query("dedup_jaccard_prefix_filter", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs (J >= 0.8) via PPJoin-style PREFIX FILTERING —
+    same relation as ``dedup_jaccard_shingles`` (same oracle!), far
+    smaller candidate join. Each doc's shingles are ordered by GLOBAL
+    rarity (ascending document frequency, ties by shingle); only the
+    first ``|d| - ceil(0.8·|d|) + 1`` shingles are indexed. Soundness:
+    J(x,y) >= t implies overlap >= ceil(t·max(|x|,|y|)) (from the size
+    filter |y| >= t·|x|), and two sets whose overlap is >= a must
+    collide within their (len - a + 1)-prefixes under any shared total
+    order — so every qualifying pair survives, which the shared exact
+    oracle enforces every round. Rarity ordering makes surviving prefix
+    collisions RARE shingles, collapsing the quadratic bucket fan-out
+    the full inverted index pays on common shingles.
+
+    Scale: one extra vocabulary-sized aggregate (DF counts) and an
+    explode bounded at ~20% of the shingle stream; candidate
+    verification re-checks true Jaccard on the full sorted arrays via a
+    JVM array intersect. This is the production exact-join path when LSH
+    recall guarantees aren't acceptable; combine with the size filter
+    (|y| >= t·|x|) already implicit in the verify step.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arrs = shingle_arrays(docs, 3).persist()
+    exploded = arrs.select("doc_id", F.explode("shingles").alias("sh"))
+    # document frequency per shingle -> global rarity rank (rare first)
+    df_counts = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("dfreq"))
+    from pyspark.sql.window import Window as _W
+
+    ranked = df_counts.withColumn(
+        "rank", F.row_number().over(_W.orderBy("dfreq", "sh"))
+    )
+    # per-doc shingle list re-sorted by rarity; keep the prefix
+    by_rarity = (
+        exploded.join(ranked, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "sh"))
+            ).alias("rs")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(rs, x -> x.sh)").alias("by_rarity"),
+            F.size("rs").alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "slice(by_rarity, 1, n - cast(ceil(0.8 * n) as int) + 1)"
+            ).alias("prefix"),
+        )
+    )
+    cand = (
+        by_rarity.select("doc_id", F.explode("prefix").alias("sh"))
+        .alias("a")
+        .join(
+            by_rarity.select("doc_id", F.explode("prefix").alias("sh")).alias(
+                "b"
+            ),
+            F.expr("a.sh = b.sh AND a.doc_id < b.doc_id"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) / "
+                "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return verified
