@@ -270,3 +270,81 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "pyds_stream_synthetic",
+    oracle="""
+    WITH gen AS (
+      SELECT i AS id, (i * 48271) % 2147483647 AS amount
+      FROM (SELECT UNNEST(range(20000)) AS i)
+    )
+    SELECT CASE amount % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+                           ELSE 'gamma' END AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(amount) AS BIGINT) AS total_amount,
+           MIN(id) AS min_id,
+           MAX(id) AS max_id
+    FROM gen
+    GROUP BY 1
+    """,
+)
+def pyds_stream_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read through the custom Python DataSource
+    (sources/py_datasource.py ``simpleStreamReader`` — Spark 4's
+    user-defined streaming source API): the connector pages the same
+    deterministic LCG rows in 2,000-row micro-batch slices with a real
+    offset contract (initialOffset / read / readBetweenOffsets), the
+    query appends each batch to a sink, and the operator stops the
+    stream once all 20,000 rows have arrived. Aggregating the streamed
+    rows then hash-matches the SAME DuckDB oracle as the batch-connector
+    twin (``pyds_synthetic_events``) — batch/stream parity through a
+    custom connector, multi-micro-batch by construction (AvailableNow
+    falls back to single-batch for Python streaming sources, so the
+    operator drives a processing-time trigger and stops at the known
+    row count instead).
+
+    Scale: offsets page the source; each micro-batch is bounded by
+    ``batch_rows`` regardless of backlog — the backpressure contract the
+    reference implements with paused streams (lib/batchProcessing.js
+    backpressure), here expressed as offset-range slicing.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from oe_batch_processing_spark.sources import py_datasource
+
+    py_datasource.register(spark)
+    n_rows = 20000
+    name = f"pyds_stream_{_uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", n_rows)
+        .option("batch_rows", 2000)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = spark.table(name)
+    got = streamed.count()
+    assert got == n_rows, f"streamed {got} rows, expected {n_rows}"
+    return streamed.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").alias("total_amount"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

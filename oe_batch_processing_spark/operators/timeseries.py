@@ -421,3 +421,74 @@ def events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_late_arrival_profile",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, event_id,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+      FROM events
+    ),
+    d AS (
+      SELECT event_type,
+             GREATEST(COALESCE(MAX(ts_us) OVER w, ts_us) - ts_us, 0)
+               AS late_us
+      FROM o
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1m,
+           CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_10m,
+           MAX(late_us) // 1000000 AS max_disorder_sec
+    FROM d GROUP BY event_type
+    """,
+)
+def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile — the measurement that SIZES a watermark:
+    treating event_id as arrival order, each event's lateness is how far
+    its event time lags the running max of everything that arrived
+    before it; reported per type as disorder counts at 0s/1m/10m
+    thresholds plus the worst case. Run this BEFORE picking
+    ``withWatermark`` bounds (streaming/event_windows.py uses 1 hour) —
+    a watermark below the observed tail silently drops those rows, a
+    watermark far above it holds state for no reason.
+
+    Scale: one shuffle on event_type for the ordered pass (same exchange
+    any per-key window pays), then a map-side-combined fold to
+    |types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = e.select(
+        "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        F.coalesce(F.max("ts_us").over(w), F.col("ts_us")) - F.col("ts_us"),
+        F.lit(0),
+    )
+    d = o.select("event_type", late.alias("late_us"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_order"),
+        F.sum(F.when(F.col("late_us") > 60_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_1m"),
+        F.sum(F.when(F.col("late_us") > 600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late_10m"),
+        F.expr("max(late_us) div 1000000").alias("max_disorder_sec"),
+    )

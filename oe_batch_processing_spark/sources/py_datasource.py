@@ -23,7 +23,12 @@ partition's read() iterator without materializing the partition in memory.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 MINSTD_MUL = 48271
 MINSTD_MOD = 2147483647  # 2^31 - 1
@@ -64,7 +69,41 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the connector on this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: serves the SAME deterministic
+    LCG rows in fixed-size micro-batch slices, offset = next row id.
+    A real connector would page a queue/changefeed here; the LCG keeps
+    the full stream oracle-regenerable."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch_rows", 250))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = int(start["i"])
+        if i >= self.n:
+            return iter([]), {"i": i}
+        hi = min(i + self.batch, self.n)
+        rows = [
+            (rid, 0, KINDS[synth_amount(rid) % 3], synth_amount(rid))
+            for rid in range(i, hi)
+        ]
+        return iter(rows), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (rid, 0, KINDS[synth_amount(rid) % 3], synth_amount(rid))
+            for rid in range(int(start["i"]), int(end["i"]))
+        )
