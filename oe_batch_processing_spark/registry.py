@@ -68,7 +68,9 @@ ORACLE: dict[str, str] = {}
 # events_pattern_sequence, arrow_user_value_stats,
 # events_weekly_seasonality, join_range_pure_bucketized,
 # stats_chi2_type_dow, ab_test_conversion_lift, multimodal_image_ahash,
-# text_bpe_apply_fertility, docs_bigram_novelty.
+# text_bpe_apply_fertility, docs_bigram_novelty,
+# dedup_jaccard_prefix_filter, pyds_stream_synthetic,
+# events_late_arrival_profile.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
