@@ -490,3 +490,125 @@ def text_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id, {_tier_case_sql()} AS tier
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT user_id, ts, tier,
+             CASE WHEN LAG(tier) OVER w IS DISTINCT FROM tier THEN 1 ELSE 0
+               END AS chg
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, tier,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    hist AS (
+      SELECT user_id, tier, run_id, MIN(ts) AS vf
+      FROM runs GROUP BY 1, 2, 3
+    ),
+    versions AS (
+      SELECT user_id, tier, vf,
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY run_id) AS vt
+      FROM hist
+    )
+    SELECT COALESCE(v.tier, 'none') AS tier_at_event,
+           e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    LEFT JOIN versions v
+      ON v.user_id = e.user_id
+     AND e.ts >= v.vf AND (v.vt IS NULL OR e.ts < v.vt)
+    GROUP BY 1, 2
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against the SCD2 dimension — the feature-store
+    pattern: every event is enriched with the user's value tier AS OF
+    the event's own timestamp (never the current tier — that's label
+    leakage), then aggregated per (tier, event_type). The oracle spells
+    the textbook form (range join on [valid_from, valid_to)); the Spark
+    plan avoids the range join entirely with the union-carry trick:
+    version-change rows and event rows interleave in one per-user
+    ordered pass, a carried ``last(tier)`` assigns each event its
+    then-current version — ONE shuffle on user_id, no interval probing,
+    no IEJoin dependency. Events before a user's first version get tier
+    'none' (the honest cold-start bucket).
+
+    Scale: the dominant cost is one user_id exchange over events ∪
+    versions; versions are run-length-compressed (|versions| ≪ |events|),
+    so the union adds almost nothing. This is the exact shape ML feature
+    backfills run at 100 TB — and why they don't need a temporal-join
+    engine extension.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.expr(_tier_case_sql()).alias("tier")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = p.select(
+        "user_id",
+        "ts",
+        "tier",
+        F.when(
+            ~F.lag("tier").over(w).eqNullSafe(F.col("tier")), F.lit(1)
+        ).otherwise(F.lit(0)).alias("chg"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = marked.select(
+        "user_id", "ts", "tier", F.sum("chg").over(wrun).alias("run_id")
+    )
+    versions = runs.groupBy("user_id", "tier", "run_id").agg(
+        F.min(F.unix_micros("ts")).alias("ts_us")
+    )
+    changes = versions.select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("pri"),
+        F.col("tier").alias("v_tier"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    ev_rows = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).alias("pri"),
+        F.lit(None).cast("string").alias("v_tier"),
+        "event_type",
+        "value",
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "pri")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        changes.unionByName(ev_rows)
+        .withColumn("tier_now", F.last("v_tier", ignorenulls=True).over(wc))
+    )
+    return (
+        carried.filter(F.col("pri") == 1)
+        .groupBy(
+            F.coalesce("tier_now", F.lit("none")).alias("tier_at_event"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

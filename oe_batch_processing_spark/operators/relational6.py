@@ -719,3 +719,66 @@ def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)"
         ).alias("rate_b_ppm"),
     )
+
+
+@query(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey, o.o_orderdate AS od, MAX(l.l_shipdate) AS sd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT od AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT sd + INTERVAL 1 DAY AS day, -1 AS d FROM spans
+    ),
+    daily AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS net_change
+      FROM deltas GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           net_change,
+           CAST(SUM(net_change) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sourced backlog curve: each order is open from its order
+    date until its last item ships; the daily open-order count is the
+    running sum of +1/−1 boundary deltas — the interval-counting /
+    concurrency-curve pattern (open tickets, concurrent sessions,
+    inventory on hand) that naive per-day recounting makes O(days ×
+    orders). Delta encoding makes it one aggregate plus one running sum
+    over |distinct days| rows.
+
+    Scale: the span build is a keyed aggregate; deltas collapse to at
+    most 2 rows per order then group to |days| rows, and the running sum
+    runs over the day axis (thousands of rows at ANY fact volume). The
+    curve is mergeable: partial delta tables add before the final scan.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "od")
+        .agg(F.max("sd").alias("sd"))
+    )
+    deltas = spans.select(
+        F.col("od").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        spans.select(F.date_add("sd", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("long").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).cast("long").alias("open_orders"),
+    )
