@@ -70,7 +70,8 @@ ORACLE: dict[str, str] = {}
 # stats_chi2_type_dow, ab_test_conversion_lift, multimodal_image_ahash,
 # text_bpe_apply_fertility, docs_bigram_novelty,
 # dedup_jaccard_prefix_filter, pyds_stream_synthetic,
-# events_late_arrival_profile.
+# events_late_arrival_profile, scd2_point_in_time_join,
+# orders_open_backlog_daily.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
