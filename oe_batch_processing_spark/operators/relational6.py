@@ -782,3 +782,59 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("long").alias("open_orders"),
     )
+
+
+@query(
+    "subquery_not_in_null_trap",
+    oracle="""
+    WITH keys AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id % 50 END
+               AS k
+      FROM events
+    )
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM keys)) AS n_not_in_with_null,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+        AS n_not_in_filtered,
+      (SELECT COUNT(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_custkey))
+        AS n_not_exists
+    """,
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned cross-engine: when the subquery list
+    contains a NULL, ``x NOT IN (...)`` is never TRUE (three-valued
+    logic: x <> NULL is UNKNOWN), so the first count is 0 — silently —
+    which is the single most common "my anti-join returns nothing" bug
+    in migrated SQL. The second count filters the NULLs and behaves as
+    intended; the third is the NOT EXISTS rewrite, which ignores NULLs
+    by construction and is what Catalyst turns into a clean anti join
+    (NOT IN needs a null-aware anti join — a strictly more expensive
+    plan). All three side by side, value-hash-matched on both engines.
+
+    Scale: prefer NOT EXISTS (plain left-anti shuffle) over NOT IN on
+    nullable columns — both for the semantics and for the plan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (
+             SELECT CASE WHEN event_type = 'error' THEN NULL
+                         ELSE user_id % 50 END
+             FROM events)) AS n_not_in_with_null,
+          (SELECT COUNT(*) FROM customer
+           WHERE c_custkey NOT IN (
+             SELECT user_id % 50 FROM events WHERE event_type <> 'error'))
+            AS n_not_in_filtered,
+          (SELECT COUNT(*) FROM customer c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM events e
+             WHERE (CASE WHEN e.event_type = 'error' THEN NULL
+                         ELSE e.user_id % 50 END) = c.c_custkey))
+            AS n_not_exists
+        """
+    )

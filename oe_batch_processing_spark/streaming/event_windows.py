@@ -287,3 +287,33 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
     )
     return run_available_now(agg, "complete")
+
+
+def dedup_pairs_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup with BOUNDED state via
+    ``dropDuplicatesWithinWatermark``: unlike plain ``dropDuplicates``
+    (whose key state grows forever on an unbounded stream), entries are
+    evicted once the watermark passes their event time + delay — the
+    production form for at-least-once sources whose duplicates arrive
+    close together (retries, replays). Within the horizon the result
+    equals DISTINCT; a duplicate arriving later than the watermark delay
+    may legitimately re-emit, which is the documented contract (state
+    can't be infinite), not a defect. Only the key columns are emitted
+    so the surviving-row choice can't affect the relation.
+    """
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        dedup_pairs_within_watermark(events_stream(spark, sf_dir)), "append"
+    )
