@@ -838,3 +838,161 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_exists
         """
     )
+
+
+@query(
+    "customer_rfm_scores",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    base AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT d0 FROM maxd))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+    FROM base
+    """,
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM scoring: per customer, days
+    since last order (anchored at the data's max date so the query is
+    re-runnable), order count, exact decimal spend, and three NTILE(4)
+    quartile scores with deterministic tie-breaks (1 = best: most
+    recent / most frequent / highest spend). Downstream picks segments
+    like 111 = champions, 4xx = churned.
+
+    Scale: one keyed aggregate over orders; the three quartile windows
+    are global sorts over the |customers| dimension — swap NTILE for
+    approx_percentile edges at extreme cardinality
+    (``stats_equidepth_bins`` documents the trade).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d0 = o.agg(F.max("o_orderdate").alias("d0"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(d0))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("d0"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "custkey"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "custkey"))
+        .alias("m_quartile"),
+    )
+
+
+@query(
+    "lineitem_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,6))) * 10000 AS BIGINT) AS rev_e4
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_e4,
+             CAST(SUM(rev_e4) OVER (ORDER BY rev_e4 DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(rev_e4) OVER () AS BIGINT) AS total
+      FROM rev
+    ),
+    shared AS (
+      SELECT l_partkey, rev_e4,
+             CAST(floor(1000000 * (CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)))
+                  AS BIGINT) AS cum_share_ppm
+      FROM ranked
+    )
+    SELECT l_partkey, rev_e4, cum_share_ppm,
+           CASE WHEN cum_share_ppm <= 800000 THEN 'A'
+                WHEN cum_share_ppm <= 950000 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM shared
+    """,
+)
+def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts ranked by revenue, classified
+    by CUMULATIVE revenue share — A up to 80%, B to 95%, C the tail —
+    the inventory-prioritization workhorse. Revenue is quantized to
+    EXACT 1e-4-dollar integers (price x (1-discount) has 4 decimal
+    places, so the proven DECIMAL(18,6)-sum convention times 1e4 casts
+    to BIGINT with zero fraction — a direct 0-dp decimal cast would hit
+    half-way rounding where Spark rounds HALF_UP and DuckDB HALF_EVEN);
+    the cumulative share is floor(1e6 x cum/total) computed in DOUBLE —
+    identical operands give identical doubles in both engines, and the
+    BIGINT x 1e6 product that a pure-integer ppm would need overflows
+    2^63 at real totals (DuckDB silently promotes to HUGEINT, Spark
+    wraps negative — measured, not hypothetical). Cents, not micros: 1e6 x cum must stay under 2^63 — at micro
+    quantization DuckDB silently promotes the product to HUGEINT while
+    Spark wraps negative, so the quantization scale is a correctness
+    knob, not a style choice.
+
+    Scale: one keyed aggregate compresses the fact table to |parts|;
+    the cumulative window is a single ordered pass over that dimension.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        (
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            * F.lit(10000)
+        )
+        .cast("long")
+        .alias("rev_e4")
+    )
+    w_cum = Window.orderBy(F.col("rev_e4").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_e4",
+        F.sum("rev_e4").over(w_cum).cast("long").alias("cum"),
+        F.sum("rev_e4").over(w_all).cast("long").alias("total"),
+    )
+    share = F.floor(
+        F.lit(1000000) * (F.col("cum").cast("double") / F.col("total").cast("double"))
+    ).cast("long")
+    shared = ranked.select(
+        "l_partkey", "rev_e4", share.alias("cum_share_ppm")
+    )
+    return shared.select(
+        "l_partkey",
+        "rev_e4",
+        "cum_share_ppm",
+        F.when(F.col("cum_share_ppm") <= 800000, "A")
+        .when(F.col("cum_share_ppm") <= 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
