@@ -314,3 +314,90 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pack_id"),
     )
+
+
+@query(
+    "users_churn_labels",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch_ns(MIN(ts)) // 1000 AS BIGINT) AS t0,
+             CAST(epoch_ns(MAX(ts)) // 1000 AS BIGINT) AS t1
+      FROM events
+    ),
+    bounds AS (SELECT t0 + ((t1 - t0) * 8) // 10 AS cutoff_us FROM b),
+    o AS (
+      SELECT user_id, value,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id,
+             COUNT(*) AS n_events_feat,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value_feat,
+             MAX(ts_us) AS last_feat_us
+      FROM o, bounds WHERE ts_us < cutoff_us GROUP BY user_id
+    ),
+    label AS (
+      SELECT DISTINCT user_id FROM o, bounds WHERE ts_us >= cutoff_us
+    )
+    SELECT f.user_id, f.n_events_feat, f.total_value_feat,
+           ((SELECT cutoff_us FROM bounds) - f.last_feat_us) // 3600000000
+             AS hours_quiet_at_cutoff,
+           l.user_id IS NULL AS churned
+    FROM feat f LEFT JOIN label l ON l.user_id = f.user_id
+    """,
+)
+def users_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation with leakage discipline: features are
+    computed STRICTLY before the cutoff (the 80% point of the data's
+    time span, in exact integer microseconds so it's range-relative and
+    engine-identical), the label is "no activity at or after the cutoff" — the temporal
+    split every supervised pipeline needs and the one naive joins get
+    wrong (features peeking past the cutoff inflate offline metrics and
+    die in production). Deterministic: the cutoff is integer
+    arithmetic on the observed span, so the labelset is re-runnable and
+    engine-exact.
+
+    Scale: one filtered aggregate per side of the cutoff plus a keyed
+    left join — and the cutoff predicate pushes to the parquet scan, so
+    the feature pass reads only pre-cutoff row groups when data is
+    time-partitioned (the usual layout).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    cutoff_df = e.agg(
+        (
+            F.min("ts_us")
+            + F.expr("((max(ts_us) - min(ts_us)) * 8) div 10")
+        ).alias("cutoff_us")
+    )
+    with_cut = e.crossJoin(F.broadcast(cutoff_df))
+    feat = (
+        with_cut.filter(F.col("ts_us") < F.col("cutoff_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_feat"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value_feat"),
+            F.max("ts_us").alias("last_feat_us"),
+            F.max("cutoff_us").alias("cutoff_us"),
+        )
+    )
+    label = (
+        with_cut.filter(F.col("ts_us") >= F.col("cutoff_us"))
+        .select("user_id")
+        .distinct()
+        .withColumn("active_after", F.lit(1))
+    )
+    return feat.join(label, "user_id", "left").select(
+        "user_id",
+        "n_events_feat",
+        "total_value_feat",
+        F.expr("(cutoff_us - last_feat_us) div 3600000000").alias(
+            "hours_quiet_at_cutoff"
+        ),
+        F.col("active_after").isNull().alias("churned"),
+    )

@@ -996,3 +996,80 @@ def lineitem_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "quality_control_pchart",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ret
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ret) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pbar
+      FROM wk
+    )
+    SELECT week, n, n_ret,
+           CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           pbar + 3 * sqrt(pbar * (1 - pbar) / CAST(n AS DOUBLE)) AS ucl,
+           pbar - 3 * sqrt(pbar * (1 - pbar) / CAST(n AS DOUBLE)) AS lcl,
+           (CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+              > pbar + 3 * sqrt(pbar * (1 - pbar) / CAST(n AS DOUBLE)))
+           OR
+           (CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+              < pbar - 3 * sqrt(pbar * (1 - pbar) / CAST(n AS DOUBLE)))
+             AS out_of_control
+    FROM wk, tot
+    """,
+)
+def quality_control_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control (p-chart): weekly return-rate with
+    3-sigma binomial control limits and out-of-control flags — the SPC
+    monitor a data-quality or manufacturing pipeline runs per batch
+    window. Cross-engine exactness leans on a guarantee most floats
+    don't have: IEEE-754 ``sqrt`` is CORRECTLY ROUNDED (unlike log/exp,
+    whose libm implementations drift in final ULPs — why the LM
+    operators use quantized-probability space instead). Every term here
+    is the identical double expression on both sides, so even the
+    boundary flags hash-match.
+
+    Scale: one map-side-combined weekly aggregate; the grand rate rides
+    a broadcast 1-row frame. Control limits per window, not per row —
+    the chart is |weeks|-sized at any fact volume.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.expr(
+            "CAST(floor(unix_date(CAST(l_shipdate AS DATE)) * 86400"
+            " / 604800) AS BIGINT)"
+        ).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ret"),
+    )
+    tot = wk.agg(
+        (
+            F.sum("n_ret").cast("double") / F.sum("n").cast("double")
+        ).alias("pbar")
+    )
+    j = wk.crossJoin(F.broadcast(tot))
+    p = F.col("n_ret").cast("double") / F.col("n").cast("double")
+    margin = F.lit(3) * F.sqrt(
+        F.col("pbar") * (F.lit(1) - F.col("pbar")) / F.col("n").cast("double")
+    )
+    ucl = F.col("pbar") + margin
+    lcl = F.col("pbar") - margin
+    return j.select(
+        "week",
+        "n",
+        "n_ret",
+        p.alias("p"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((p > ucl) | (p < lcl)).alias("out_of_control"),
+    )
