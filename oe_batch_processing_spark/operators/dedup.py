@@ -863,3 +863,110 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
     )
     return verified
+
+
+@query(
+    "dedup_pipeline_tiered",
+    oracle="""
+    WITH base AS (SELECT COUNT(*) AS n_docs FROM documents),
+    exact_survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    ),
+    shingles AS (
+      SELECT DISTINCT d.doc_id,
+             words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+          AND doc_id IN (SELECT doc_id FROM exact_survivors)
+      ) d, UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near_pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.8
+    ),
+    near_dropped AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs)
+    SELECT (SELECT n_docs FROM base) AS n_input,
+           (SELECT n_docs FROM base)
+             - (SELECT COUNT(*) FROM exact_survivors) AS n_exact_dropped,
+           (SELECT COUNT(*) FROM near_dropped) AS n_near_dropped,
+           (SELECT COUNT(*) FROM exact_survivors)
+             - (SELECT COUNT(*) FROM near_dropped) AS n_survivors
+    """,
+)
+def dedup_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline as one operator, cheap tier first:
+    (1) exact dedup (hash groupBy — removes byte-identical copies at
+    hash-shuffle cost), then (2) near-dedup at J >= 0.8 ONLY over the
+    exact survivors (greedy keep-lowest-id: any doc near-equal to a
+    lower-id survivor drops). Emits the funnel accounting — input,
+    dropped per tier, survivors — the numbers a corpus curation run
+    reports. Tier ordering is the scale story: exact dedup costs one
+    shuffle and shrinks the expensive near-dup candidate space before
+    shingling ever runs (on crawl corpora exact copies are the bulk of
+    duplication).
+
+    Scale: tier 1 is ``dedup_exact_documents``'s plan; tier 2 is the
+    inverted-index join over survivors only (swap in the LSH or
+    prefix-filter path unchanged at 100 TB — same relation, cheaper
+    candidates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+    exact_survivors = docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    n_exact_survivors = exact_survivors.count()
+    surv_docs = docs.join(
+        exact_survivors.select("doc_id"), "doc_id", "left_semi"
+    )
+    sh = word_shingles(surv_docs, 3)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh_keyed = sh.repartition(n_part, "sh")
+    counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh_keyed.alias("a")
+    b = sh_keyed.hint("shuffle_hash").alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    near_dropped = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_b")
+        .distinct()
+    )
+    n_near_dropped = near_dropped.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_input,
+                n_input - n_exact_survivors,
+                n_near_dropped,
+                n_exact_survivors - n_near_dropped,
+            )
+        ],
+        "n_input long, n_exact_dropped long, n_near_dropped long, "
+        "n_survivors long",
+    )

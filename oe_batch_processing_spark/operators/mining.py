@@ -207,3 +207,78 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return report.select("r.name", "r.passed", "r.metric_ppm")
+
+
+@query(
+    "profile_documents_columns",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT 'lang' AS col_name,
+           (SELECT total FROM n) AS n_rows,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           COUNT(DISTINCT lang) AS n_distinct,
+           MIN(lang) AS min_str, MAX(lang) AS max_str
+    FROM documents
+    UNION ALL
+    SELECT 'source',
+           (SELECT total FROM n),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT source),
+           MIN(source), MAX(source)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars',
+           (SELECT total FROM n),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the dbt-docs / Deequ-profile shape): one report
+    row per column — row count, null count, exact distinct count,
+    min/max (stringified so heterogeneous columns share a schema). The
+    pre-ingestion scan a pipeline runs to decide constraints, and the
+    companion of ``dq_constraint_report`` (which CHECKS; this one
+    DISCOVERS what to check).
+
+    Scale: Spark computes all columns' profiles in ONE pass over the
+    scan (a single aggregate with per-column expressions), not one scan
+    per column — the oracle's UNION ALL per column is the naive
+    spelling; at 100 TB the single-pass form reads the data once and
+    unpivots a 1-row aggregate, and exact distincts per column become
+    HLL sketches (`approx_count_distinct`) when cardinality explodes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("lang_nulls"),
+        F.count_distinct("lang").alias("lang_distinct"),
+        F.min("lang").alias("lang_min"),
+        F.max("lang").alias("lang_max"),
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("source_nulls"),
+        F.count_distinct("source").alias("source_distinct"),
+        F.min("source").alias("source_min"),
+        F.max("source").alias("source_max"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_chars_nulls"),
+        F.count_distinct("n_chars").alias("n_chars_distinct"),
+        F.min("n_chars").cast("string").alias("n_chars_min"),
+        F.max("n_chars").cast("string").alias("n_chars_max"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+             'lang', n_rows, lang_nulls, lang_distinct, lang_min, lang_max,
+             'source', n_rows, source_nulls, source_distinct, source_min,
+               source_max,
+             'n_chars', n_rows, n_chars_nulls, n_chars_distinct, n_chars_min,
+               n_chars_max)
+           AS (col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"""
+    )
