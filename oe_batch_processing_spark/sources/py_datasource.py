@@ -11,24 +11,32 @@ single driver loop.
 
 ``SyntheticEventsDataSource`` is the registered demo connector: a
 deterministic MINSTD-LCG record generator (id -> amount = id*48271 mod
-2^31-1), split across N input partitions. Deterministic on purpose — the
-driver's DuckDB oracle regenerates the identical rows with
+2^31-1), split across N input partitions, with BOTH a batch reader and a
+``simpleStreamReader`` (offset-paged micro-batches). Deterministic on
+purpose — the driver's DuckDB oracle regenerates the identical rows with
 generate_series, giving a full value-hash check on a *custom connector*,
 not just a row count.
+
+Ship-by-value requirement: every class (and every helper its methods
+touch) is defined inside ``_build()`` so cloudpickle serializes them BY
+VALUE. Module-top-level classes pickle by module reference, which works
+for batch tasks (``addPyFile`` puts the package on executor workers) but
+BREAKS the streaming source planner — Spark spawns a separate
+``python_streaming_source_runner`` worker that does NOT see pyFiles, so a
+by-reference pickle dies with ModuleNotFoundError on any session that
+didn't inherit the repo's PYTHONPATH (found via the bare-session
+driver-fidelity probe; the driver's harness builds exactly such a
+session).
 
 Scale: partitions() is the unit of parallelism — a real connector returns
 one InputPartition per file/shard/offset-range; rows stream out of each
 partition's read() iterator without materializing the partition in memory.
+The stream reader's offset contract (initialOffset/read/readBetweenOffsets)
+bounds each micro-batch at ``batch_rows`` regardless of backlog — the
+reference's paused-stream backpressure as offset-range paging.
 """
 
 from __future__ import annotations
-
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    InputPartition,
-    SimpleDataSourceStreamReader,
-)
 
 MINSTD_MUL = 48271
 MINSTD_MOD = 2147483647  # 2^31 - 1
@@ -36,74 +44,101 @@ KINDS = ("alpha", "beta", "gamma")
 
 
 def synth_amount(rid: int) -> int:
+    """Module-level twin for tests/oracles; the classes use the local copy."""
     return (rid * MINSTD_MUL) % MINSTD_MOD
 
 
-class SyntheticEventsReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.n = int(options.get("rows", 1000))
-        self.nparts = int(options.get("partitions", 8))
+def _build():
+    """Define the connector classes in a local scope so cloudpickle ships
+    them (and the helpers they close over) by value — see module docstring."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
-    def partitions(self):  # one task per InputPartition
-        return [InputPartition(i) for i in range(self.nparts)]
+    kinds = ("alpha", "beta", "gamma")
+    mul, mod = 48271, 2147483647
 
-    def read(self, partition):
-        i = partition.value
-        lo = self.n * i // self.nparts
-        hi = self.n * (i + 1) // self.nparts
-        for rid in range(lo, hi):
-            amount = synth_amount(rid)
-            yield (rid, i, KINDS[amount % 3], amount)
+    def amount(rid: int) -> int:
+        return (rid * mul) % mod
+
+    class SyntheticEventsReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.n = int(options.get("rows", 1000))
+            self.nparts = int(options.get("partitions", 8))
+
+        def partitions(self):  # one task per InputPartition
+            return [InputPartition(i) for i in range(self.nparts)]
+
+        def read(self, partition):
+            i = partition.value
+            lo = self.n * i // self.nparts
+            hi = self.n * (i + 1) // self.nparts
+            for rid in range(lo, hi):
+                a = amount(rid)
+                yield (rid, i, kinds[a % 3], a)
+
+    class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+        """Streaming twin of the batch reader: serves the SAME
+        deterministic LCG rows in fixed-size micro-batch slices, offset =
+        next row id. A real connector would page a queue/changefeed here;
+        the LCG keeps the full stream oracle-regenerable."""
+
+        def __init__(self, options: dict):
+            self.n = int(options.get("rows", 1000))
+            self.batch = int(options.get("batch_rows", 250))
+
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = int(start["i"])
+            if i >= self.n:
+                return iter([]), {"i": i}
+            hi = min(i + self.batch, self.n)
+            rows = [
+                (rid, 0, kinds[amount(rid) % 3], amount(rid))
+                for rid in range(i, hi)
+            ]
+            return iter(rows), {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (rid, 0, kinds[amount(rid) % 3], amount(rid))
+                for rid in range(int(start["i"]), int(end["i"]))
+            )
+
+    class SyntheticEventsDataSource(DataSource):
+        """``spark.read.format("synthetic_events").option("rows", N)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_events"
+
+        def schema(self) -> str:
+            return "id BIGINT, part INT, kind STRING, amount BIGINT"
+
+        def reader(self, schema):
+            return SyntheticEventsReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return SyntheticEventsStreamReader(self.options)
+
+    return {
+        "reader": SyntheticEventsReader,
+        "stream_reader": SyntheticEventsStreamReader,
+        "datasource": SyntheticEventsDataSource,
+    }
 
 
-class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N)``."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "synthetic_events"
-
-    def schema(self) -> str:
-        return "id BIGINT, part INT, kind STRING, amount BIGINT"
-
-    def reader(self, schema):
-        return SyntheticEventsReader(self.options)
-
-    def simpleStreamReader(self, schema):
-        return SyntheticEventsStreamReader(self.options)
+_CLASSES = _build()
+SyntheticEventsReader = _CLASSES["reader"]
+SyntheticEventsStreamReader = _CLASSES["stream_reader"]
+SyntheticEventsDataSource = _CLASSES["datasource"]
 
 
 def register(spark) -> None:
     """Idempotently register the connector on this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
-
-
-class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
-    """Streaming twin of the batch reader: serves the SAME deterministic
-    LCG rows in fixed-size micro-batch slices, offset = next row id.
-    A real connector would page a queue/changefeed here; the LCG keeps
-    the full stream oracle-regenerable."""
-
-    def __init__(self, options: dict):
-        self.n = int(options.get("rows", 1000))
-        self.batch = int(options.get("batch_rows", 250))
-
-    def initialOffset(self):
-        return {"i": 0}
-
-    def read(self, start):
-        i = int(start["i"])
-        if i >= self.n:
-            return iter([]), {"i": i}
-        hi = min(i + self.batch, self.n)
-        rows = [
-            (rid, 0, KINDS[synth_amount(rid) % 3], synth_amount(rid))
-            for rid in range(i, hi)
-        ]
-        return iter(rows), {"i": hi}
-
-    def readBetweenOffsets(self, start, end):
-        return iter(
-            (rid, 0, KINDS[synth_amount(rid) % 3], synth_amount(rid))
-            for rid in range(int(start["i"]), int(end["i"]))
-        )
