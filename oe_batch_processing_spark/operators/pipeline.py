@@ -401,3 +401,100 @@ def users_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("active_after").isNull().alias("churned"),
     )
+
+
+@query(
+    "pipeline_mix_temperature_sqrt",
+    oracle="""
+    WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(floor(1000000 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+               AS w_scaled
+      FROM g
+    ),
+    t AS (
+      SELECT lang, n_docs, w_scaled,
+             (100000 * w_scaled) // SUM(w_scaled) OVER () AS base,
+             (100000 * w_scaled) % SUM(w_scaled) OVER () AS rem
+      FROM w
+    ),
+    r AS (
+      SELECT lang, n_docs, w_scaled, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+             100000 - SUM(base) OVER () AS deficit
+      FROM t
+    )
+    SELECT lang, n_docs, w_scaled,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+             AS mix_per_100k,
+           CAST((1000000 * n_docs) // SUM(n_docs) OVER () AS BIGINT)
+             AS natural_ppm
+    FROM r
+    """,
+)
+def pipeline_mix_temperature_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixing (T = 0.5): sampling weights
+    ∝ n_docs^(1/2) — the standard upsampling of low-resource languages
+    against the natural distribution's head (the multilingual-pretraining
+    recipe). T = 0.5 is chosen deliberately: the exponent becomes
+    ``sqrt``, which IEEE-754 rounds correctly, so the weights — floored
+    to 1e6-scaled integers — and the largest-remainder allocation of a
+    100k-sample budget are engine-exact end to end (arbitrary
+    temperatures need ``pow``, whose libm drift is why the LM operators
+    avoid transcendental space; at production you'd quantize the weights
+    once and ship them as a literal table). Natural-distribution ppm is
+    emitted alongside so the upsampling factor is visible per language.
+
+    Scale: a |langs|-sized problem after one count shuffle — the
+    apportionment maths is free; the downstream sampler consumes the
+    quotas (``sample_stratified_documents``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    w = g.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.lit(1000000) * F.sqrt(F.col("n_docs").cast("double"))
+        )
+        .cast("long")
+        .alias("w_scaled"),
+    )
+    t = w.select(
+        "lang",
+        "n_docs",
+        "w_scaled",
+        F.expr("100000 * w_scaled").alias("scaled"),
+        F.sum("w_scaled").over(w_all).alias("wtot"),
+        F.sum("n_docs").over(w_all).alias("ntot"),
+    ).select(
+        "lang",
+        "n_docs",
+        "w_scaled",
+        F.expr("scaled div wtot").alias("base"),
+        (F.col("scaled") % F.col("wtot")).alias("rem"),
+        "ntot",
+    )
+    r = t.select(
+        "lang",
+        "n_docs",
+        "w_scaled",
+        "base",
+        "ntot",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang"))
+        .alias("rk"),
+        (F.lit(100000) - F.sum("base").over(w_all)).alias("deficit"),
+    )
+    return r.select(
+        "lang",
+        "n_docs",
+        "w_scaled",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        ).alias("mix_per_100k"),
+        F.expr("(1000000 * n_docs) div ntot").alias("natural_ppm"),
+    )

@@ -492,3 +492,96 @@ def events_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late_10m"),
         F.expr("max(late_us) div 1000000").alias("max_disorder_sec"),
     )
+
+
+@query(
+    "events_anomaly_seasonal",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, value,
+             CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hr
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, dow, hr,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS cell_mean
+      FROM base GROUP BY 1, 2, 3
+    ),
+    resid AS (
+      SELECT b.event_id, b.event_type, b.value,
+             CAST(b.value - c.cell_mean AS DECIMAL(18,6)) AS r
+      FROM base b JOIN cells c
+        ON c.event_type = b.event_type AND c.dow = b.dow AND c.hr = b.hr
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(r) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                  AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM resid
+    )
+    SELECT event_id, event_type, value,
+           CAST(r AS DOUBLE) / SQRT((s2 - s1 * s1 / n) / n) AS seasonal_z
+    FROM resid, stats
+    WHERE ABS(CAST(r AS DOUBLE) / SQRT((s2 - s1 * s1 / n) / n)) > 4.0
+    """,
+)
+def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: each event is scored
+    against its OWN (type × day-of-week × hour) baseline cell, and the
+    residual is z-scored against the global residual distribution —
+    "high for 3am Sunday" flags that a raw z-score (which mixes Monday
+    peaks with Sunday troughs into one inflated variance) structurally
+    misses. Residuals are decimal-quantized before the moment sums, so
+    the z-scores and the flag boundary are engine-exact; SQRT is
+    correctly rounded per IEEE-754.
+
+    Scale: the baseline grid is |types| × 168 cells (broadcast back);
+    the residual moments are one map-side-combined fold; flagging is a
+    codegen filter over the enriched stream. The streaming twin keeps
+    the same grid as a static broadcast against a live stream
+    (``stream_static_enrich`` shape).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    )
+    cells = base.groupBy("event_type", "dow", "hr").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cell_mean")
+    )
+    resid = base.join(
+        F.broadcast(cells), ["event_type", "dow", "hr"]
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.col("value") - F.col("cell_mean"))
+        .cast("decimal(18,6)")
+        .alias("r"),
+    )
+    stats = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("double").alias("s1"),
+        F.sum(
+            (F.col("r").cast("double") * F.col("r").cast("double")).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    j = resid.crossJoin(F.broadcast(stats))
+    z = F.col("r").cast("double") / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    )
+    return j.filter(F.abs(z) > 4.0).select(
+        "event_id", "event_type", "value", z.alias("seasonal_z")
+    )
