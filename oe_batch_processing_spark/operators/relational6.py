@@ -1073,3 +1073,92 @@ def quality_control_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         lcl.alias("lcl"),
         ((p > ucl) | (p < lcl)).alias("out_of_control"),
     )
+
+
+@query(
+    "sql_udf_parameterized",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF + parameterized SQL (both Spark-4 API
+    surfaces a migrating SQL shop expects): ``CREATE TEMPORARY FUNCTION
+    … RETURNS … RETURN expr`` defines the discounted-price logic ONCE in
+    pure SQL — no Python, no JVM jar, and Catalyst INLINES the body
+    (whole-stage codegen sees ``p * (1 - d)``, not a black-box call —
+    this is the difference between a SQL UDF and a Python UDF at 100 TB)
+    — and the query binds its threshold through a named parameter marker
+    (``:minqty``), the injection-safe form of string-built SQL. The
+    oracle is the hand-inlined equivalent: a hash match proves the UDF
+    indirection changed nothing.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION oebp_disc_price(p DOUBLE,"
+        " d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(oebp_disc_price(l_extendedprice, l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_quantity > :minqty
+        GROUP BY l_returnflag
+        """,
+        args={"minqty": 45},
+    )
+
+
+@query(
+    "scalar_collation_lcase",
+    oracle="""
+    SELECT lower(o_orderstatus) AS status_ci,
+           COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key
+    FROM (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderstatus)
+                  ELSE upper(o_orderstatus) END AS o_orderstatus,
+             o_orderkey
+      FROM orders
+    )
+    GROUP BY 1
+    """,
+)
+def scalar_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a deliberately
+    mixed-case status column grouped under ``COLLATE UTF8_LCASE`` —
+    equality, hashing, and GROUP BY all become case-insensitive at the
+    TYPE level, replacing the scattered ``lower()`` calls ported SQL is
+    full of (and which break index/pushdown use on real warehouses).
+    The oracle is the lower()-normalized spelling; the group key is
+    emitted lower()ed so both engines agree on the representative.
+
+    Scale: collation is evaluated inside codegen comparators — same
+    hash-agg plan, no extra projection pass.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lower(status_ci COLLATE UTF8_BINARY) AS status_ci,
+               COUNT(*) AS n,
+               MIN(o_orderkey) AS min_key
+        FROM (
+          SELECT CAST(CASE WHEN o_orderkey % 2 = 0
+                           THEN lower(o_orderstatus)
+                           ELSE upper(o_orderstatus) END
+                      AS STRING COLLATE UTF8_LCASE) AS status_ci,
+                 o_orderkey
+          FROM orders
+        )
+        GROUP BY status_ci
+        """
+    )
