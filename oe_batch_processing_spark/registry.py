@@ -76,7 +76,9 @@ ORACLE: dict[str, str] = {}
 # lineitem_abc_classification, graph_link_prediction_cn,
 # users_churn_labels, quality_control_pchart,
 # events_funnel_staged_windows, dedup_pipeline_tiered,
-# profile_documents_columns.
+# profile_documents_columns, events_anomaly_seasonal,
+# pipeline_mix_temperature_sqrt, sql_udf_parameterized,
+# scalar_collation_lcase.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
