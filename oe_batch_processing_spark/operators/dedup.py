@@ -970,3 +970,121 @@ def dedup_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_input long, n_exact_dropped long, n_near_dropped long, "
         "n_survivors long",
     )
+
+
+@query(
+    "dedup_incremental_vs_history",
+    oracle="""
+    WITH hist AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    exact AS (
+      SELECT i.doc_id, MIN(h.doc_id) AS match_doc
+      FROM inc i JOIN hist h ON h.text = i.text
+      GROUP BY i.doc_id
+    ),
+    hsh AS (
+      SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM hist WHERE len(string_split(text, ' ')) >= 3
+      ), UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    ish AS (
+      SELECT DISTINCT doc_id, words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM inc WHERE len(string_split(text, ' ')) >= 3
+          AND doc_id NOT IN (SELECT doc_id FROM exact)
+      ), UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    hc AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id),
+    ic AS (SELECT doc_id, COUNT(*) AS n FROM ish GROUP BY doc_id),
+    common AS (
+      SELECT i.doc_id AS inc_doc, h.doc_id AS hist_doc, COUNT(*) AS c
+      FROM ish i JOIN hsh h ON h.sh = i.sh
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT inc_doc AS doc_id, MIN(hist_doc) AS match_doc
+      FROM common
+      JOIN ic ON ic.doc_id = inc_doc
+      JOIN hc ON hc.doc_id = hist_doc
+      WHERE CAST(c AS DOUBLE) / (ic.n + hc.n - c) >= 0.8
+      GROUP BY inc_doc
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS verdict,
+           COALESCE(e.match_doc, n.match_doc) AS match_doc
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+)
+def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape production ingestion actually runs:
+    a new batch (odd doc_ids) is checked against the EXISTING corpus
+    (even doc_ids), never against itself in O(new²): exact text match
+    first (removing those docs from the expensive tier), then bipartite
+    near-dup (J >= 0.8) of the remainder against history via the
+    inverted-index join. Verdict per incoming doc: exact / near / novel,
+    with the matched history doc (min id). New-batch-internal duplicates
+    are the NEXT run's history problem — the incremental contract that
+    keeps each ingestion run O(new × candidates), not O(corpus²).
+
+    Scale: history's shingle index is built ONCE and reused across
+    ingestion runs (persist or a materialized index table); each run
+    shuffles only the new batch's shingles into it. The bipartite join
+    prunes candidates exactly like the self-join but with the new side
+    orders of magnitude smaller; swap in MinHash-LSH unchanged when
+    history is 100 TB (signatures are additive — new docs append).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    exact = (
+        inc.alias("i")
+        .join(hist.alias("h"), F.col("h.text") == F.col("i.text"))
+        .groupBy(F.col("i.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("h.doc_id")).alias("match_doc"))
+    )
+    inc_rest = inc.join(exact.select("doc_id"), "doc_id", "left_anti")
+    hsh = word_shingles(hist, 3)
+    ish = word_shingles(inc_rest, 3)
+    hc = hsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("hn"))
+    ic = ish.groupBy("doc_id").agg(F.count(F.lit(1)).alias("inn"))
+    common = (
+        ish.alias("i")
+        .join(hsh.alias("h"), F.col("h.sh") == F.col("i.sh"))
+        .groupBy(
+            F.col("i.doc_id").alias("inc_doc"),
+            F.col("h.doc_id").alias("hist_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (
+        F.col("inn") + F.col("hn") - F.col("c")
+    )
+    near = (
+        common.join(ic.withColumnRenamed("doc_id", "inc_doc"), "inc_doc")
+        .join(hc.withColumnRenamed("doc_id", "hist_doc"), "hist_doc")
+        .filter(jac >= 0.8)
+        .groupBy(F.col("inc_doc").alias("doc_id"))
+        .agg(F.min("hist_doc").alias("match_doc"))
+    )
+    e = exact.withColumnRenamed("match_doc", "e_match")
+    n = near.withColumnRenamed("match_doc", "n_match")
+    return (
+        inc.select("doc_id")
+        .join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("e_match").isNotNull(), "exact")
+            .when(F.col("n_match").isNotNull(), "near")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("e_match", "n_match").alias("match_doc"),
+        )
+    )

@@ -732,3 +732,135 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return imgs.select("media_id", "payload").mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+# --- energy-threshold VAD segmentation over raw PCM -------------------------
+
+VAD_FRAME = 32  # samples per frame
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("n_active", IntegerType(), False),
+        StructField("n_segments", IntegerType(), False),
+        StructField("first_active", IntegerType(), True),
+        StructField("last_active", IntegerType(), True),
+    ]
+)
+
+_VAD_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS bytes,
+             n_bytes // 2 AS n_samples
+      FROM h
+    ),
+    s AS (
+      SELECT media_id,
+             [ CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               FOR v IN [bytes[2*i+1] + 256 * bytes[2*i+2]
+                         FOR i IN range(n_samples)]] AS smp,
+             n_samples // {VAD_FRAME} AS n_frames
+      FROM b
+    ),
+    fr AS (
+      SELECT media_id, n_frames,
+             [ LIST_SUM([smp[f * {VAD_FRAME} + k + 1]
+                         * smp[f * {VAD_FRAME} + k + 1]
+                         FOR k IN range({VAD_FRAME})])
+               FOR f IN range(n_frames)] AS fe
+      FROM s WHERE n_frames > 0
+    ),
+    act AS (
+      SELECT media_id, n_frames,
+             [ CASE WHEN fe[f + 1] * n_frames > LIST_SUM(fe)
+                    THEN 1 ELSE 0 END
+               FOR f IN range(n_frames)] AS a
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(LIST_SUM(a) AS INTEGER) AS n_active,
+           CAST(COALESCE(LIST_SUM([
+             CASE WHEN a[f + 1] = 1 AND (f = 0 OR a[f] = 0) THEN 1 ELSE 0 END
+             FOR f IN range(n_frames)]), 0) AS INTEGER) AS n_segments,
+           CAST(LIST_MIN([CASE WHEN a[f + 1] = 1 THEN f END
+                          FOR f IN range(n_frames)]) AS INTEGER)
+             AS first_active,
+           CAST(LIST_MAX([CASE WHEN a[f + 1] = 1 THEN f END
+                          FOR f IN range(n_frames)]) AS INTEGER)
+             AS last_active
+    FROM act
+"""
+
+
+@query("multimodal_audio_vad_segments", oracle=_VAD_ORACLE)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over raw 16-bit PCM:
+    {VAD_FRAME}-sample frames, a frame is ACTIVE when its energy exceeds
+    the clip's mean frame energy (integer cross-multiply — no division),
+    segments are runs of consecutive active frames. The
+    silence-trimming / speech-extent primitive an audio-corpus pipeline
+    runs before transcription — and a per-row ISLANDS computation done
+    entirely inside numpy (the relational islands twin is
+    ``intervals_coalesce_shipping``). Fully hash-checked: DuckDB rebuilds
+    samples from hex nibbles and reproduces frames, flags, and segment
+    runs exactly.
+
+    Scale: embarrassingly parallel mapInPandas; per-clip work is one
+    vectorized reshape + reduceat, memory bounded by the Arrow batch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clips = media_frame(docs).filter(F.col("media_type") == "audio")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n_samples = len(b) // 2
+                smp = np.frombuffer(
+                    b[: n_samples * 2], dtype="<i2"
+                ).astype(np.int64)
+                n_frames = n_samples // VAD_FRAME
+                if n_frames == 0:
+                    continue
+                fe = (
+                    (smp[: n_frames * VAD_FRAME] ** 2)
+                    .reshape(n_frames, VAD_FRAME)
+                    .sum(axis=1)
+                )
+                total = int(fe.sum())
+                a = (fe * n_frames > total).astype(np.int64)
+                # run starts: a[f]==1 and (f==0 or a[f-1]==0)
+                prev = np.concatenate(([0], a[:-1]))
+                starts = int(((a == 1) & (prev == 0)).sum())
+                active_idx = np.nonzero(a)[0]
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_frames": n_frames,
+                        "n_active": int(a.sum()),
+                        "n_segments": starts,
+                        "first_active": int(active_idx[0])
+                        if active_idx.size
+                        else None,
+                        "last_active": int(active_idx[-1])
+                        if active_idx.size
+                        else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return clips.select("media_id", "payload").mapInPandas(run, schema=VAD_SCHEMA)
