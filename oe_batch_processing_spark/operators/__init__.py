@@ -21,12 +21,14 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     sessions,
     similarity,
     sketches,
     similarity2,
     skew,
     textops,
+    textops2,
     timeseries,
     tpch_like,
     tpch_like2,

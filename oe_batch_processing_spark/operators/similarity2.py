@@ -343,3 +343,120 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVFPQ_TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+_QE5 = "transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1e5) AS BIGINT))"
+_DUCK_QE5 = "[CAST(ROUND(CAST(v AS DOUBLE) * 1e5) AS BIGINT) FOR v IN embedding]"
+_MM_QUERY_MOD = 100  # query subset: vec_id % 100 == 0 (same as topk_cosine)
+_MM_TOP_K = 5
+
+
+@query(
+    "similarity_topk_matmul",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QE5} AS qe FROM embeddings
+    ),
+    elems AS (
+      SELECT vec_id, i, qe[i] AS v
+      FROM (SELECT vec_id, qe, generate_subscripts(qe, 1) AS i FROM q)
+    ),
+    norms AS (
+      SELECT vec_id, SQRT(SUM(v * v) / 1e10) AS nrm
+      FROM elems GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS query_id, d.vec_id AS neighbor_id,
+             SUM(a.v * d.v) AS dot_scaled
+      FROM elems a JOIN elems d ON a.i = d.i
+      WHERE a.vec_id % {_MM_QUERY_MOD} = 0 AND d.vec_id <> a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (
+      SELECT query_id, neighbor_id,
+             (dot_scaled / 1e10) / (nd.nrm * nq.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY (dot_scaled / 1e10) / (nd.nrm * nq.nrm) DESC,
+                        neighbor_id
+             ) AS INTEGER) AS rnk
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nd ON nd.vec_id = neighbor_id
+    )
+    WHERE rnk <= {_MM_TOP_K}
+    """,
+)
+def similarity_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k on the BLAS path: per Arrow batch, the corpus
+    block multiplies the (broadcast-by-closure) query matrix as ONE
+    int64 matrix product, each task emits only its local top-k per
+    query, and a final window merges the partials — the vectorized
+    rerank shape you run when the scoring kernel belongs in
+    numpy/BLAS/GPU rather than codegen. Same answer as
+    ``similarity_topk_cosine`` (both exact), different physical plan:
+    that one evaluates Q dot products per row inside codegen; this one
+    trades JVM expression evaluation for one matmul per batch plus a
+    k*|parts|*|Q|-row shuffle (vs N*|Q| for a naive cross join — the
+    partial top-k is what makes the merge cheap at 100 TB).
+
+    Exactness (why an ANN-shaped op can carry a full hash oracle):
+    elements quantize to 1e-5-resolution BIGINT once; dot products and
+    squared norms are exact int64 sums (max |dot| ~ 6.4e11 < 2^53, so
+    the int->double conversion is exact); the cosine is then the same
+    three IEEE ops — (dot/1e10) / (nrm_d * nrm_q) — evaluated by numpy
+    here and by DuckDB in the oracle, bit-identical. Ranking ties break
+    by neighbor_id in both.
+
+    The driver-side collect of the query block is the matmul twin of
+    ``F.broadcast(queries)`` — bounded (|Q| = N/{_MM_QUERY_MOD}), and
+    shipped once per executor via the closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") % _MM_QUERY_MOD == 0)
+        .select("vec_id", F.expr(_QE5).alias("q"))
+        .toPandas()
+    )
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    Qm = np.array(qpdf["q"].tolist(), dtype=np.int64)
+    qn = np.sqrt((Qm * Qm).sum(axis=1) / 1e10)
+    k = _MM_TOP_K
+
+    def topk_blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            D = np.array(pdf["q"].tolist(), dtype=np.int64)
+            dots = D @ Qm.T  # exact int64
+            nd = np.sqrt((D * D).sum(axis=1) / 1e10)
+            cos = (dots.astype(np.float64) / 1e10) / (nd[:, None] * qn[None, :])
+            cos[nid[:, None] == qids[None, :]] = -np.inf  # self-match
+            out_q: list[int] = []
+            out_n: list[int] = []
+            out_c: list[float] = []
+            for j in range(len(qids)):
+                order = np.lexsort((nid, -cos[:, j]))[:k]
+                for idx in order:
+                    if cos[idx, j] == -np.inf:
+                        continue
+                    out_q.append(int(qids[j]))
+                    out_n.append(int(nid[idx]))
+                    out_c.append(float(cos[idx, j]))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partials = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.expr(_QE5).alias("q")
+    ).mapInPandas(topk_blocks, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        partials.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

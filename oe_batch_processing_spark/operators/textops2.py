@@ -1,0 +1,227 @@
+"""Text analysis, part 2: readability scoring and cross-document
+repeated-n-gram span detection (the substring-dedup family).
+
+The reference has no text analytics (its records are opaque lines —
+lib/parsers.js tokenizes on a delimiter and stops); these are the
+document-level shapes an LLM training-data pipeline adds. Both are pure
+JVM column expressions — regexp counts and array HOFs — with no Python
+in the hot path.
+
+``docs_duplicate_ngram_spans`` is the DataFrame form of
+suffix-array-style exact substring dedup (Lee et al., "Deduplicating
+Training Data Makes Language Models Better"): instead of a global
+suffix array (which doesn't distribute), every w-token window is hashed
+and windows occurring in 2+ documents are merged back into maximal
+covered spans per document via the interval-island window trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import load_table
+
+_SYL_RE = "[aeiouy]+"  # vowel-group syllable estimate
+_NGRAM_W = 8  # window width (tokens) for repeated-span detection
+
+
+@query(
+    "text_readability_forcast",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             LEN(string_split(text, ' ')) AS n_words,
+             LEN([w FOR w IN string_split(lower(text), ' ')
+                  IF LEN(regexp_extract_all(w, '{_SYL_RE}')) = 1])
+               AS n_mono,
+             LEN(regexp_extract_all(lower(text), '{_SYL_RE}'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_mono AS INTEGER) AS n_mono,
+           CAST(n_syllables AS INTEGER) AS n_syllables,
+           CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS syll_per_word,
+           20.0 - (CAST(n_mono AS DOUBLE) * (150.0 / CAST(n_words AS DOUBLE)))
+                  / 10.0 AS forcast_grade
+    FROM c WHERE n_words > 0
+    """,
+)
+def text_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORCAST readability grade per document. Chosen over Flesch
+    because FORCAST is the standard formula for text WITHOUT sentence
+    punctuation (forms, listings — and this corpus has none): grade =
+    20 - (monosyllabic words per 150 words)/10, with syllables estimated
+    as vowel groups. Emits the count profile plus syllables-per-word.
+
+    Exactness: all counts are integers from identical regexp/split
+    semantics in both engines; the two ratios are single IEEE divisions
+    of exact integers, so doubles match bit-for-bit.
+
+    Scale: embarrassingly parallel scan — one narrow projection, no
+    shuffle, whole-stage codegen end to end. The word filter is an array
+    HOF (`filter` + `regexp_extract_all`), not a UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_mono = F.size(
+        F.expr(
+            "filter(split(lower(text), ' '), "
+            f"w -> size(regexp_extract_all(w, '{_SYL_RE}', 0)) = 1)"
+        )
+    )
+    n_syll = F.expr(f"size(regexp_extract_all(lower(text), '{_SYL_RE}', 0))")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_mono.alias("n_mono"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    wd = F.col("n_words").cast("double")
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_mono",
+        "n_syllables",
+        (F.col("n_syllables").cast("double") / wd).alias("syll_per_word"),
+        (
+            F.lit(20.0)
+            - (F.col("n_mono").cast("double") * (F.lit(150.0) / wd))
+            / F.lit(10.0)
+        ).alias("forcast_grade"),
+    )
+
+
+@query(
+    "docs_duplicate_ngram_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(tk[i:i+{_NGRAM_W - 1}], ' ') AS gram,
+             LEN(tk) AS n_tokens
+      FROM toks, UNNEST(range(1, greatest(LEN(tk) - {_NGRAM_W - 2}, 1))) AS u(i)
+    ),
+    dupg AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos, g.n_tokens FROM grams g JOIN dupg USING (gram)
+    ),
+    marked AS (
+      SELECT doc_id, pos, n_tokens,
+             CASE WHEN pos > COALESCE(MAX(pos + {_NGRAM_W - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos, n_tokens,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM marked
+    ),
+    per_island AS (
+      SELECT doc_id, island_id, MIN(n_tokens) AS n_tokens,
+             COUNT(*) AS n_windows,
+             MAX(pos + {_NGRAM_W - 1}) - MIN(pos) + 1 AS covered
+      FROM islands GROUP BY doc_id, island_id
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS INTEGER) AS n_tokens,
+           CAST(SUM(n_windows) AS INTEGER) AS dup_windows,
+           CAST(COUNT(*) AS INTEGER) AS n_spans,
+           CAST(SUM(covered) AS INTEGER) AS covered_tokens,
+           CAST(SUM(covered) AS DOUBLE) / CAST(MIN(n_tokens) AS DOUBLE)
+             AS dup_fraction
+    FROM per_island GROUP BY doc_id
+    """,
+)
+def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection: every {w}-token
+    window is hashed; windows appearing in >= 2 distinct documents mark
+    their positions, and per document the marked [pos, pos+w-1]
+    intervals merge into maximal islands (the interval-coalescing window
+    shape) — yielding, per contaminated document, the duplicated-window
+    count, span count, exact covered-token count, and duplicated
+    fraction. This is the distributed stand-in for suffix-array exact
+    substring dedup: a suffix array needs global order (hostile at
+    100 TB); hashed fixed-width windows need one shuffle and lose only
+    sub-window-length matches.
+
+    Scale: tokens explode to ~L windows per doc (bounded by corpus token
+    count); the gram groupBy is the single heavy shuffle and its key is
+    a hash — salting-free because gram frequencies are Zipfian but the
+    HAVING filter runs map-side partial first. The island pass
+    repartitions by doc_id (second narrow shuffle); everything is
+    integer window math in codegen. At 100 TB, replace the raw gram
+    string with xxhash64(gram) to shrink shuffle bytes ~10x (kept as
+    the readable string here so the oracle can share the key).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _NGRAM_W
+    toks = docs.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    grams = toks.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size(tk) >= {w} THEN "
+            f"transform(sequence(1, size(tk) - {w - 1}), "
+            f"i -> struct(i AS pos, array_join(slice(tk, i, {w}), ' ') AS gram)) "
+            "ELSE array() END"
+        ).alias("gs"),
+    ).select(
+        "doc_id", "n_tokens", F.explode("gs").alias("g")
+    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dupg, "gram").select("doc_id", "pos", "n_tokens")
+
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    island_id = F.sum("new_island").over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_island = (
+        marked.withColumn("island_id", island_id)
+        .groupBy("doc_id", "island_id")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+            (F.max(F.col("pos") + (w - 1)) - F.min("pos") + 1).alias("covered"),
+        )
+    )
+    return per_island.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("int").alias("n_tokens"),
+        F.sum("n_windows").cast("int").alias("dup_windows"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("covered").cast("int").alias("covered_tokens"),
+        (
+            F.sum("covered").cast("double") / F.min("n_tokens").cast("double")
+        ).alias("dup_fraction"),
+    )

@@ -585,3 +585,79 @@ def events_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(F.abs(z) > 4.0).select(
         "event_id", "event_type", "value", z.alias("seasonal_z")
     )
+
+
+_CUSUM_TARGET = "52.0"  # drift reference k: detect sustained upward shift
+_CUSUM_H = 120.0  # alarm threshold on the one-sided CUSUM statistic
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(value - {_CUSUM_TARGET} AS DECIMAL(18,6)) AS y
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, y,
+             SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, event_id, ts, prefix,
+             MIN(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS mn
+      FROM p
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             CAST(CASE WHEN mn < 0 THEN prefix - mn ELSE prefix END
+                  AS DOUBLE) AS cusum
+      FROM m
+    )
+    SELECT user_id, event_id, cusum FROM s WHERE cusum > {_CUSUM_H}
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector per user: alarms where the
+    cumulative excess of ``value`` over a reference level builds past a
+    threshold — the classic sequential shift detector (Page 1954).
+
+    The textbook form is a recurrence, S_i = max(0, S_{i-1} + y_i),
+    which looks stream-only; it is in fact window-expressible through
+    the prefix identity S_i = P_i - min(0, min_{j<=i} P_j) (running sum
+    minus the running minimum of the running sum). That turns an
+    order-dependent loop into two stock window aggregates — no UDF, no
+    applyInPandas, full codegen.
+
+    Exactness: terms quantize to DECIMAL(18,6); both window passes stay
+    decimal (the subtraction keeps both operands the engine's own
+    promoted decimal type — mixing widths through LEAST() makes DuckDB
+    fall back to double and drift ULPs), with a single decimal->double
+    cast at the end.
+
+    Scale: one hash shuffle on user_id; both windows and the filter run
+    in the same partitioning (a single Exchange + Sort in the plan).
+    State per task is O(1) per series. The streaming twin of this shape
+    is an applyInPandasWithState carry of (S, min_prefix).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = F.expr(f"CAST(value - {_CUSUM_TARGET} AS DECIMAL(18,6))")
+    prefix = F.sum(y).over(w)
+    base = events.select(
+        "user_id", "ts", "event_id", prefix.alias("prefix")
+    ).withColumn("mn", F.min("prefix").over(w))
+    cusum = F.when(
+        F.col("mn") < 0, F.col("prefix") - F.col("mn")
+    ).otherwise(F.col("prefix")).cast("double")
+    return (
+        base.select("user_id", "event_id", cusum.alias("cusum"))
+        .filter(F.col("cusum") > _CUSUM_H)
+    )
