@@ -864,3 +864,92 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(rows)
 
     return clips.select("media_id", "payload").mapInPandas(run, schema=VAD_SCHEMA)
+
+
+# --- video shot-boundary detection (frame-difference method) -----------------
+
+SHOT_DIFF_H = 2050  # boundary threshold on the per-frame-pair L1 byte distance
+
+_SHOT_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS px,
+             n_bytes // {FRAME_BYTES} AS nf
+      FROM h
+    ),
+    d AS (
+      SELECT media_id, nf, k AS frame_idx,
+             CAST(LIST_SUM([ABS(px[k*{FRAME_BYTES} + j + 1]
+                              - px[(k+1)*{FRAME_BYTES} + j + 1])
+                            FOR j IN range({FRAME_BYTES})]) AS BIGINT)
+               AS frame_diff
+      FROM b, UNNEST(range(0, greatest(nf - 1, 0))) AS u(k)
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           frame_diff, CAST(nf AS INTEGER) AS n_frames
+    FROM d WHERE frame_diff > {SHOT_DIFF_H}
+"""
+
+
+@query("multimodal_video_shot_boundaries", oracle=_SHOT_ORACLE)
+def multimodal_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection, codec-free: the video-typed payloads
+    are read as raw {FRAME_BYTES}-byte frames (trailing partial frame
+    dropped) and consecutive frames compared by L1 byte distance — a
+    boundary is declared where the distance exceeds a threshold. This is
+    the standard histogram/pixel-difference shot detector reduced to its
+    Spark shape: one binary in, a frame-pair relation out, vectorized
+    numpy in the middle (``frombuffer`` → ``reshape`` → ``np.diff`` along
+    the frame axis — the same kernel a real YUV-plane detector runs).
+
+    Fully hash-oracled (rare for a video op): distances are exact integer
+    sums, which DuckDB rebuilds per byte from hex nibbles.
+
+    Scale: embarrassingly parallel over videos, zero shuffles; memory is
+    bounded by the Arrow batch. A real codec build swaps the reshape for
+    PyAV frame iteration — the relation, threshold pass, and downstream
+    segment logic (interval islands over boundary indices) are unchanged.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                nf = len(raw) // FRAME_BYTES
+                if nf >= 2:
+                    arr = (
+                        np.frombuffer(raw[: nf * FRAME_BYTES], dtype=np.uint8)
+                        .reshape(nf, FRAME_BYTES)
+                        .astype(np.int16)
+                    )
+                    diffs = np.abs(np.diff(arr, axis=0)).sum(axis=1, dtype=np.int64)
+                    for k in np.nonzero(diffs > SHOT_DIFF_H)[0]:
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": int(k),
+                                "frame_diff": int(diffs[k]),
+                                "n_frames": nf,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_diff", "n_frames"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    videos = media_frame(docs).filter(F.col("media_type") == "video")
+    return videos.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, frame_idx int, frame_diff long, n_frames int"
+    )

@@ -498,3 +498,74 @@ def pipeline_mix_temperature_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("mix_per_100k"),
         F.expr("(1000000 * n_docs) div ntot").alias("natural_ppm"),
     )
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle="""
+    WITH banded AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 700 THEN 0
+                  WHEN n_chars < 1000 THEN 1
+                  WHEN n_chars < 1300 THEN 2
+                  ELSE 3 END AS band,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(band AS INTEGER) AS band,
+           CAST(ROW_NUMBER() OVER (ORDER BY band, h, doc_id) AS BIGINT)
+             AS curriculum_pos
+    FROM banded
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: assign every document a GLOBAL training
+    position — easy band first (short docs here; any difficulty score
+    slots in), hash-shuffled within each band so the curriculum is
+    deterministic yet unclustered. The naive spelling is one
+    ``row_number() OVER (ORDER BY ...)`` — a single-partition sort of
+    the entire corpus, the canonical scale-killer. The scale shape used
+    here is the two-pass split: (1) count per band (tiny aggregate),
+    (2) prefix-sum those counts into band offsets (broadcast), (3)
+    row_number only WITHIN each band partition, (4) position = band
+    offset + intra-band rank. The global sort never materializes on one
+    node; the oracle IS the naive global spelling, proving the
+    decomposition exact.
+
+    Scale: one hash shuffle on band for the windows (bands are few but
+    each band's window is itself partition-parallel after AQE splits;
+    for true 100 TB, sub-salt the band key and add the salt to the
+    offset arithmetic — same identity, documented in SCALE.md).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    banded = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 700, 0)
+        .when(F.col("n_chars") < 1000, 1)
+        .when(F.col("n_chars") < 1300, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "band",
+        (
+            F.sum("n").over(
+                Window.orderBy("band").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("offset"),
+    ).fillna({"offset": 0})
+    rn = F.row_number().over(Window.partitionBy("band").orderBy("h", "doc_id"))
+    return (
+        banded.withColumn("rn", rn)
+        .join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "band",
+            (F.col("offset") + F.col("rn")).cast("bigint").alias("curriculum_pos"),
+        )
+    )

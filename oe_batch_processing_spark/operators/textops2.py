@@ -225,3 +225,186 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("covered").cast("double") / F.min("n_tokens").cast("double")
         ).alias("dup_fraction"),
     )
+
+
+_RAKE_STOPS = "the|a|and|of|to|in|is|it"
+_RAKE_PAT = r"\b(?:" + _RAKE_STOPS + r")\b"
+_RAKE_TOP = 3
+
+
+@query(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH phr AS (
+      SELECT doc_id, p AS phrase
+      FROM (
+        SELECT doc_id,
+               [trim(x) FOR x IN
+                string_split_regex(lower(text), '{_RAKE_PAT}')
+                IF trim(x) <> ''] AS ps
+        FROM documents
+      ), UNNEST(ps) AS u(p)
+    ),
+    pa AS (
+      SELECT doc_id, phrase, COUNT(*) AS n_occ,
+             LEN(string_split(phrase, ' ')) AS phrase_len
+      FROM phr GROUP BY doc_id, phrase
+    ),
+    wtab AS (
+      SELECT doc_id, phrase, phrase_len, n_occ, w AS word
+      FROM pa, UNNEST(string_split(phrase, ' ')) AS u(w)
+    ),
+    ws AS (
+      SELECT doc_id, word,
+             SUM(n_occ) AS freq,
+             SUM(n_occ * phrase_len) AS deg
+      FROM wtab GROUP BY doc_id, word
+    ),
+    ps AS (
+      SELECT t.doc_id, t.phrase,
+             CAST(SUM(CAST(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS rake_score,
+             COUNT(*) AS n_words
+      FROM wtab t JOIN ws s ON t.doc_id = s.doc_id AND t.word = s.word
+      GROUP BY t.doc_id, t.phrase
+    )
+    SELECT doc_id, phrase, rake_score,
+           CAST(n_words AS INTEGER) AS n_words, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY rake_score DESC, phrase) AS rnk
+      FROM ps
+    ) WHERE rnk <= {_RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of phrases containing it),
+    a phrase scores the sum of its word scores, and the top {_RAKE_TOP}
+    phrases per document are kept.
+
+    Exactness: word scores are a single IEEE division of exact integer
+    degree/frequency; the per-phrase sum goes through DECIMAL(18,6)
+    rounding (the registry dsum convention) so the cross-engine addition
+    order cannot drift ULPs.
+
+    Scale: two hash shuffles — (doc_id, word) for scores and
+    (doc_id, phrase) for the phrase roll-up — plus the per-doc top-k
+    window; all keys carry doc_id so a corpus partitioned by doc hash
+    never concentrates. The stopword split is one codegen regexp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(split(lower(text), "
+                f"'{_RAKE_PAT.replace(chr(92), chr(92) * 2)}'), "
+                "p -> trim(p)), p -> p <> '')"
+            )
+        ).alias("phrase"),
+    )
+    pa = phrases.groupBy("doc_id", "phrase").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    ).withColumn("phrase_len", F.size(F.split("phrase", " ")))
+    wtab = pa.select(
+        "doc_id",
+        "phrase",
+        "phrase_len",
+        "n_occ",
+        F.explode(F.split("phrase", " ")).alias("word"),
+    )
+    ws = wtab.groupBy("doc_id", "word").agg(
+        F.sum("n_occ").alias("freq"),
+        F.sum(F.col("n_occ") * F.col("phrase_len")).alias("deg"),
+    )
+    score_dec = (
+        F.col("deg").cast("double") / F.col("freq").cast("double")
+    ).cast("decimal(18,6)")
+    ps = (
+        wtab.join(ws.withColumn("wscore", score_dec), ["doc_id", "word"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.sum("wscore").cast("double").alias("rake_score"),
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("rake_score").desc(), "phrase")
+    return (
+        ps.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _RAKE_TOP)
+        .select("doc_id", "phrase", "rake_score", "n_words", "rnk")
+    )
+
+
+# Shared by the Spark query and the DuckDB oracle VERBATIM: the seed
+# manufactures noisy URL spellings (scheme/case/www/port/trailing-slash/
+# utm/fragment variants, URL-free corpus) and the canonicalizer is pure
+# standard SQL (CASE + regexp_extract/replace with single-match patterns,
+# identical semantics in both engines).
+_URL_CANON_SQL = """
+WITH seeded AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Example.ORG' ELSE 'example.org' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+    || '/page/' || CAST(doc_id % 40 AS VARCHAR(16))
+    || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0
+             THEN '?utm_source=feed&q=' || CAST(doc_id % 5 AS VARCHAR(16))
+             WHEN doc_id % 4 = 1
+             THEN '?q=' || CAST(doc_id % 5 AS VARCHAR(16))
+             ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '#section' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1) AS hostport,
+    regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+    regexp_extract(url, '[?]([^#]*)', 1) AS query
+  FROM seeded
+),
+cleaned AS (
+  SELECT doc_id, url, hostport, path,
+    regexp_replace(regexp_replace(query, 'utm_[^&]*&?', ''), '&$', '') AS q2
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, url,
+    'https://'
+    || regexp_replace(regexp_replace(lower(hostport), '^www[.]', ''),
+                      ':(443|80)$', '')
+    || regexp_replace(path, '/$', '')
+    || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical
+  FROM cleaned
+)
+SELECT canonical, COUNT(*) AS n_docs, COUNT(DISTINCT url) AS n_raw_forms,
+       MIN(doc_id) AS min_doc
+FROM canon GROUP BY canonical
+"""
+
+
+@query("docs_url_canonical_dedup", oracle=_URL_CANON_SQL)
+def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the CommonCrawl-style provenance
+    step: URLs that differ only in scheme, host case, ``www.``, default
+    port, trailing slash, ``utm_*`` tracking params, or fragment
+    collapse to one canonical form, which then keys the per-page dedup
+    group (here: group size, distinct raw spellings, representative).
+    Meaningful query params (``q=``) survive; tracking params die.
+
+    The seed + canonicalizer is ONE standard-SQL text executed verbatim
+    by Spark and by the DuckDB oracle — the strongest parity form:
+    whatever the regexp chain does, both engines do it to the letter.
+
+    Scale: scan + one hash shuffle on the canonical string (pre-hash it
+    with xxhash64 at 100 TB to shrink shuffle keys). All regexp work is
+    per-row codegen.
+    """
+    from oe_batch_processing_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_URL_CANON_SQL)

@@ -661,3 +661,100 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("user_id", "event_id", cusum.alias("cusum"))
         .filter(F.col("cusum") > _CUSUM_H)
     )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT o_orderpriority AS series,
+         CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+         COUNT(*) AS x
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT series, wk, CAST(x AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY wk) AS rn
+  FROM base
+),
+holt AS (
+  SELECT series, rn, wk, x,
+         x AS level,
+         (SELECT s2.x FROM seq s2
+          WHERE s2.series = seq.series AND s2.rn = 2) - x AS trend
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.series, s.rn, s.wk, s.x,
+         0.5 * s.x + 0.5 * (h.level + h.trend) AS level,
+         0.5 * ((0.5 * s.x + 0.5 * (h.level + h.trend)) - h.level)
+           + 0.5 * h.trend AS trend
+  FROM holt h JOIN seq s ON s.series = h.series AND s.rn = h.rn + 1
+)
+SELECT series, CAST(rn AS INTEGER) AS rn, wk, x, level, trend,
+       level + trend AS forecast_next
+FROM holt
+"""
+
+
+@query("orders_forecast_holt", oracle=_HOLT_ORACLE)
+def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the weekly order
+    count per priority: level_t = a*x_t + (1-a)(level+trend),
+    trend_t = b*(level_t - level) + (1-b)*trend with a = b = 1/2,
+    initialized level_1 = x_1, trend_1 = x_2 - x_1. Emits the full
+    fitted path plus the one-step forecast.
+
+    This is the genuinely sequential family (the recurrence couples
+    level and trend, so no prefix identity exists as it does for CUSUM)
+    — the correct Spark shape is ``applyInPandas`` per series: the
+    recurrence runs as a plain float64 loop over each (bounded,
+    time-length) series while Spark parallelizes ACROSS series. The
+    oracle is a DuckDB recursive CTE stepping the identical IEEE
+    expressions in the identical order — bit-equal doubles with no
+    decimal crutch, which is the exactness argument: same ops, same
+    order, same floats.
+
+    Scale: series count partitions the work (here 5, at 100 TB
+    millions); each group is O(weeks), not O(events) — the groupBy
+    pre-aggregation collapses the fact table before any Python sees it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        n = len(pdf)
+        x = pdf["x"].to_numpy()
+        level = [0.0] * n
+        trend = [0.0] * n
+        if n >= 1:
+            level[0] = float(x[0])
+            trend[0] = (float(x[1]) - float(x[0])) if n >= 2 else 0.0
+        for i in range(1, n):
+            lv = 0.5 * float(x[i]) + 0.5 * (level[i - 1] + trend[i - 1])
+            tr = 0.5 * (lv - level[i - 1]) + 0.5 * trend[i - 1]
+            level[i] = lv
+            trend[i] = tr
+        return pd.DataFrame(
+            {
+                "series": pdf["series"],
+                "rn": range(1, n + 1),
+                "wk": pdf["wk"],
+                "x": pdf["x"],
+                "level": level,
+                "trend": trend,
+                "forecast_next": [lv + tr for lv, tr in zip(level, trend)],
+            }
+        )
+
+    return base.groupBy("series").applyInPandas(
+        fit,
+        "series string, rn int, wk bigint, x double, level double,"
+        " trend double, forecast_next double",
+    )
