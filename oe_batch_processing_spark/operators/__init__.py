@@ -13,6 +13,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     llmops,
     llmops2,
     mining,
+    mlstats,
     multimodal,
     pipeline,
     relational,

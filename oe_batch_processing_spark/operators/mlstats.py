@@ -1,0 +1,146 @@
+"""Distributed-ML statistics operators: closed-form multivariate OLS via
+normal equations and lagged cross-correlation between event series.
+
+Both follow the sufficient-statistics doctrine for 100 TB model fitting:
+one distributed pass reduces the fact table to a constant-size moment
+vector (every sum an exact integer through the round-and-sum-BIGINT
+convention), and the model solve is a deterministic scalar expression on
+those moments — no iterative optimizer, no driver-side data movement
+beyond the moments themselves. The SQL text is shared VERBATIM between
+the Spark query and the DuckDB oracle, so the (large) determinant
+formulas cannot drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oe_batch_processing_spark.registry import query
+from oe_batch_processing_spark.tables import register_views
+
+# Cramer's rule for M b = v with
+#   M = [[n, X1, X2], [X1, X11, X12], [X2, X12, X22]],  v = [Y, X1Y, X2Y]
+_DET = (
+    "(n_d*(X11*X22 - X12*X12) - X1*(X1*X22 - X12*X2) + X2*(X1*X12 - X11*X2))"
+)
+_DET0 = (
+    "(Y*(X11*X22 - X12*X12) - X1*(X1Y*X22 - X12*X2Y) + X2*(X1Y*X12 - X11*X2Y))"
+)
+_DET1 = (
+    "(n_d*(X1Y*X22 - X12*X2Y) - Y*(X1*X22 - X12*X2) + X2*(X1*X2Y - X1Y*X2))"
+)
+_DET2 = (
+    "(n_d*(X11*X2Y - X1Y*X12) - X1*(X1*X2Y - X1Y*X2) + Y*(X1*X12 - X11*X2))"
+)
+
+_OLS_SQL = f"""
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS s1,
+         SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS s2,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s11,
+         SUM(CAST(ROUND(l_quantity * l_discount * 100) AS BIGINT)) AS s12,
+         SUM(CAST(ROUND(l_discount * l_discount * 10000) AS BIGINT)) AS s22,
+         SUM(CAST(ROUND(l_quantity * l_extendedprice * 100) AS BIGINT)) AS s1y,
+         SUM(CAST(ROUND(l_discount * l_extendedprice * 10000) AS BIGINT)) AS s2y,
+         SUM(CAST(ROUND(l_extendedprice * l_extendedprice * 10) AS BIGINT)) AS syy
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(n AS DOUBLE) AS n_d,
+         CAST(s1 AS DOUBLE) AS X1,
+         CAST(s2 AS DOUBLE) / 100 AS X2,
+         CAST(sy AS DOUBLE) / 100 AS Y,
+         CAST(s11 AS DOUBLE) AS X11,
+         CAST(s12 AS DOUBLE) / 100 AS X12,
+         CAST(s22 AS DOUBLE) / 10000 AS X22,
+         CAST(s1y AS DOUBLE) / 100 AS X1Y,
+         CAST(s2y AS DOUBLE) / 10000 AS X2Y,
+         CAST(syy AS DOUBLE) / 10 AS YY
+  FROM s
+),
+b AS (
+  SELECT n_d, Y, X1Y, X2Y, YY,
+         {_DET0} / {_DET} AS beta0,
+         {_DET1} / {_DET} AS beta1,
+         {_DET2} / {_DET} AS beta2
+  FROM m
+)
+SELECT CAST(n_d AS BIGINT) AS n, beta0, beta1, beta2,
+       1 - (YY - beta0*Y - beta1*X1Y - beta2*X2Y)
+           / (YY - Y*Y/n_d) AS r2
+FROM b
+"""
+
+
+@query("regression_multivar_normal_eq", oracle=_OLS_SQL)
+def regression_multivar_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS (l_extendedprice ~ l_quantity + l_discount +
+    intercept) solved in closed form: one distributed aggregation
+    reduces 6e9 rows-at-scale to ten moments, and Cramer's rule on the
+    3x3 normal matrix yields the coefficients plus R^2 — the
+    sufficient-statistics shape that replaces iterative SGD for any
+    model linear in its parameters. At 100 TB this is ONE map-side-
+    combinable pass; the solve is O(1).
+
+    Exactness: each moment is round-to-scaled-BIGINT summed (exact,
+    order-independent, all magnitudes < 2^53 — y^2 deliberately at
+    scale 10 to stay under the bound at sf0.1), converted once to
+    double; the determinant algebra is one shared SQL text so both
+    engines evaluate the identical IEEE expression tree. A 4x4 (more
+    features) swaps the formula for LDL^T on the driver — the moments
+    pass is unchanged.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_OLS_SQL)
+
+
+_XCORR_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1
+),
+lags AS (SELECT 0 AS lag UNION ALL SELECT 1 UNION ALL
+         SELECT 2 UNION ALL SELECT 3),
+paired AS (
+  SELECT l.lag, a.c, b.p
+  FROM lags l
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.hr = a.hr + l.lag * INTERVAL '1' HOUR
+),
+mo AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(c) AS sc, SUM(p) AS sp,
+         SUM(c * c) AS scc, SUM(p * p) AS spp, SUM(c * p) AS scp
+  FROM paired GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(scp AS DOUBLE)
+          - CAST(sc AS DOUBLE) * CAST(sp AS DOUBLE))
+       / (SQRT(CAST(n AS DOUBLE) * CAST(scc AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+          * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                 - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+         AS xcorr
+FROM mo
+"""
+
+
+@query("events_lagged_crosscorr", oracle=_XCORR_SQL)
+def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click and purchase
+    count series (lags 0-3h): the does-activity-lead-conversion
+    diagnostic. Counts are integers, so every Pearson moment is an
+    exact BIGINT sum and the correlation is a fixed IEEE expression —
+    hash-exact across engines with no decimal scaffolding.
+
+    Scale: events collapse to the hourly grid first (one hash shuffle,
+    grid is O(hours) regardless of event volume); the lag join runs on
+    the tiny grid. The lag set is a constant inline relation, so
+    Catalyst unrolls it as a broadcast.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_XCORR_SQL)

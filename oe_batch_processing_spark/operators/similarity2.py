@@ -460,3 +460,109 @@ def similarity_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+_KNN_K = 7
+_KNN_HOLD_MOD = 4  # vec_id % 4 == 0 -> unlabeled (to classify); rest labeled
+
+
+@query(
+    "embedding_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
+    ),
+    lab AS (
+      SELECT q.vec_id, q.qe, d.lang
+      FROM q JOIN documents d ON d.doc_id = q.vec_id
+      WHERE q.vec_id % {_KNN_HOLD_MOD} <> 0
+    ),
+    unl AS (SELECT vec_id, qe FROM q WHERE vec_id % {_KNN_HOLD_MOD} = 0),
+    d AS (
+      SELECT u.vec_id, l.lang, l.vec_id AS nbr,
+             CAST(LIST_SUM([(u.qe[i] - l.qe[i]) * (u.qe[i] - l.qe[i])
+                            FOR i IN GENERATE_SERIES(1, {EMB_DIM})]) AS BIGINT)
+               AS l2sq
+      FROM unl u CROSS JOIN lab l
+    ),
+    topk AS (
+      SELECT vec_id, lang, nbr FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY l2sq, nbr) AS rn
+        FROM d
+      ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT vec_id, lang, COUNT(*) AS n_votes
+      FROM topk GROUP BY vec_id, lang
+    )
+    SELECT v.vec_id, v.lang AS predicted_lang,
+           CAST(v.n_votes AS INTEGER) AS n_votes,
+           t.lang AS true_lang,
+           (v.lang = t.lang) AS correct
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY n_votes DESC, lang) AS rn
+      FROM votes
+    ) v
+    JOIN documents t ON t.doc_id = v.vec_id
+    WHERE v.rn = 1
+    """,
+)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over embeddings: the 25% held-out vectors get
+    the majority label (document language) of their {_KNN_K} nearest
+    labeled neighbors by exact quantized L2 — the standard
+    label-propagation / weak-labeling step of a curation pipeline.
+    Deterministic end to end: integer distances, (distance, neighbor)
+    ranking, and (votes DESC, label ASC) tie-broken majority — so a
+    full hash oracle covers an ML inference op.
+
+    Scale: the UNLABELED side is broadcast (it is the small side — you
+    classify a batch against a large labeled corpus); each corpus
+    partition scores its vectors against every query in codegen, and
+    the per-query top-k window is the only shuffle, pre-limited to k
+    rows per partition by Spark's group-limit pushdown. Same skeleton
+    as similarity_topk_cosine, different reduction (argmax of vote
+    counts instead of a score list).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    lab = (
+        vecs.filter(F.col("vec_id") % _KNN_HOLD_MOD != 0)
+        .join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        )
+        .select(F.col("vec_id").alias("nbr"), F.col("qe").alias("le"), "lang")
+    )
+    unl = vecs.filter(F.col("vec_id") % _KNN_HOLD_MOD == 0).select(
+        F.col("vec_id"), F.col("qe").alias("ue")
+    )
+    scored = lab.join(F.broadcast(unl)).select(
+        "vec_id",
+        "lang",
+        "nbr",
+        F.expr(_L2.format(a="ue", b="le")).alias("l2sq"),
+    )
+    wk = Window.partitionBy("vec_id").orderBy("l2sq", "nbr")
+    topk = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = topk.groupBy("vec_id", "lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_votes")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("n_votes").desc(), "lang")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("lang").alias("predicted_lang"), "n_votes")
+    )
+    truth = docs.select(F.col("doc_id").alias("vec_id"), F.col("lang").alias("true_lang"))
+    return pred.join(truth, "vec_id").select(
+        "vec_id",
+        "predicted_lang",
+        "n_votes",
+        "true_lang",
+        (F.col("predicted_lang") == F.col("true_lang")).alias("correct"),
+    )

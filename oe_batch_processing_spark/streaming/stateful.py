@@ -362,3 +362,118 @@ except ModuleNotFoundError:  # no `google` namespace package at all
     HAS_PROTOBUF = False
 if HAS_PROTOBUF:  # pragma: no cover — container has no protobuf
     query("stream_tws_type_stats", oracle=TWS_ORACLE)(stream_tws_type_stats)
+
+
+# --- stateful operator #4: streaming CUSUM changepoint carry -----------------
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("cusum", DoubleType(), False),
+    ]
+)
+# State carries (prefix_sum, min_prefix) as 1e6-scaled exact integers —
+# the decimal(18,6) values of the batch op, losslessly.
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("p_scaled", LongType(), False),
+        StructField("mn_scaled", LongType(), False),
+    ]
+)
+
+_CUSUM_TARGET_F = 52.0
+_CUSUM_H_F = 120.0
+
+
+def _update_user_cusum(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    q = Decimal("0.000001")
+    p_scaled, mn_scaled = state.get if state.exists else (0, 0)
+    p = Decimal(p_scaled) / 1_000_000
+    mn = Decimal(mn_scaled) / 1_000_000  # min(0, min prefix) so far
+    out_ids, out_cusum = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for event_id, v in zip(pdf["event_id"], pdf["value"]):
+            # identical to the batch CAST(value - 52.0 AS DECIMAL(18,6)):
+            # Spark casts the double via its shortest repr, half-up.
+            y = Decimal(repr(float(v) - _CUSUM_TARGET_F)).quantize(
+                q, rounding=ROUND_HALF_UP
+            )
+            p += y
+            if p < mn:
+                mn = p
+            s = float(p - mn)  # exact decimal -> correctly-rounded double
+            if s > _CUSUM_H_F:
+                out_ids.append(int(event_id))
+                out_cusum.append(s)
+    state.update((int(p * 1_000_000), int(mn * 1_000_000)))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": out_ids,
+            "cusum": out_cusum,
+        }
+    )
+
+
+def stateful_user_cusum(events: DataFrame) -> DataFrame:
+    """Streaming one-sided CUSUM: state carries the exact
+    (prefix_sum, running_min_prefix) pair per user, so the alarm rows
+    are bit-identical to the batch window identity
+    S_i = P_i - min(0, min prefix). Same order contract as the EWMA
+    operator: per-key event-time order across batches (keyed-log
+    replay); within a batch the operator sorts.
+
+    Scale: O(1) state per key (two longs), one co-location shuffle —
+    the cheapest possible stateful detector; a watermark + timeout
+    would evict quiet keys on an unbounded stream.
+    """
+    prepped = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user_cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query(
+    "stream_changepoint_cusum",
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(value - 52.0 AS DECIMAL(18,6)) AS y
+               FROM events),
+    p AS (SELECT user_id, ts, event_id, y,
+            SUM(y) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS prefix
+          FROM e),
+    m AS (SELECT user_id, event_id, prefix,
+            MIN(prefix) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS mn
+          FROM p),
+    s AS (SELECT user_id, event_id,
+            CAST(CASE WHEN mn < 0 THEN prefix - mn ELSE prefix END
+                 AS DOUBLE) AS cusum
+          FROM m)
+    SELECT user_id, event_id, cusum FROM s WHERE cusum > 120.0
+    """,
+)
+def stream_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_changepoint_cusum`` (the docstring
+    there promises this operator): the same detector as an
+    applyInPandasWithState carry, sharing the batch op's oracle — the
+    strongest stream/batch-consistency statement available (identical
+    alarm rows, hash-compared, not just identical counts)."""
+    return run_available_now(
+        stateful_user_cusum(events_stream(spark, sf_dir)), "append"
+    )

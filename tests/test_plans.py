@@ -240,3 +240,48 @@ def test_bpe_fertility_is_shuffle_light(spark):
     df = registry.QUERIES["text_bpe_apply_fertility"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "Generate" not in plan  # no explode of the word stream
+
+
+def test_knn_broadcasts_query_side(spark):
+    df = registry.QUERIES["embedding_knn_classify"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the unlabeled (small) side is broadcast; no nested-loop cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_has_no_global_sort_window(spark):
+    df = registry.QUERIES["pipeline_curriculum_order"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # the doc-position window partitions by band — never an empty
+    # partition spec (the single-partition global sort anti-pattern)
+    assert "Window" in plan
+    for frag in plan.split("partitionBy=[")[1:]:
+        assert not frag.startswith("]"), "window with empty partitionBy"
+    # band offsets come back via broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cusum_single_exchange_for_both_windows(spark):
+    df = registry.QUERIES["events_changepoint_cusum"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # prefix-sum and running-min share one user_id hash partitioning:
+    # exactly one Exchange node in the plan tree
+    assert plan.count("Exchange (") == 1
+
+
+def test_matmul_topk_partial_limit_before_exchange(spark):
+    df = registry.QUERIES["similarity_topk_matmul"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # per-partition top-k happens in Python; the only exchange is the
+    # final per-query window (group-limited), never a full cross join
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_duplicate_ngram_spans_two_shuffle_shape(spark):
+    df = registry.QUERIES["docs_duplicate_ngram_spans"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    # partial aggregate runs map-side before the gram shuffle
+    assert "partial_count" in plan.lower() or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
