@@ -76,6 +76,13 @@ HEADLINE = [
     "sketch_countmin_user_counts",
     "dedup_shingle_containment",
     "events_resample_interp_linear",
+    # late-round-5 additions (BLAS-path ANN, substring dedup, CUSUM,
+    # RAKE, Holt recurrence):
+    "similarity_topk_matmul",
+    "docs_duplicate_ngram_spans",
+    "events_changepoint_cusum",
+    "text_rake_keywords",
+    "orders_forecast_holt",
 ]
 
 

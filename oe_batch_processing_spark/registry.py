@@ -78,7 +78,14 @@ ORACLE: dict[str, str] = {}
 # events_funnel_staged_windows, dedup_pipeline_tiered,
 # profile_documents_columns, events_anomaly_seasonal,
 # pipeline_mix_temperature_sqrt, sql_udf_parameterized,
-# scalar_collation_lcase.
+# scalar_collation_lcase, multimodal_audio_vad_segments,
+# dedup_incremental_vs_history, and the final round-5 batch:
+# sql_scripting_vars, events_changepoint_cusum, stream_changepoint_cusum,
+# text_readability_forcast, docs_duplicate_ngram_spans,
+# similarity_topk_matmul, multimodal_video_shot_boundaries,
+# text_rake_keywords, orders_forecast_holt, pipeline_curriculum_order,
+# docs_url_canonical_dedup, embedding_knn_classify,
+# regression_multivar_normal_eq, events_lagged_crosscorr.
 # Then the remaining r2-latest rows (TPC-H q2/q4/q5/q7/q10/q14/q19/q22,
 # text_* family, set ops, udtf/unpivot, similarity_pairs_above).
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
