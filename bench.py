@@ -5,9 +5,25 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name:
 sec}, "sf": ...}``.
 
-Each query is executed once with a full action (count via noop write would be
+Each query is executed with a full action (count via noop write would be
 ideal; ``toPandas`` would measure arrow transfer — we use ``count`` on the
 final frame which forces full execution of every operator upstream).
+
+Measurement protocol (round 6, after the r5 cold-JIT findings):
+  - Before timing, each query runs ONCE at sf0.001 (``$SPARK_GRAFT_WARM_DIR``)
+    to compile its whole-stage-codegen / higher-order-function generated code.
+    The r5 ``dedup_minhash_lsh`` "2x regression" was exactly this: 5.1 s cold
+    vs 1.3-1.8 s steady-state — the plan was unchanged; Spark 4's first-use
+    JIT of the nested transform() fold is what doubled. The warmup makes the
+    reported number the data-proportional steady-state cost, which is the
+    quantity that extrapolates to a 100 TB run (where one JIT compile
+    amortizes over hours, not over a 1-second query).
+  - ``--repeat N`` (N>=3 for the committed protocol table) times each query
+    N times and reports the per-query MEDIAN in ``queries`` plus
+    ``[min, max]`` spread in ``spread``. The default single-timed run is what
+    the driver invokes; ``tools/bench_table.py`` turns repeat-mode JSONs into
+    the BENCH_NOTES comparison table so round-over-round claims come from a
+    committed, reproducible invocation rather than ad-hoc session numbers.
 """
 
 from __future__ import annotations
@@ -83,6 +99,15 @@ HEADLINE = [
     "events_changepoint_cusum",
     "text_rake_keywords",
     "orders_forecast_holt",
+    # round-6 additions (real-format decodes, stateful JVM folds,
+    # drift tests, budget planning):
+    "multimodal_ppm_decode",
+    "multimodal_wav_riff_features",
+    "events_sessionize_capped",
+    "events_token_bucket_admission",
+    "orders_trend_theil_sen",
+    "stats_ks_two_sample",
+    "pipeline_token_budget_epochs",
 ]
 
 
@@ -134,6 +159,10 @@ def bench_ingest(spark, timings: dict[str, float]) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = max(1, int(sys.argv[sys.argv.index("--repeat") + 1]))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -156,21 +185,37 @@ def main() -> None:
     # bench signal (round 4 lost all numbers to a single AnalysisException).
     # Errors are recorded per-query and the JSON always prints.
     timings: dict[str, object] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    do_warm = bool(warm_dir) and os.path.isdir(warm_dir) and warm_dir != sf_dir
     total = 0.0
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
         if fn is None:
             errors[name] = "not registered"
             continue
-        t0 = time.time()
+        # JIT warmup: one pass at the tiny SF compiles this query's
+        # generated code (whole-stage codegen + higher-order-function
+        # expression compilation) so the timed run measures steady-state,
+        # data-proportional cost — see module docstring.
+        if do_warm:
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+        runs: list[float] = []
         try:
-            fn(spark, sf_dir).count()
+            for _ in range(repeat):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
-        dt = time.time() - t0
+        dt = sorted(runs)[len(runs) // 2]  # median (== the run when N=1)
         timings[name] = round(dt, 3)
+        if repeat > 1:
+            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         total += dt
 
     try:
@@ -187,7 +232,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "protocol": {"warmup_dir": warm_dir if do_warm else None, "repeat": repeat},
     }
+    if spread:
+        out["spread"] = spread
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

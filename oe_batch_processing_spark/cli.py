@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     p_query.add_argument("--limit", type=int, default=20)
 
     sub.add_parser("list", help="list registered queries")
+    sub.add_parser(
+        "counts",
+        help="registered/oracled/rows-only totals — the single source of "
+        "truth every committed doc count must match",
+    )
 
     args = parser.parse_args(argv)
 
@@ -43,6 +48,15 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(registry.QUERIES):
             kind = "oracle" if name in registry.ORACLE else "rows-only"
             print(f"{name}  [{kind}]")
+        return 0
+
+    if args.cmd == "counts":
+        n = len(registry.QUERIES)
+        no = len(registry.ORACLE)
+        print(
+            f"registered={n} oracled={no} rows_only={n - no} "
+            f"rows_only_names={sorted(set(registry.QUERIES) - set(registry.ORACLE))}"
+        )
         return 0
 
     from oe_batch_processing_spark.session import get_spark

@@ -23,6 +23,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    relational8,
     sessions,
     similarity,
     sketches,

@@ -199,13 +199,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has giant duplicate classes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # The testdata tables are single-row-group parquet files, so the scan is
-    # ONE split — without an explicit repartition the whole signature stage
-    # (the CPU-heavy part) runs in a single task. At 100 TB natural input
-    # splits provide this parallelism; when they don't match core count,
-    # this repartition is the knob.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh_arrays = shingle_arrays(docs.repartition(n_part), 3).persist()
+    # shingle_arrays already round-robins the single-row-group test scan to
+    # shuffle-partition width so the CPU-heavy signature stage runs 32-wide
+    # (a second caller-side repartition here was redundant — one exchange,
+    # removed). At 100 TB natural input splits provide this parallelism.
+    sh_arrays = shingle_arrays(docs, 3).persist()
     # Each shingle STRING is hashed once; the 64 signature slots re-hash the
     # resulting 8-byte int with per-slot seeds — a true independent family
     # (unlike an affine multiply-mix over one hash, which was tried and

@@ -214,7 +214,14 @@ def docs_lang_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_n = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
 
     grid = (
-        lang_n.crossJoin(corpus_w)
+        # lang_n is |languages| rows (5 here) — pin it as the broadcast
+        # build side rather than trusting AQE to discover it at runtime.
+        # corpus_w (the vocab) is the streamed side; at true 100 TB Heaps'
+        # law grows |vocab| ~ O(N^0.5) so the grid needs a top-k vocabulary
+        # cut (e.g. rank n_w desc, keep top 1-10M, bucket the tail into an
+        # OTHER row) — the quantized-TVD metric stays exact over the kept
+        # mass; SCALE.md carries the sizing note.
+        F.broadcast(lang_n).crossJoin(corpus_w)
         .join(lang_w, ["lang", "w"], "left")
         .withColumn("n_lw", F.coalesce("n_lw", F.lit(0)))
         .crossJoin(F.broadcast(corpus_n))

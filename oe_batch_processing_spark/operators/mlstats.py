@@ -144,3 +144,109 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_XCORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests (drift detection), integer-exact
+# ---------------------------------------------------------------------------
+
+_KS_BINS_PER_UNIT = 16  # ECDF quantization: 1/16 value units per bin
+
+_KS_SQL = f"""
+WITH b AS (
+  SELECT CAST(FLOOR(value * {_KS_BINS_PER_UNIT}) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+c AS (
+  SELECT bin,
+         CAST(SUM(c1) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS f2
+  FROM b
+),
+t AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM b
+)
+SELECT n1, n2, ABS(n2 * f1 - n1 * f2) AS d_scaled, bin AS at_bin
+FROM c, t
+ORDER BY d_scaled DESC, at_bin
+LIMIT 1
+"""
+
+
+@query("stats_ks_two_sample", oracle=_KS_SQL)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions — the distribution-drift test a data-QC
+    gate runs between corpus snapshots / sources before a training mix is
+    trusted. D = max |F1 - F2| over the binned ECDFs, reported as the
+    integer d_scaled = max |n2·C1 - n1·C2| (D = d_scaled/(n1·n2)) plus the
+    bin where the gap peaks — exact integers end to end, no float ECDFs.
+
+    Scale: values quantize to {_KS_BINS_PER_UNIT} bins/unit FIRST (one
+    map-side-combined shuffle on bin), so the ordered-window relation is
+    the BIN aggregate — bounded by the value range, independent of row
+    count. That quantization is what makes ECDF comparison feasible at
+    100 TB (exact continuous KS needs a global sort of every observation;
+    binned KS bounds the error by one bin width and runs on a frame of a
+    few thousand rows). The shared-SQL text runs verbatim on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_KS_SQL)
+
+
+_MWU_SQL = """
+WITH x AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT v, CAST(SUM(is1) AS BIGINT) AS n1v, CAST(COUNT(*) AS BIGINT) AS tv
+  FROM x GROUP BY v
+),
+c AS (
+  SELECT v, n1v, tv,
+         CAST(COALESCE(SUM(tv) OVER (ORDER BY v ROWS BETWEEN
+              UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM g
+),
+t AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(tv) - SUM(n1v) AS BIGINT) AS n2
+  FROM g
+)
+SELECT n1, n2,
+       CAST(SUM(n1v * (2 * cb + tv + 1)) AS BIGINT) AS r1_x2,
+       CAST(2 * n1 * n2 + n1 * (n1 + 1)
+            - SUM(n1v * (2 * cb + tv + 1)) AS BIGINT) AS u1_x2
+FROM c, t
+GROUP BY n1, n2
+"""
+
+
+@query("stats_mann_whitney_u", oracle=_MWU_SQL)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the click and purchase value
+    samples — the nonparametric did-the-distribution-shift test (no
+    normality assumption), the standard A/B significance primitive when
+    means are outlier-fragile. Tie handling is the textbook average-rank
+    rule, made integer-exact by doubling: a value with cb predecessors and
+    tv ties contributes rank-sum n1v·(2·cb + tv + 1)/2, so r1_x2 = 2·R1
+    and u1_x2 = 2·U1 are exact BIGINTs (U1 = u1_x2/2).
+
+    Scale: one hash shuffle collapses the fact rows to the distinct-value
+    frame (rank math needs only per-value counts); the ordered window runs
+    on that aggregate, bounded by value cardinality — for continuous
+    unbounded-cardinality data, quantize first exactly as the KS op does.
+    Shared-SQL verbatim on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_MWU_SQL)

@@ -203,10 +203,14 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF + PQ hybrid ---------------------------------------------------------
 
 IVFPQ_NPROBE = 16  # cells probed per query (matches similarity_topk_ivf)
-IVFPQ_RERANK = 60  # ADC shortlist rescored exactly per query (uniform-random
+IVFPQ_RERANK = 240  # ADC shortlist rescored exactly per query (uniform-random
 # test vectors are PQ's worst case — ADC ordering is noisy, so the shortlist
 # must be deep to reach the IVF probe ceiling; clustered real corpora get the
-# same recall at ~1/4 the depth)
+# same recall at ~1/4 the depth). tools/recall.py depth sweep at sf0.1 (r6):
+# rerank 60 -> recall@5 0.51, 120 -> 0.60, 240 -> 0.69 == the IVF 16-probe
+# ceiling — so 240 recovers EVERYTHING the coarse quantizer admits, at the
+# cost of exactly 240 raw-vector rescores per query (vs the corpus scan
+# brute force needs).
 IVFPQ_TOP_K = 5
 
 
@@ -518,13 +522,20 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking, and (votes DESC, label ASC) tie-broken majority — so a
     full hash oracle covers an ML inference op.
 
-    Scale: the UNLABELED side is broadcast (it is the small side — you
-    classify a batch against a large labeled corpus); each corpus
-    partition scores its vectors against every query in codegen, and
-    the per-query top-k window is the only shuffle, pre-limited to k
-    rows per partition by Spark's group-limit pushdown. Same skeleton
-    as similarity_topk_cosine, different reduction (argmax of vote
-    counts instead of a score list).
+    Scale: the UNLABELED side is broadcast. EXPLICIT ASSUMPTION: that
+    side must be a bounded batch (fits the broadcast threshold — up to a
+    few hundred MB of quantized vectors, ~1M rows at dim 32). The test
+    corpus's 25%-holdout stand-in satisfies that only because the table
+    is small; a production run classifying a fixed fraction of a 100 TB
+    corpus must NOT use this operator as-is — chunk the unlabeled set
+    into bounded batches (iterate this plan per batch), or route both
+    sides through the IVF cell-join (`similarity_topk_ivf`'s skeleton)
+    so neither side is broadcast. With a bounded batch, each corpus
+    partition scores its vectors against every query in codegen, and the
+    per-query top-k window is the only shuffle, pre-limited to k rows
+    per partition by Spark's group-limit pushdown. Same skeleton as
+    similarity_topk_cosine, different reduction (argmax of vote counts
+    instead of a score list).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")

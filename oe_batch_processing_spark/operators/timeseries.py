@@ -679,8 +679,8 @@ seq AS (
 holt AS (
   SELECT series, rn, wk, x,
          x AS level,
-         (SELECT s2.x FROM seq s2
-          WHERE s2.series = seq.series AND s2.rn = 2) - x AS trend
+         COALESCE((SELECT s2.x FROM seq s2
+          WHERE s2.series = seq.series AND s2.rn = 2) - x, 0.0) AS trend
   FROM seq WHERE rn = 1
   UNION ALL
   SELECT s.series, s.rn, s.wk, s.x,

@@ -63,7 +63,13 @@ ORACLE: dict[str, str] = {}
 # events_late_arrival_profile, events_anomaly_seasonal,
 # arrow_user_value_stats, udtf_python_word_stats,
 # stream_dedup_within_watermark, stream_foreachbatch_upsert,
-# stream_ewma_user — plus any round-6 additions without a driver row yet.
+# stream_ewma_user — plus the round-6 additions (no driver row yet):
+# multimodal_ppm_decode, multimodal_wav_riff_features,
+# set_intersect_all_quantities, set_except_all_quantities,
+# orders_trend_theil_sen, sample_pps_systematic,
+# events_sessionize_capped, events_token_bucket_admission,
+# pipeline_token_budget_epochs, stats_ks_two_sample,
+# stats_mann_whitney_u — and any later round-6 additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",

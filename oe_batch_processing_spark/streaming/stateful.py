@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -476,4 +477,102 @@ def stream_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm rows, hash-compared, not just identical counts)."""
     return run_available_now(
         stateful_user_cusum(events_stream(spark, sf_dir)), "append"
+    )
+
+
+# --- streaming token-bucket admission (twin of the batch replay) -----------
+
+TB_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("admitted", BooleanType(), False),
+        StructField("tokens_after_u", LongType(), False),
+    ]
+)
+TB_STATE_SCHEMA = StructType(
+    [
+        StructField("tok_u", LongType(), False),
+        StructField("prev_us", LongType(), False),
+    ]
+)
+
+
+def _update_user_token_bucket(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators.relational8 import (
+        _TB_CAP_U,
+        _TB_US_PER_UTOK,
+    )
+
+    tok_u, prev_us = state.get if state.exists else (_TB_CAP_U, -1)
+    out_ids, out_adm, out_tok = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for event_id, t in zip(pdf["event_id"], pdf["ts_us"]):
+            t = int(t)
+            avail = (
+                _TB_CAP_U
+                if prev_us < 0
+                else min(_TB_CAP_U, tok_u + (t - prev_us) // _TB_US_PER_UTOK)
+            )
+            admitted = avail >= 1_000_000
+            tok_u = avail - 1_000_000 if admitted else avail
+            prev_us = t
+            out_ids.append(int(event_id))
+            out_adm.append(admitted)
+            out_tok.append(tok_u)
+    state.update((int(tok_u), int(prev_us)))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": out_ids,
+            "admitted": out_adm,
+            "tokens_after_u": out_tok,
+        }
+    )
+
+
+def stateful_user_token_bucket(events: DataFrame) -> DataFrame:
+    """Streaming token-bucket rate limiter: state carries (tokens, last
+    event time) per user in micro-token integer units — the ONLINE form of
+    the reference's throttled-executor semantics, admitting/rejecting each
+    event as it arrives. Integer recurrence, so the bounded-stream replay
+    is bit-identical to the batch fold.
+
+    Scale: O(1) state per key (two longs); same keyed-log order contract
+    as the EWMA/CUSUM operators; watermark+timeout would evict idle keys
+    on an unbounded stream.
+    """
+    prepped = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user_token_bucket,
+        outputStructType=TB_OUTPUT_SCHEMA,
+        stateStructType=TB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _tb_oracle() -> str:
+    from oe_batch_processing_spark.operators.relational8 import (
+        _TOKEN_BUCKET_ORACLE,
+    )
+
+    return _TOKEN_BUCKET_ORACLE
+
+
+@query("stream_token_bucket_admission", oracle=_tb_oracle())
+def stream_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_token_bucket_admission``: identical
+    micro-token integer recurrence carried in the state store, sharing the
+    batch op's recursive-CTE oracle — per-event admission decisions
+    hash-compared, not just counts."""
+    return run_available_now(
+        stateful_user_token_bucket(events_stream(spark, sf_dir)), "append"
     )

@@ -387,3 +387,30 @@ def test_rle_codec_roundtrip_properties():
         # adjacent equal values only at cap boundaries (count == 255)
         same = vals[1:] == vals[:-1]
         assert (counts[:-1][same] == 255).all()
+
+
+def test_parse_netpbm_grammar():
+    """Header tokenizer handles the real netpbm grammar: multi-whitespace,
+    comments between any tokens, single separator byte before raster, and
+    raster bytes that look like whitespace are NOT consumed as header."""
+    from oe_batch_processing_spark.operators.multimodal import parse_netpbm
+
+    raster = bytes(range(6))
+    assert parse_netpbm(b"P5\n3 2\n255\n" + raster) == ("P5", 3, 2, 255, raster)
+    # comments + arbitrary whitespace between tokens
+    got = parse_netpbm(b"P5 # c1\n # c2\n 3\t2 # c3\n 255\n" + raster)
+    assert got == ("P5", 3, 2, 255, raster)
+    # raster starting with a whitespace-valued byte (0x20) stays in raster
+    r2 = b"\x20" * 6
+    assert parse_netpbm(b"P5\n3 2\n255\n" + r2)[4] == r2
+    # P6 consumes 3 bytes/pixel
+    r3 = bytes(range(18))
+    assert parse_netpbm(b"P6\n3 2\n255\n" + r3) == ("P6", 3, 2, 255, r3)
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_netpbm(b"P4\n3 2\n255\n" + raster)  # unsupported magic
+    with pytest.raises(ValueError):
+        parse_netpbm(b"P5\n3 2\n255\n" + raster[:-1])  # short raster
+    with pytest.raises(ValueError):
+        parse_netpbm(b"P5\nx 2\n255\n" + raster)  # non-integer dim
