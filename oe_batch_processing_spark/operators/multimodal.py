@@ -1300,3 +1300,136 @@ def multimodal_wav_riff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, channels int, sample_rate int, n_samples int, "
                "duration_us long, energy long, peak_abs int, zero_crossings int",
     )
+
+
+# --- real archive-format decode #3: USTAR tar member index ------------------
+#
+# Tar shards ARE the de-facto LLM training-data container (WebDataset:
+# .tar files of sample members streamed sequentially). Build REAL tar
+# archives with the stdlib encoder (deterministic metadata), then index
+# them with a hand-written USTAR header parser — 512-byte blocks, octal
+# size fields, the spaces-substituted header checksum — so the full member
+# walk (the thing a WebDataset loader does) is exercised and hash-checked.
+
+TAR_SHARD = 8  # documents per archive (WebDataset shard granularity)
+
+
+def parse_tar_members(b: bytes) -> list:
+    """Walk a USTAR archive -> [(name, size, payload, chksum_ok)].
+
+    Implements the real on-disk grammar: 512-byte headers (name NUL-
+    terminated at offset 0, size as octal at 124, checksum at 148 verified
+    by re-summing the header with the checksum field replaced by spaces,
+    magic 'ustar' at 257), payload padded to block boundary, archive
+    terminated by two zero blocks. Raises ValueError on malformed input."""
+    out = []
+    i = 0
+    while i + 512 <= len(b):
+        hdr = b[i : i + 512]
+        if hdr == b"\0" * 512:
+            break  # end-of-archive marker
+        name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
+        size = int(hdr[124:136].split(b"\0")[0].strip() or b"0", 8)
+        stored = int(hdr[148:156].split(b"\0")[0].strip() or b"0", 8)
+        summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if hdr[257:262] != b"ustar":
+            raise ValueError(f"bad magic at offset {i}")
+        payload = b[i + 512 : i + 512 + size]
+        if len(payload) != size:
+            raise ValueError(f"short member {name!r}")
+        out.append((name, size, payload, summed == stored))
+        i += 512 + ((size + 511) // 512) * 512
+    return out
+
+
+_TAR_ORACLE = f"""
+    SELECT doc_id // {TAR_SHARD} AS archive_id,
+           printf('doc_%08d.txt', doc_id) AS member_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           md5(text) AS content_md5,
+           TRUE AS chksum_ok
+    FROM documents
+"""
+
+
+@query("multimodal_tar_member_index", oracle=_TAR_ORACLE)
+def multimodal_tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard indexing: documents are packed {TAR_SHARD}
+    per REAL .tar archive (stdlib ``tarfile`` USTAR encoder, deterministic
+    metadata: mtime=0, uid/gid=0, mode 0644) in one ``applyInPandas``
+    stage, then a SECOND stage walks every archive with
+    :func:`parse_tar_members` — the hand-written USTAR block parser — and
+    emits the member index (name, size, payload md5, header-checksum
+    verification). Any parser defect (octal field, 512-block advance,
+    checksum spaces rule) corrupts names/sizes/md5s and fails the hash
+    oracle, which recomputes the expected index from the packing rule.
+
+    Scale: one shuffle groups members into shards (shard id is a key —
+    this IS how WebDataset shards get built from a table of samples);
+    parsing is embarrassingly parallel per archive with memory bounded by
+    shard size. A production corpus of existing shards arrives via
+    ``binaryFile`` into stage 2 directly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shards = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {TAR_SHARD}").alias("archive_id"),
+        "text",
+    )
+
+    def build(pdf):
+        import io
+        import tarfile as tf
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with tf.open(fileobj=buf, mode="w", format=tf.USTAR_FORMAT) as tar:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                info = tf.TarInfo(name=f"doc_{int(doc_id):08d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                info.mode = 0o644
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tar.addfile(info, io.BytesIO(data))
+        return pd.DataFrame(
+            {"archive_id": [int(pdf["archive_id"].iloc[0])],
+             "payload": [buf.getvalue()]}
+        )
+
+    archives = shards.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary"
+    )
+
+    def index(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for archive_id, payload in zip(pdf["archive_id"], pdf["payload"]):
+                for name, size, data, ok in parse_tar_members(bytes(payload)):
+                    rows.append(
+                        {
+                            "archive_id": archive_id,
+                            "member_name": name,
+                            "size": size,
+                            "content_md5": hashlib.md5(data).hexdigest(),
+                            "chksum_ok": ok,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["archive_id", "member_name", "size",
+                         "content_md5", "chksum_ok"],
+            )
+
+    return archives.mapInPandas(
+        index,
+        schema="archive_id long, member_name string, size long, "
+               "content_md5 string, chksum_ok boolean",
+    )

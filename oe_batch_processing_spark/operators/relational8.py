@@ -757,3 +757,106 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_customers").cast("double") * F.col("total_cents").cast("double"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modern SQL surface: named WINDOW spec, SELECT * EXCEPT
+# ---------------------------------------------------------------------------
+
+_NAMED_WINDOW_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS running_spend,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
+FROM orders
+WHERE o_orderstatus = 'O'
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("sql_window_named_spec", oracle=_NAMED_WINDOW_SQL)
+def sql_window_named_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 named WINDOW clause: three window functions share one
+    ``WINDOW w AS (...)`` spec — the syntax every migrated warehouse
+    workload uses to keep multi-function window queries readable. Both
+    engines support the clause, so the SQL text is shared VERBATIM, and
+    Catalyst plans all three functions over a single Sort+Window (one
+    Exchange on o_custkey), same as the spelled-out form.
+    """
+    from oe_batch_processing_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NAMED_WINDOW_SQL)
+
+
+@query(
+    "sql_select_star_except",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``SELECT * EXCEPT (cols)`` projection — the
+    drop-the-wide-columns idiom (shed payload/PII columns without
+    enumerating the keepers; survives upstream schema additions). The
+    oracle spells out the surviving columns explicitly, proving EXCEPT
+    resolves to exactly that projection; column pruning reaches the scan
+    either way (ReadSchema shows only the kept columns).
+    """
+    from oe_batch_processing_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT * EXCEPT (c_nationkey, c_acctbal) "
+        "FROM customer WHERE c_acctbal > 9000"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key deterministic reservoir sample (hash-rank top-k)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 5
+
+
+@query(
+    "sample_reservoir_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key uniform sample without replacement: the {_RESERVOIR_K}
+    events with the smallest md5(event_id) per user. Hash-rank top-k IS a
+    reservoir sample (any fixed hash induces a uniform random permutation
+    of ids), but unlike an RNG reservoir it is deterministic, re-runnable,
+    and engine-independent — the per-key sampling primitive for building
+    eval slices / debugging subsets from a 100 TB log.
+
+    Plan: one shuffle on user_id; Spark's window-group-limit pushdown
+    keeps only {_RESERVOIR_K} rows per key per partition before the final
+    sort — no per-key full materialization.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.select(
+            "user_id", "event_id", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _RESERVOIR_K)
+        .select("user_id", "event_id", "event_type")
+    )

@@ -69,7 +69,10 @@ ORACLE: dict[str, str] = {}
 # orders_trend_theil_sen, sample_pps_systematic,
 # events_sessionize_capped, events_token_bucket_admission,
 # pipeline_token_budget_epochs, stats_ks_two_sample,
-# stats_mann_whitney_u — and any later round-6 additions.
+# stats_mann_whitney_u, orders_cohort_retention, orders_runs_test_daily,
+# customer_revenue_gini, stream_token_bucket_admission,
+# sql_window_named_spec, sql_select_star_except, sample_reservoir_per_user,
+# multimodal_tar_member_index — and any later round-6 additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",

@@ -414,3 +414,69 @@ def test_parse_netpbm_grammar():
         parse_netpbm(b"P5\n3 2\n255\n" + raster[:-1])  # short raster
     with pytest.raises(ValueError):
         parse_netpbm(b"P5\nx 2\n255\n" + raster)  # non-integer dim
+
+
+def test_parse_wav_grammar():
+    """RIFF walker: chunk order independence, odd-size pad-byte skip,
+    size validation, PCM requirement."""
+    import struct
+
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import parse_wav
+
+    def chunk(cid, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    fmt = chunk(b"fmt ", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    data = chunk(b"data", b"\x01\x00\xff\xff")
+    lst = chunk(b"LIST", b"INFOxyz")  # odd size -> pad byte
+    def wav(body):
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    assert parse_wav(wav(fmt + data)) == (1, 8000, b"\x01\x00\xff\xff")
+    # unknown odd-length chunk between fmt and data is skipped w/ pad
+    assert parse_wav(wav(fmt + lst + data))[2] == b"\x01\x00\xff\xff"
+    # data before fmt still resolves
+    assert parse_wav(wav(data + fmt))[1] == 8000
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFX" + b"\x00" * 20)  # bad magic
+    with pytest.raises(ValueError):
+        parse_wav(wav(fmt))  # no data chunk
+    bad = wav(chunk(b"fmt ", struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)) + data)
+    with pytest.raises(ValueError):
+        parse_wav(bad)  # non-PCM format tag
+
+
+def test_parse_tar_members_roundtrip():
+    """Hand-written USTAR parser agrees with the stdlib encoder, detects
+    checksum corruption, and handles multi-member block advance."""
+    import io
+    import tarfile as tf
+
+    from oe_batch_processing_spark.operators.multimodal import parse_tar_members
+
+    buf = io.BytesIO()
+    bodies = {f"m{i}.txt": bytes([65 + i]) * (500 + i * 13) for i in range(4)}
+    with tf.open(fileobj=buf, mode="w", format=tf.USTAR_FORMAT) as tar:
+        for name, data in bodies.items():
+            info = tf.TarInfo(name=name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    members = parse_tar_members(raw)
+    assert [(m[0], m[1]) for m in members] == [
+        (n, len(d)) for n, d in bodies.items()
+    ]
+    assert all(m[3] for m in members)  # checksums verify
+    assert members[2][2] == bodies["m2.txt"]
+    # corrupt one payload byte INSIDE the first member: checksum of its
+    # header still ok, content changed
+    corrupted = bytearray(raw)
+    corrupted[512] ^= 0xFF
+    assert parse_tar_members(bytes(corrupted))[0][2] != bodies["m0.txt"]
+    # corrupt a header byte: that member's checksum flag flips
+    corrupted = bytearray(raw)
+    corrupted[0] ^= 0x01
+    assert not parse_tar_members(bytes(corrupted))[0][3]
