@@ -299,3 +299,67 @@ def test_duplicate_ngram_spans_two_shuffle_shape(spark):
     # partial aggregate runs map-side before the gram shuffle
     assert "partial_count" in plan.lower() or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """Per-key hash-rank reservoir must pre-limit to k rows per partition
+    (window-group-limit pushdown) instead of ranking every row."""
+    df = registry.QUERIES["sample_reservoir_per_user"](spark, SF_DIR)
+    assert_in_plan(df, "WindowGroupLimit")
+
+
+def test_stateful_folds_are_pure_jvm_single_exchange(spark):
+    """The capped-session and token-bucket batch folds run the whole
+    recurrence in codegen: no Python eval node, exactly one Exchange
+    (the groupBy user co-location)."""
+    for name in ("events_sessionize_capped", "events_token_bucket_admission"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "EvalPython" not in plan, name  # no Arrow/Batch Python nodes
+        assert plan.count("Exchange (") == 1, name
+
+
+def test_ks_orders_window_over_bin_aggregate(spark):
+    """KS quantizes to bins BEFORE the ordered window: the plan's Window
+    consumes a HashAggregate (bin counts), never raw event rows."""
+    df = registry.QUERIES["stats_ks_two_sample"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan and "Window" in plan
+    # the filter on the two compared types reaches the parquet scan
+    assert "PushedFilters:" in plan
+    assert "event_type" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_banded_prefix_ops_partition_their_heavy_window(spark):
+    """PPS sampling and epoch packing: the per-row cumulative window is
+    band-partitioned; the only unpartitioned window is the tiny
+    band-offsets prefix (same invariant as pipeline_curriculum_order)."""
+    for name in ("sample_pps_systematic", "pipeline_token_budget_epochs"):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = formatted_plan(df)
+        win_args = [
+            line.split("Arguments:", 1)[1]
+            for line in plan.splitlines()
+            if "Arguments:" in line and "windowspecdefinition" in line
+        ]
+        partitioned = [a for a in win_args if len(a.split("], [")) == 3]
+        unpartitioned = [a for a in win_args if len(a.split("], [")) == 2]
+        assert len(partitioned) >= 1, name  # in-band cumulative sum
+        assert len(unpartitioned) <= 1, name  # band offsets only
+
+
+def test_cohort_retention_exchange_budget(spark):
+    """Cohort triangle: cohort build, enrichment join, and grid aggregate
+    — at most 3 hash exchanges (the cohort side may additionally ride a
+    BroadcastExchange when AQE sees it's small; the FACT side never
+    broadcasts)."""
+    df = registry.QUERIES["orders_cohort_retention"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    hash_ex = sum(
+        1
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+        and "Exchange" in line
+        and "BroadcastExchange" not in line
+    )
+    assert hash_ex <= 3, plan
