@@ -1007,6 +1007,38 @@ def parse_netpbm(b: bytes) -> tuple:
     return fmt, w, h, maxval, raster
 
 
+def netpbm_files(docs: DataFrame) -> DataFrame:
+    """(media_id, payload) frame of REAL binary netpbm files assembled
+    JVM-side from the documents table: PGM P5 for even doc_ids / PPM P6
+    for odd, width 16..32 varying per doc, a header comment on every 5th
+    file, raster = the document bytes truncated to w*h*channels."""
+    raw = F.encode(F.col("text"), "UTF-8")
+    w = (F.lit(16) + F.col("doc_id") % 17).cast("long")
+    is_p5 = F.col("doc_id") % 2 == 0
+    ch = F.when(is_p5, F.lit(1)).otherwise(F.lit(3)).cast("long")
+    h = (F.octet_length(raw) / (w * ch)).cast("long")
+    header = F.concat(
+        F.when(is_p5, F.lit("P5\n")).otherwise(F.lit("P6\n")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_PPM_COMMENT)).otherwise(F.lit("")),
+        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"),
+    )
+    return (
+        docs.filter(h >= 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.encode(header, "UTF-8"),
+                F.expr("substring(encode(text, 'UTF-8'), 1, "
+                       "cast((octet_length(encode(text, 'UTF-8')) div "
+                       "((16 + doc_id % 17) * (case when doc_id % 2 = 0 "
+                       "then 1 else 3 end))) * "
+                       "((16 + doc_id % 17) * (case when doc_id % 2 = 0 "
+                       "then 1 else 3 end)) as int))"),
+            ).alias("payload"),
+        )
+    )
+
+
 _PPM_ORACLE = """
     WITH g AS (
       SELECT doc_id AS media_id,
@@ -1069,32 +1101,7 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     files on object storage reads via ``spark.read.format("binaryFile")``
     into exactly this (path, content) shape.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    raw = F.encode(F.col("text"), "UTF-8")
-    w = (F.lit(16) + F.col("doc_id") % 17).cast("long")
-    is_p5 = F.col("doc_id") % 2 == 0
-    ch = F.when(is_p5, F.lit(1)).otherwise(F.lit(3)).cast("long")
-    h = (F.octet_length(raw) / (w * ch)).cast("long")
-    header = F.concat(
-        F.when(is_p5, F.lit("P5\n")).otherwise(F.lit("P6\n")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit(_PPM_COMMENT)).otherwise(F.lit("")),
-        w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n"),
-    )
-    files = (
-        docs.filter(h >= 1)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            F.concat(
-                F.encode(header, "UTF-8"),
-                F.expr("substring(encode(text, 'UTF-8'), 1, "
-                       "cast((octet_length(encode(text, 'UTF-8')) div "
-                       "((16 + doc_id % 17) * (case when doc_id % 2 = 0 "
-                       "then 1 else 3 end))) * "
-                       "((16 + doc_id % 17) * (case when doc_id % 2 = 0 "
-                       "then 1 else 3 end)) as int))"),
-            ).alias("payload"),
-        )
-    )
+    files = netpbm_files(load_table(spark, sf_dir, "documents"))
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1432,4 +1439,88 @@ def multimodal_tar_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         index,
         schema="archive_id long, member_name string, size long, "
                "content_md5 string, chksum_ok boolean",
+    )
+
+
+# --- binaryFile ingestion: the production path for media corpora ------------
+
+@query("ingest_binaryfile_netpbm", oracle=_PPM_ORACLE)
+def ingest_binaryfile_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION media-ingestion path, end to end: real ``.pgm`` /
+    ``.ppm`` files are materialized on storage (one file per document,
+    written distributed — each task writes its partition's files, the way
+    a prep job lands blobs on object storage), then ingested with
+    ``spark.read.format("binaryFile")`` — Spark's whole-file connector
+    (path, modificationTime, length, content) — and decoded through the
+    same :func:`parse_netpbm` grammar. Shares the ppm-decode oracle: the
+    write→scan→decode loop must reproduce exactly the statistics computed
+    from the in-memory payloads, proving no byte is lost or reordered on
+    the storage round trip.
+
+    Scale: binaryFile scans parallelize over files (maxPartitionBytes
+    packing; one whole file per row — binaryFile never splits a file);
+    decode memory is bounded by Arrow batch size. Media corpora should
+    prefer a few thousand tar shards (see multimodal_tar_member_index)
+    over millions of tiny blobs — the small-files problem applies to
+    binary corpora exactly as to parquet.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "oebp-binaryfile-netpbm", os.path.basename(sf_dir)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    files = netpbm_files(load_table(spark, sf_dir, "documents"))
+
+    def write_files(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                ext = "pgm" if media_id % 2 == 0 else "ppm"
+                fname = os.path.join(out_dir, f"img_{int(media_id):08d}.{ext}")
+                with open(fname, "wb") as f:
+                    f.write(bytes(payload))
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # distributed write: each task lands its partition's files
+    files.mapInPandas(write_files, schema="n long").agg(F.sum("n")).collect()
+
+    blobs = spark.read.format("binaryFile").load(out_dir)
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                media_id = int(os.path.basename(path).split("_")[1].split(".")[0])
+                fmt, w_, h_, _maxval, raster = parse_netpbm(bytes(content))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                a = a.reshape(h_, w_, 3).sum(axis=2) // 3 if fmt == "P6" else a.reshape(h_, w_)
+                npx = w_ * h_
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "fmt": fmt,
+                        "w": w_,
+                        "h": h_,
+                        "mean_lum": int(a.sum() // npx),
+                        "hgrad": int(np.abs(np.diff(a, axis=1)).sum()),
+                        "vgrad": int(np.abs(np.diff(a, axis=0)).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "w", "h", "mean_lum", "hgrad", "vgrad"],
+            )
+
+    return blobs.select("path", "content").mapInPandas(
+        run, schema="media_id long, fmt string, w int, h int, "
+                    "mean_lum int, hgrad long, vgrad long"
     )

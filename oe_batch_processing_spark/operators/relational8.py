@@ -860,3 +860,130 @@ def sample_reservoir_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RESERVOIR_K)
         .select("user_id", "event_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection — 2-state Kleinberg automaton, integer Viterbi forward pass
+# ---------------------------------------------------------------------------
+
+_BURST_G_US = 600 * 1_000_000  # gap threshold: < 10 min reads as "fast"
+_BURST_EMIT = 3  # emission penalty for a gap that contradicts the state
+_BURST_TRANS = 5  # state-switch penalty (hysteresis)
+
+
+@query(
+    "events_burst_detection",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    g AS (
+      SELECT e.user_id, e.event_id, e.rn - 1 AS gi,
+             CASE WHEN e.t - p.t < {_BURST_G_US} THEN 1 ELSE 0 END AS fast
+      FROM e JOIN e p ON p.user_id = e.user_id AND p.rn = e.rn - 1
+    ),
+    r AS (
+      SELECT user_id, event_id, gi, fast,
+             CAST(CASE WHEN fast = 1 THEN {_BURST_EMIT} ELSE 0 END
+                  AS BIGINT) AS c0,
+             CAST({_BURST_TRANS}
+                  + CASE WHEN fast = 0 THEN {_BURST_EMIT} ELSE 0 END
+                  AS BIGINT) AS c1
+      FROM g WHERE gi = 1
+      UNION ALL
+      SELECT g.user_id, g.event_id, g.gi, g.fast,
+             LEAST(r.c0, r.c1 + {_BURST_TRANS})
+               + CASE WHEN g.fast = 1 THEN {_BURST_EMIT} ELSE 0 END AS c0,
+             LEAST(r.c1, r.c0 + {_BURST_TRANS})
+               + CASE WHEN g.fast = 0 THEN {_BURST_EMIT} ELSE 0 END AS c1
+      FROM r JOIN g ON g.user_id = r.user_id AND g.gi = r.gi + 1
+    )
+    SELECT user_id, event_id, c0, c1,
+           CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS burst_state
+    FROM r
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst detection, the 2-state integer form: each
+    inter-arrival gap is classified fast/slow against a 10-minute
+    threshold, and a 2-state automaton (base / burst) runs a Viterbi
+    forward pass with emission penalty {_BURST_EMIT} for gaps that
+    contradict the state and transition penalty {_BURST_TRANS} for
+    switching — hysteresis smoothing that labels sustained fast runs as
+    bursts without flapping on single outliers (the activity-spike
+    detector for logs/crawls/user streams). Integer costs end to end: no
+    float log-probabilities, so both engines agree bit-for-bit.
+
+    Same JVM ``aggregate`` fold skeleton as the capped sessionizer —
+    state is (c0, c1, prev_t); forward-decoded label = argmin at each
+    step (ties → base), emitted per event. DuckDB oracle: the identical
+    recurrence as a recursive CTE. Scale: one shuffle on user_id; O(1)
+    fold state; day-windowed folding applies as ever.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"), F.col("event_id").alias("eid")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("evts"))
+        .filter(F.size("evts") >= 2)
+    )
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(evts, 2, size(evts) - 1),
+          struct(
+            CAST(0 AS BIGINT) AS c0, CAST(0 AS BIGINT) AS c1,
+            evts[0].t AS prev, 0 AS idx,
+            CAST(array() AS ARRAY<STRUCT<eid: BIGINT, c0: BIGINT,
+                                         c1: BIGINT>>) AS out
+          ),
+          (st, e) -> named_struct(
+            'c0',
+            IF(st.idx = 0,
+               IF(e.t - st.prev < {_BURST_G_US}L, {_BURST_EMIT}L, 0L),
+               least(st.c0, st.c1 + {_BURST_TRANS}L)
+                 + IF(e.t - st.prev < {_BURST_G_US}L, {_BURST_EMIT}L, 0L)),
+            'c1',
+            IF(st.idx = 0,
+               {_BURST_TRANS}L
+                 + IF(e.t - st.prev >= {_BURST_G_US}L, {_BURST_EMIT}L, 0L),
+               least(st.c1, st.c0 + {_BURST_TRANS}L)
+                 + IF(e.t - st.prev >= {_BURST_G_US}L, {_BURST_EMIT}L, 0L)),
+            'prev', e.t,
+            'idx', st.idx + 1,
+            'out', array_append(st.out, named_struct(
+              'eid', e.eid,
+              'c0',
+              IF(st.idx = 0,
+                 IF(e.t - st.prev < {_BURST_G_US}L, {_BURST_EMIT}L, 0L),
+                 least(st.c0, st.c1 + {_BURST_TRANS}L)
+                   + IF(e.t - st.prev < {_BURST_G_US}L, {_BURST_EMIT}L, 0L)),
+              'c1',
+              IF(st.idx = 0,
+                 {_BURST_TRANS}L
+                   + IF(e.t - st.prev >= {_BURST_G_US}L, {_BURST_EMIT}L, 0L),
+                 least(st.c1, st.c0 + {_BURST_TRANS}L)
+                   + IF(e.t - st.prev >= {_BURST_G_US}L, {_BURST_EMIT}L, 0L))))
+          ),
+          st -> st.out
+        )
+        """
+    )
+    return (
+        per_user.select("user_id", F.explode(fold).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.eid").alias("event_id"),
+            F.col("s.c0").alias("c0"),
+            F.col("s.c1").alias("c1"),
+            F.when(F.col("s.c1") < F.col("s.c0"), 1).otherwise(0).alias("burst_state"),
+        )
+    )

@@ -577,3 +577,126 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_lang",
         (F.col("predicted_lang") == F.col("true_lang")).alias("correct"),
     )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup (Abbas et al., 2023 shape) -----
+
+SEMDEDUP_T = 0.15  # cosine threshold (uniform-random test vectors sit near 0;
+# real corpora use 0.7-0.9 — the threshold is data-dependent, the SHAPE isn't)
+
+
+@query(
+    "dedup_semdedup_clusters",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, qe AS ce FROM q WHERE vec_id % {CELLS_MOD} = 1
+    ),
+    d AS (
+      SELECT q.vec_id, c.cell_id, q.qe,
+             CAST(LIST_SUM([(q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])
+                            FOR i IN GENERATE_SERIES(1, {EMB_DIM})]) AS BIGINT)
+               AS l2
+      FROM q CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id, qe FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY l2, cell_id) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    nrm AS (
+      SELECT vec_id, cell_id, qe,
+             SQRT(CAST(LIST_SUM([x * x FOR x IN qe]) AS DOUBLE) / 1e8) AS nr
+      FROM assigned
+    ),
+    pairs AS (
+      SELECT b.vec_id AS id_b, b.cell_id, a.vec_id AS id_a,
+             (CAST(LIST_SUM([a.qe[i] * b.qe[i]
+                             FOR i IN GENERATE_SERIES(1, {EMB_DIM})])
+                   AS DOUBLE) / 1e8) / (a.nr * b.nr) AS cosine
+      FROM nrm a JOIN nrm b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS vec_id, cell_id,
+           MIN(id_a) AS witness_id,
+           CAST(COUNT(*) AS BIGINT) AS n_witnesses
+    FROM pairs WHERE cosine >= {SEMDEDUP_T}
+    GROUP BY id_b, cell_id
+    """,
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup, the semantic-dedup recipe from the
+    LLM-curation literature): embeddings are assigned to their nearest
+    coarse centroid (same deterministic centroid set as the IVF family),
+    and near-duplicate detection runs ONLY within each cluster — a vector
+    is dropped when a smaller-id cluster-mate sits above the cosine
+    threshold (greedy keep-first rule; the witness is the smallest such
+    mate). Output: the dropped set with witness and in-cluster duplicate
+    count.
+
+    This is the production alternative to the all-pairs grid join
+    (``dedup_embedding_cosine``): pair work shrinks from O(N²/G) to
+    Σ|cell|² — with balanced cells, a ~|cells|× reduction — at the cost of
+    missing cross-cluster duplicates (the documented SemDeDup trade-off;
+    recall vs the exact relation is the centroid assignment's quality).
+    Exactness: integer-quantized dots; sqrt/divide are correctly-rounded
+    IEEE ops on identical inputs, so both engines select identical pairs.
+
+    Scale: centroids broadcast (bounded set); assignment is one codegen
+    pass; the self-join shuffles on cell_id — AQE splits hot cells, and a
+    per-cell member cap (as in the MinHash buckets) bounds worst-case
+    quadratic cells on real skewed corpora.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    cents = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
+        F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
+    )
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id", "cell_id", "qe",
+        F.expr(_L2.format(a="qe", b="ce")).alias("l2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("l2", "cell_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "qe")
+    )
+    nrm = assigned.withColumn(
+        "nr",
+        F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)),
+    )
+    a = nrm.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("qe").alias("qe_a"),
+        F.col("nr").alias("nr_a"),
+    )
+    b = nrm.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("qe").alias("qe_b"),
+        F.col("nr").alias("nr_b"),
+    )
+    dot = "aggregate(zip_with(qe_a, qe_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell_id", "id_a", "id_b",
+            (F.expr(dot).cast("double") / F.lit(1e8)
+             / (F.col("nr_a") * F.col("nr_b"))).alias("cosine"),
+        )
+    )
+    return (
+        pairs.filter(F.col("cosine") >= SEMDEDUP_T)
+        .groupBy(F.col("id_b").alias("vec_id"), "cell_id")
+        .agg(
+            F.min("id_a").alias("witness_id"),
+            F.count(F.lit(1)).alias("n_witnesses"),
+        )
+    )

@@ -83,3 +83,108 @@ def udtf_python_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.word
         """
     )
+
+
+@query(
+    "udtf_table_arg_streaks",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type, rn - rnt AS island,
+             CAST(COUNT(*) AS BIGINT) AS streak,
+             MIN(rn) AS start_rn
+      FROM e GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT user_id, event_type, streak, start_rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak DESC, start_rn) AS pick
+      FROM isl
+    )
+    SELECT user_id, event_type AS streak_type, streak,
+           CAST(start_rn AS BIGINT) AS start_rn
+    FROM best WHERE pick = 1
+    """,
+)
+def udtf_table_arg_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic UDTF with a TABLE argument: the function is
+    invoked as ``streaks(TABLE(events) PARTITION BY user_id ORDER BY ts,
+    event_id)`` — the engine plans the partitioning/ordering and streams
+    each user's ordered rows through one UDTF instance, which tracks the
+    longest same-event-type run and emits one row per user at
+    ``terminate()``. This is the missing-piece API for imperative per-key
+    logic (the reference's custom-parser contract, upgraded to grouped
+    ordered input): no collect_list, no manual fold — the UDTF *is* the
+    per-key program.
+
+    The oracle is the declarative twin: gaps-and-islands (rn − rn_per_type)
+    in pure SQL — proving the imperative and declarative spellings agree
+    bit-for-bit (deterministic tie-break: earliest streak wins).
+
+    Scale: one shuffle on user_id (engine-planned from the PARTITION BY
+    clause); per-key state is O(1) — streak counters, not arrays. Python
+    row streaming is the cost; the declarative oracle shape IS the
+    JVM-native production twin, registered here as the same relation.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id: bigint, streak_type: string, "
+          "streak: bigint, start_rn: bigint")
+    class Streaks:
+        def __init__(self) -> None:
+            self.user_id = None
+            self.rn = 0
+            self.cur_type: str | None = None
+            self.cur_len = 0
+            self.cur_start = 0
+            self.best_type: str | None = None
+            self.best_len = 0
+            self.best_start = 0
+
+        def _close_run(self) -> None:
+            if self.cur_type is not None and (
+                self.cur_len > self.best_len
+                or (self.cur_len == self.best_len
+                    and self.cur_start < self.best_start)
+            ):
+                self.best_type = self.cur_type
+                self.best_len = self.cur_len
+                self.best_start = self.cur_start
+
+        def eval(self, row):  # noqa: ANN001 — UDTF contract (Row input)
+            self.user_id = row.user_id
+            self.rn += 1
+            if row.event_type == self.cur_type:
+                self.cur_len += 1
+            else:
+                self._close_run()
+                self.cur_type = row.event_type
+                self.cur_len = 1
+                self.cur_start = self.rn
+            return None
+
+        def terminate(self):
+            self._close_run()
+            if self.best_type is not None:
+                yield (self.user_id, self.best_type, self.best_len,
+                       self.best_start)
+
+    spark.udtf.register("oebp_streaks", Streaks)
+    events = load_table(spark, sf_dir, "events")
+    events.select("user_id", "event_type", "ts", "event_id").createOrReplaceTempView(
+        "udtf_streak_events"
+    )
+    return spark.sql(
+        """
+        SELECT s.user_id, s.streak_type, s.streak, s.start_rn
+        FROM oebp_streaks(TABLE(udtf_streak_events)
+                          PARTITION BY user_id ORDER BY (ts, event_id)) AS s
+        """
+    )

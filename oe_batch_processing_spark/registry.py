@@ -72,7 +72,9 @@ ORACLE: dict[str, str] = {}
 # stats_mann_whitney_u, orders_cohort_retention, orders_runs_test_daily,
 # customer_revenue_gini, stream_token_bucket_admission,
 # sql_window_named_spec, sql_select_star_except, sample_reservoir_per_user,
-# multimodal_tar_member_index — and any later round-6 additions.
+# multimodal_tar_member_index, ingest_binaryfile_netpbm,
+# udtf_table_arg_streaks, events_burst_detection — and any later round-6
+# additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",

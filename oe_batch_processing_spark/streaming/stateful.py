@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -575,4 +576,95 @@ def stream_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame
     hash-compared, not just counts."""
     return run_available_now(
         stateful_user_token_bucket(events_stream(spark, sf_dir)), "append"
+    )
+
+
+# --- streaming capped sessionizer (twin of the batch JVM fold) -------------
+
+SESS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("sess_idx", IntegerType(), False),
+        StructField("sess_start_us", LongType(), False),
+    ]
+)
+SESS_STATE_SCHEMA = StructType(
+    [
+        StructField("anchor_us", LongType(), False),
+        StructField("prev_us", LongType(), False),
+        StructField("idx", LongType(), False),
+    ]
+)
+
+
+def _update_user_capped_session(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators.relational8 import (
+        _SESS_GAP_US,
+        _SESS_MAX_US,
+    )
+
+    anchor, prev, idx = state.get if state.exists else (-1, -1, 0)
+    out_ids, out_sess, out_anchor = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for event_id, t in zip(pdf["event_id"], pdf["ts_us"]):
+            t = int(t)
+            if idx == 0 or t - prev > _SESS_GAP_US or t - anchor > _SESS_MAX_US:
+                idx += 1
+                anchor = t
+            prev = t
+            out_ids.append(int(event_id))
+            out_sess.append(int(idx))
+            out_anchor.append(anchor)
+    state.update((int(anchor), int(prev), int(idx)))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": out_ids,
+            "sess_idx": out_sess,
+            "sess_start_us": out_anchor,
+        }
+    )
+
+
+def stateful_user_capped_session(events: DataFrame) -> DataFrame:
+    """Streaming gap+max-duration sessionizer: state carries (anchor,
+    prev, session index) per user — the cap rule the engine-native
+    ``session_window`` cannot express (it merges on gap only). Integer
+    microsecond recurrence identical to the batch JVM fold."""
+    prepped = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user_capped_session,
+        outputStructType=SESS_OUTPUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _capped_sess_oracle() -> str:
+    from oe_batch_processing_spark.operators import relational8
+
+    # the batch twin's registered oracle IS the shared contract
+    from oe_batch_processing_spark.registry import ORACLE
+
+    assert relational8  # imported for registration side effect
+    return ORACLE["events_sessionize_capped"]
+
+
+@query("stream_sessionize_capped", oracle=_capped_sess_oracle())
+def stream_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sessionize_capped``: the same capped
+    recurrence carried in the state store across micro-batches, sharing
+    the batch op's recursive-CTE oracle — per-event session assignments
+    hash-compared, not just session counts."""
+    return run_available_now(
+        stateful_user_capped_session(events_stream(spark, sf_dir)), "append"
     )
