@@ -363,3 +363,21 @@ def test_cohort_retention_exchange_budget(spark):
         and "BroadcastExchange" not in line
     )
     assert hash_ex <= 3, plan
+
+
+def test_semdedup_broadcasts_centroids_no_cartesian(spark):
+    """SemDeDup: centroid assignment broadcasts the (bounded) centroid
+    set; the in-cluster pair join is an equi-join on cell_id — never a
+    cartesian / nested-loop over the corpus."""
+    df = registry.QUERIES["dedup_semdedup_clusters"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_burst_detection_single_exchange_pure_jvm(spark):
+    """The Viterbi forward fold is one groupBy(user) exchange, all JVM."""
+    df = registry.QUERIES["events_burst_detection"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange (") == 1
