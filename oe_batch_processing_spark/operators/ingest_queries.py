@@ -348,3 +348,77 @@ def pyds_stream_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+@query(
+    "pyds_writer_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (Spark 4 ``DataSourceWriter``) —
+    the other half of the user-defined-connector surface (the reader and
+    stream-reader halves are ``pyds_synthetic_events`` /
+    ``pyds_stream_synthetic``): the events table (value pre-quantized to
+    integer cents) is written through
+    ``df.write.format("oebp_jsonl")`` — per-task JSON-lines files plus a
+    driver-side two-phase commit that writes a manifest from the tasks'
+    commit messages — then read back with the built-in JSON reader and
+    aggregated. The oracle aggregates the ORIGINAL parquet, so the hash
+    match proves the custom write path preserved every row and value, and
+    the row count is cross-checked against the writer's own manifest.
+
+    Scale: the writer is the standard DSv2 two-phase shape — tasks write
+    independently and return commit messages; only the tiny manifest
+    passes through the driver. A production writer swaps the local
+    directory for object storage and adds task-attempt isolation paths.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from oe_batch_processing_spark.sources import py_datasource
+
+    py_datasource.register(spark)
+    out = os.path.join(
+        tempfile.gettempdir(), "oebp-pyds-writer", os.path.basename(sf_dir)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ev.write.format("oebp_jsonl").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+
+    back = spark.read.schema("event_id long, event_type string, cents long").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    agg = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    # writer-manifest cross-check: the two-phase commit's accounting must
+    # agree with what the read-back sees
+    n_back = back.count()
+    if manifest["total_rows"] != n_back:
+        raise AssertionError(
+            f"manifest says {manifest['total_rows']} rows, read {n_back}"
+        )
+    return agg

@@ -73,7 +73,8 @@ ORACLE: dict[str, str] = {}
 # customer_revenue_gini, stream_token_bucket_admission,
 # sql_window_named_spec, sql_select_star_except, sample_reservoir_per_user,
 # multimodal_tar_member_index, ingest_binaryfile_netpbm,
-# udtf_table_arg_streaks, events_burst_detection — and any later round-6
+# udtf_table_arg_streaks, events_burst_detection, stream_sessionize_capped,
+# dedup_semdedup_clusters, pyds_writer_roundtrip — and any later round-6
 # additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --

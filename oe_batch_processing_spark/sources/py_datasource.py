@@ -54,6 +54,8 @@ def _build():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
+        WriterCommitMessage,
         InputPartition,
         SimpleDataSourceStreamReader,
     )
@@ -126,10 +128,67 @@ def _build():
         def simpleStreamReader(self, schema):
             return SyntheticEventsStreamReader(self.options)
 
+    class JsonlDirWriter(DataSourceWriter):
+        """Per-partition JSON-lines file writer: each task streams its
+        rows to ``<path>/part-<pid>.jsonl`` and returns (file, row count)
+        as its commit message; ``commit`` writes a _MANIFEST.json from
+        the collected messages — the classic two-phase commit shape of a
+        DSv2 writer (task output + driver-side finalize)."""
+
+        def __init__(self, options: dict):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            fname = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+            n = 0
+            with open(fname, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return SimpleCommitMessage((fname, n))
+
+        def commit(self, messages):
+            import json as _json
+            import os
+
+            manifest = {
+                "files": sorted(
+                    [[os.path.basename(m.value[0]), m.value[1]]
+                     for m in messages]
+                ),
+                "total_rows": sum(m.value[1] for m in messages),
+            }
+            with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+                _json.dump(manifest, f)
+
+        def abort(self, messages):
+            pass
+
+    class SimpleCommitMessage(WriterCommitMessage):
+        def __init__(self, value):
+            self.value = value
+
+    class JsonlDirDataSource(DataSource):
+        """``df.write.format("oebp_jsonl").option("path", DIR).save()``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "oebp_jsonl"
+
+        def writer(self, schema, overwrite):
+            return JsonlDirWriter(self.options)
+
     return {
         "reader": SyntheticEventsReader,
         "stream_reader": SyntheticEventsStreamReader,
         "datasource": SyntheticEventsDataSource,
+        "jsonl_writer_datasource": JsonlDirDataSource,
     }
 
 
@@ -137,8 +196,10 @@ _CLASSES = _build()
 SyntheticEventsReader = _CLASSES["reader"]
 SyntheticEventsStreamReader = _CLASSES["stream_reader"]
 SyntheticEventsDataSource = _CLASSES["datasource"]
+JsonlDirDataSource = _CLASSES["jsonl_writer_datasource"]
 
 
 def register(spark) -> None:
-    """Idempotently register the connector on this session."""
+    """Idempotently register the connectors on this session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlDirDataSource)

@@ -73,3 +73,32 @@ def test_column_pruning_projection(synth):
     df = synth.option("rows", 50).load().select("id", "kind")
     assert df.columns == ["id", "kind"]
     assert df.count() == 50
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """Custom DataSourceWriter: per-task files + driver manifest must
+    account for every row; file count matches task count."""
+    import json
+    import os
+
+    from oe_batch_processing_spark.sources import py_datasource
+
+    py_datasource.register(spark)
+    out = str(tmp_path / "jsonl_out")
+    os.makedirs(out, exist_ok=True)
+    df = spark.range(0, 1000, 1, 4).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS k"
+    )
+    df.write.format("oebp_jsonl").option("path", out).mode("append").save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert manifest["total_rows"] == 1000
+    assert len(manifest["files"]) == 4  # one file per input partition
+    assert sum(n for _f, n in manifest["files"]) == 1000
+
+    back = spark.read.schema("id long, k string").json(
+        os.path.join(out, "part-*.jsonl")
+    )
+    assert back.count() == 1000
+    assert back.selectExpr("sum(id)").collect()[0][0] == 499500
