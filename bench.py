@@ -108,6 +108,11 @@ HEADLINE = [
     "orders_trend_theil_sen",
     "stats_ks_two_sample",
     "pipeline_token_budget_epochs",
+    "multimodal_tar_member_index",
+    "dedup_semdedup_clusters",
+    "events_burst_detection",
+    "udtf_table_arg_streaks",
+    "text_bigram_lm_kneser_ney",
 ]
 
 

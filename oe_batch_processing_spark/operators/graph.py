@@ -16,7 +16,7 @@ at — both run as a handful of self-joins and key shuffles per iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.registry import query
@@ -474,3 +474,86 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_a",
         "part_b",
     ).limit(50)
+
+
+_LPA_ITERS = 3
+
+# one LPA round in SQL: neighbors vote their current label; each node takes
+# the most common neighbor label, ties to the smallest label id.
+_LPA_ROUND = """
+{out} AS (
+  SELECT v, lbl FROM (
+    SELECT n.v, l.lbl,
+           ROW_NUMBER() OVER (PARTITION BY n.v
+                              ORDER BY COUNT(*) DESC, l.lbl) AS rk
+    FROM nbrs n JOIN {prev} l ON l.v = n.u
+    GROUP BY n.v, l.lbl
+  ) WHERE rk = 1
+)"""
+
+
+def _lpa_oracle() -> str:
+    rounds = ",".join(
+        _LPA_ROUND.format(out=f"l{k}", prev=f"l{k-1}")
+        for k in range(1, _LPA_ITERS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+      WHERE l1.l_suppkey < l2.l_suppkey
+    ),
+    nbrs AS (
+      SELECT a AS v, b AS u FROM pairs
+      UNION ALL
+      SELECT b AS v, a AS u FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT v, v AS lbl FROM nbrs),
+    {rounds}
+    SELECT v AS node, lbl AS community FROM l{_LPA_ITERS}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) on the
+    supplier co-supply graph: every node starts as its own label; each of
+    {_LPA_ITERS} SYNCHRONOUS rounds reassigns every node the most frequent
+    label among its neighbors (ties to the smallest label id). Synchronous
+    updates + deterministic tie-break make LPA — normally a notoriously
+    nondeterministic algorithm — fully reproducible and hash-oracle-able;
+    the DuckDB oracle unrolls the same rounds as chained CTEs.
+
+    Scale: each round is exactly the BSP superstep shape (Pregel-style):
+    one join of the (static, cached) adjacency list against the current
+    label frame + one (node, label) count aggregate + one per-node top-1
+    — all hash-partitioned on node id, so every round reuses the same
+    partitioning; rounds are a fixed unrolled pipeline, no driver loop
+    state beyond plan construction. Skewed hub nodes are AQE's problem,
+    and the per-node top-1 uses the window group-limit pushdown.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, F.col("x.l_partkey") == F.col("y.l_partkey"))
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
+        .distinct()
+    )
+    nbrs = pairs.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        pairs.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    labels = nbrs.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), "lbl")
+    for _ in range(_LPA_ITERS):
+        votes = (
+            nbrs.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("v", "lbl")
+        )
+    return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))

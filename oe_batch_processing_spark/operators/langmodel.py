@@ -401,3 +401,142 @@ def docs_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1)"
         ).alias("novelty_ppm"),
     )
+
+
+@query(
+    "text_bigram_lm_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    train_bi AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM (
+        SELECT words[i+1] AS w1, words[i+2] AS w2
+        FROM toks, UNNEST(range(len(words) - 1)) AS t(i)
+        WHERE doc_id % 10 < 8
+      ) GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu1,
+             CAST(COUNT(*) AS BIGINT) AS n1post
+      FROM train_bi GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pre FROM train_bi GROUP BY w2
+    ),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM train_bi),
+    heldout_bi AS (
+      SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2
+      FROM toks, UNNEST(range(len(words) - 1)) AS t(i)
+      WHERE doc_id % 10 >= 8
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             CASE
+               WHEN x.cu1 IS NULL THEN
+                 ({_LM_SCALE} * COALESCE(n.n1pre, 0)) // t.nt
+               ELSE
+                 ({_LM_SCALE} * GREATEST(4 * COALESCE(b.cb, 0) - 3, 0))
+                   // (4 * x.cu1)
+                 + (3 * x.n1post
+                    * (({_LM_SCALE} * COALESCE(n.n1pre, 0)) // t.nt))
+                   // (4 * x.cu1)
+             END AS p_q,
+             CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS unseen
+      FROM heldout_bi h
+      LEFT JOIN train_bi b ON b.w1 = h.w1 AND b.w2 = h.w2
+      LEFT JOIN ctx x ON x.w1 = h.w1
+      LEFT JOIN cont n ON n.w2 = h.w2
+      CROSS JOIN types t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+           CAST(SUM(p_q) AS BIGINT) AS score_scaled
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the industry-standard LM
+    smoothing (what KenLM computes for data-quality perplexity filters),
+    in exact quantized-probability space. With discount D = 3/4 kept as a
+    rational (multiply through by 4 — no floats):
+
+        P_KN(w2|w1) = max(4·c(w1w2) − 3, 0) / (4·c(w1·))
+                      + 3·N1+(w1,·)/(4·c(w1·)) · P_cont(w2)
+        P_cont(w2)  = N1+(·,w2) / |bigram types|
+
+    quantized as ``(SCALE·num) div den`` at the two documented points
+    (continuation first, then the lambda product) — the floor-division
+    order IS the metric definition, identical in both engines. Contexts
+    unseen in training back off to the bare continuation probability —
+    the KN insight that "Francisco" is common but only ever follows
+    "San" (high frequency, low continuation) and should score LOW in
+    novel contexts, which add-one smoothing (the ``text_bigram_lm_score``
+    baseline) gets exactly backwards.
+
+    Plan: the model is THREE reuses of one bigram-count aggregate
+    (context totals, continuation fan-in, type count) — word-count
+    shuffle shapes over the Zipf-bounded type table; scoring is the same
+    two hash joins as the baseline plus one more vocab-sized join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> struct(words[i] AS w1, words[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+
+    train_bi = (
+        bigrams.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = train_bi.groupBy("w1").agg(
+        F.sum("cb").alias("cu1"), F.count(F.lit(1)).alias("n1post")
+    )
+    cont = train_bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1pre"))
+    types = train_bi.agg(F.count(F.lit(1)).alias("nt"))
+
+    heldout = bigrams.filter(F.col("doc_id") % 10 >= 8)
+    scored = (
+        heldout.join(train_bi.withColumnRenamed("cb", "cb_t"), ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""CASE
+                  WHEN cu1 IS NULL THEN
+                    ({_LM_SCALE} * COALESCE(n1pre, 0)) div nt
+                  ELSE
+                    ({_LM_SCALE} * GREATEST(4 * COALESCE(cb_t, 0) - 3, 0))
+                      div (4 * cu1)
+                    + (3 * n1post
+                       * (({_LM_SCALE} * COALESCE(n1pre, 0)) div nt))
+                      div (4 * cu1)
+                END"""
+            ).alias("p_q"),
+            F.when(F.col("cb_t").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("unseen").alias("n_unseen"),
+            F.sum("p_q").alias("score_scaled"),
+        )
+        .orderBy("doc_id")
+    )

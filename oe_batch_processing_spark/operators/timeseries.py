@@ -758,3 +758,119 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series string, rn int, wk bigint, x double, level double,"
         " trend double, forecast_next double",
     )
+
+
+_HW_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT o_orderpriority AS series,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT series, day, x,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY day) AS rn
+  FROM base
+),
+r AS (
+  SELECT series, rn, day, x,
+         0.5 * (x - 0.0) + 0.5 * (0.0 + 0.0) AS l,
+         0.5 * ((0.5 * (x - 0.0) + 0.5 * (0.0 + 0.0)) - 0.0) + 0.5 * 0.0 AS b,
+         [CASE WHEN j = 0 THEN
+            0.5 * (x - (0.5 * (x - 0.0) + 0.5 * (0.0 + 0.0))) + 0.5 * 0.0
+          ELSE 0.0 END FOR j IN range(7)] AS s
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT q.series, q.rn, q.day, q.x,
+         0.5 * (q.x - r.s[(q.rn - 1) % 7 + 1]) + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * (q.x - r.s[(q.rn - 1) % 7 + 1]) + 0.5 * (r.l + r.b))
+                - r.l) + 0.5 * r.b AS b,
+         [CASE WHEN j = (q.rn - 1) % 7 THEN
+            0.5 * (q.x - (0.5 * (q.x - r.s[(q.rn - 1) % 7 + 1])
+                          + 0.5 * (r.l + r.b)))
+            + 0.5 * r.s[(q.rn - 1) % 7 + 1]
+          ELSE r.s[j + 1] END FOR j IN range(7)] AS s
+  FROM r JOIN seq q ON q.series = r.series AND q.rn = r.rn + 1
+)
+SELECT series, CAST(rn AS INTEGER) AS rn, CAST(day AS BIGINT) AS day, x,
+       l AS level, b AS trend,
+       s[(rn - 1) % 7 + 1] AS seasonal,
+       l + b + s[rn % 7 + 1] AS forecast_next
+FROM r
+"""
+
+
+@query("orders_forecast_holt_winters", oracle=_HW_ORACLE)
+def orders_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) with weekly
+    seasonality over the DAILY order-count series per priority — the
+    forecasting-family completion past ``orders_forecast_holt``: level,
+    trend AND a 7-phase seasonal ring, alpha = beta = gamma = 1/2,
+    uniformly zero-initialized (l_{-1} = b_{-1} = s = 0, so the recurrence
+    needs no special first-row case):
+
+        l_i = ½(x_i − s_prev) + ½(l + b)
+        b_i = ½(l_i − l) + ½b
+        s[phase] = ½(x_i − l_i) + ½s_prev,   phase = (rn−1) mod 7
+        forecast = l_i + b_i + s[next phase]
+
+    Same exactness argument as Holt: both engines step the identical IEEE
+    expressions in the identical order — the DuckDB oracle is a recursive
+    CTE carrying the seasonal ring as a 7-double list — so the fitted path
+    hash-matches bit-for-bit with no decimal scaffolding. The phase is the
+    row index mod 7 (observed-day sequence; a production run gap-fills
+    first — ``events_gap_fill_locf`` is that operator).
+
+    Scale: identical to Holt — the fact table collapses to O(days) per
+    series before any Python; ``applyInPandas`` parallelizes across
+    series; the per-series loop is O(days) with an O(7) ring.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = len(pdf)
+        x = pdf["x"].to_numpy()
+        level = [0.0] * n
+        trend = [0.0] * n
+        seasonal = [0.0] * n
+        forecast = [0.0] * n
+        s = [0.0] * 7
+        l_prev = 0.0
+        b_prev = 0.0
+        for i in range(n):
+            phase = i % 7
+            sprev = s[phase]
+            xv = float(x[i])
+            lv = 0.5 * (xv - sprev) + 0.5 * (l_prev + b_prev)
+            bv = 0.5 * (lv - l_prev) + 0.5 * b_prev
+            s[phase] = 0.5 * (xv - lv) + 0.5 * sprev
+            level[i] = lv
+            trend[i] = bv
+            seasonal[i] = s[phase]
+            forecast[i] = lv + bv + s[(phase + 1) % 7]
+            l_prev, b_prev = lv, bv
+        return pd.DataFrame(
+            {
+                "series": pdf["series"],
+                "rn": range(1, n + 1),
+                "day": pdf["day"],
+                "x": pdf["x"],
+                "level": level,
+                "trend": trend,
+                "seasonal": seasonal,
+                "forecast_next": forecast,
+            }
+        )
+
+    return base.groupBy("series").applyInPandas(
+        fit,
+        "series string, rn int, day bigint, x double, level double,"
+        " trend double, seasonal double, forecast_next double",
+    )

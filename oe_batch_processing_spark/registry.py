@@ -74,8 +74,9 @@ ORACLE: dict[str, str] = {}
 # sql_window_named_spec, sql_select_star_except, sample_reservoir_per_user,
 # multimodal_tar_member_index, ingest_binaryfile_netpbm,
 # udtf_table_arg_streaks, events_burst_detection, stream_sessionize_capped,
-# dedup_semdedup_clusters, pyds_writer_roundtrip — and any later round-6
-# additions.
+# dedup_semdedup_clusters, pyds_writer_roundtrip,
+# text_bigram_lm_kneser_ney, graph_label_propagation,
+# orders_forecast_holt_winters — and any later round-6 additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",
