@@ -480,3 +480,38 @@ def test_parse_tar_members_roundtrip():
     corrupted = bytearray(raw)
     corrupted[0] ^= 0x01
     assert not parse_tar_members(bytes(corrupted))[0][3]
+
+
+def test_parse_gzip_grammar():
+    """RFC 1952 walker: stdlib-gzip interop, FNAME/FEXTRA/FCOMMENT header
+    fields, raw-DEFLATE body, trailer verification and corruption."""
+    import gzip as _gzip
+    import struct
+    import zlib
+
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import parse_gzip
+
+    data = b"hello gzip container" * 20
+    # stdlib-produced member parses (interop, no FNAME)
+    fname, decoded, ok = parse_gzip(_gzip.compress(data, mtime=0))
+    assert (fname, decoded, ok) == (None, data, True)
+
+    def member(data, flg=0, extra=b""):
+        hdr = b"\x1f\x8b\x08" + bytes([flg]) + b"\x00" * 4 + b"\x00\xff" + extra
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        body = co.compress(data) + co.flush()
+        return hdr + body + struct.pack(
+            "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+        )
+
+    # FNAME + FCOMMENT both present and both skipped/parsed
+    m = member(data, flg=8 | 16, extra=b"a.txt\x00a comment\x00")
+    assert parse_gzip(m)[:2] == ("a.txt", data)
+    # corrupted trailer CRC flips crc_ok but still decodes
+    bad = bytearray(member(data))
+    bad[-5] ^= 0xFF
+    assert parse_gzip(bytes(bad))[2] is False
+    with pytest.raises(ValueError):
+        parse_gzip(b"\x1f\x8c" + b"\x00" * 20)  # bad magic
