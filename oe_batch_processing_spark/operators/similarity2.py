@@ -657,15 +657,18 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
     )
     scored = vecs.join(F.broadcast(cents)).select(
-        "vec_id", "cell_id", "qe",
+        "vec_id", "cell_id",
         F.expr(_L2.format(a="qe", b="ce")).alias("l2"),
     )
-    w = Window.partitionBy("vec_id").orderBy("l2", "cell_id")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id", "qe")
+    # argmin via min(struct(l2, cell_id)) — the combine-friendly groupBy the
+    # kmeans-assign op uses (map-side partial min, no N×K window sort);
+    # the vector array re-joins afterwards instead of riding the N×K frame.
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("l2", "cell_id")).alias("best")
     )
+    assigned = best.select(
+        "vec_id", F.col("best.cell_id").alias("cell_id")
+    ).join(vecs, "vec_id")
     nrm = assigned.withColumn(
         "nr",
         F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)),
