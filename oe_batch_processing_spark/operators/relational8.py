@@ -871,9 +871,7 @@ _BURST_EMIT = 3  # emission penalty for a gap that contradicts the state
 _BURST_TRANS = 5  # state-switch penalty (hysteresis)
 
 
-@query(
-    "events_burst_detection",
-    oracle=f"""
+_BURST_ORACLE = f"""
     WITH RECURSIVE e AS (
       SELECT user_id, event_id, epoch_us(ts) AS t,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -904,8 +902,10 @@ _BURST_TRANS = 5  # state-switch penalty (hysteresis)
     SELECT user_id, event_id, c0, c1,
            CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS burst_state
     FROM r
-    """,
-)
+    """
+
+
+@query("events_burst_detection", oracle=_BURST_ORACLE)
 def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg-style burst detection, the 2-state integer form: each
     inter-arrival gap is classified fast/slow against a 10-minute

@@ -76,8 +76,8 @@ ORACLE: dict[str, str] = {}
 # udtf_table_arg_streaks, events_burst_detection, stream_sessionize_capped,
 # dedup_semdedup_clusters, pyds_writer_roundtrip,
 # text_bigram_lm_kneser_ney, graph_label_propagation,
-# orders_forecast_holt_winters, multimodal_gzip_decode — and any later
-# round-6 additions.
+# orders_forecast_holt_winters, multimodal_gzip_decode,
+# stream_burst_detection — and any later round-6 additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",

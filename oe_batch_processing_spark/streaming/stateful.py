@@ -668,3 +668,101 @@ def stream_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stateful_user_capped_session(events_stream(spark, sf_dir)), "append"
     )
+
+
+# --- streaming burst detector (twin of the batch Viterbi fold) -------------
+
+BURST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("c0", LongType(), False),
+        StructField("c1", LongType(), False),
+        StructField("burst_state", IntegerType(), False),
+    ]
+)
+BURST_STATE_SCHEMA = StructType(
+    [
+        StructField("c0", LongType(), False),
+        StructField("c1", LongType(), False),
+        StructField("prev_us", LongType(), False),
+        StructField("idx", LongType(), False),
+    ]
+)
+
+
+def _update_user_burst(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators.relational8 import (
+        _BURST_EMIT,
+        _BURST_G_US,
+        _BURST_TRANS,
+    )
+
+    c0, c1, prev, idx = state.get if state.exists else (0, 0, -1, 0)
+    out = {"event_id": [], "c0": [], "c1": [], "burst_state": []}
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for event_id, t in zip(pdf["event_id"], pdf["ts_us"]):
+            t = int(t)
+            if idx == 0:
+                prev = t  # first event only anchors the gap sequence
+                idx = 1
+                continue
+            fast = t - prev < _BURST_G_US
+            if idx == 1:
+                n0 = _BURST_EMIT if fast else 0
+                n1 = _BURST_TRANS + (0 if fast else _BURST_EMIT)
+            else:
+                n0 = min(c0, c1 + _BURST_TRANS) + (_BURST_EMIT if fast else 0)
+                n1 = min(c1, c0 + _BURST_TRANS) + (0 if fast else _BURST_EMIT)
+            c0, c1, prev, idx = n0, n1, t, idx + 1
+            out["event_id"].append(int(event_id))
+            out["c0"].append(c0)
+            out["c1"].append(c1)
+            out["burst_state"].append(1 if c1 < c0 else 0)
+    state.update((int(c0), int(c1), int(prev), int(idx)))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "event_id": out["event_id"],
+            "c0": out["c0"],
+            "c1": out["c1"],
+            "burst_state": out["burst_state"],
+        }
+    )
+
+
+def stateful_user_burst(events: DataFrame) -> DataFrame:
+    """Streaming 2-state burst detector: the integer Viterbi forward pass
+    carried in the state store as (c0, c1, prev_t, idx) per user — the
+    ONLINE form of the batch fold, flagging burst onset as events arrive."""
+    prepped = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _update_user_burst,
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _burst_oracle() -> str:
+    from oe_batch_processing_spark.operators.relational8 import _BURST_ORACLE
+
+    return _BURST_ORACLE
+
+
+@query("stream_burst_detection", oracle=_burst_oracle())
+def stream_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_burst_detection`` — same integer Viterbi
+    recurrence in the state store, sharing the batch op's recursive-CTE
+    oracle: per-event (c0, c1, state) hash-compared across the engines."""
+    return run_available_now(
+        stateful_user_burst(events_stream(spark, sf_dir)), "append"
+    )
