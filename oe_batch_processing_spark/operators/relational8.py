@@ -987,3 +987,109 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("s.c1") < F.col("s.c0"), 1).otherwise(0).alias("burst_state"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (the significance companion to Theil-Sen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_trend_mann_kendall",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS series,
+             CAST(floor(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.series,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM base a JOIN base b ON b.series = a.series AND b.wk > a.wk
+      GROUP BY a.series
+    ),
+    n AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n_obs FROM base GROUP BY 1),
+    ties AS (
+      SELECT series,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT series, x, COUNT(*) AS t FROM base GROUP BY 1, 2
+      ) WHERE t > 1 GROUP BY series
+    )
+    SELECT s.series, n.n_obs, s.s_stat,
+           CAST(n.n_obs * (n.n_obs - 1) * (2 * n.n_obs + 5)
+                - COALESCE(t.tie_term, 0) AS BIGINT) AS var_x18
+    FROM s JOIN n ON n.series = s.series
+    LEFT JOIN ties t ON t.series = s.series
+    """,
+)
+def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the weekly order-count series — the
+    nonparametric is-there-a-monotone-trend test that pairs with
+    ``orders_trend_theil_sen`` (MK says WHETHER the trend is significant,
+    Theil-Sen says HOW STEEP): S = Σ_{i<j} sign(x_j − x_i), with the
+    textbook tie-corrected variance reported as the exact integer
+    var_x18 = 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). Everything is
+    integers (S, n, the tie term), so the driver hash is exact; the
+    z-score is one float expression away for the caller (the division by
+    18 and sqrt are deliberately left out to keep the relation integral).
+
+    Scale: same shape as Theil-Sen — the fact table collapses to O(weeks)
+    buckets first; the pairwise sign sum is a bounded |weeks|² self-join
+    per series with a map-side-combined aggregate; ties come from one
+    more tiny groupBy on the bucket frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.select(
+            F.col("o_orderpriority").alias("series"),
+            F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7)
+            .cast("long")
+            .alias("wk"),
+        )
+        .groupBy("series", "wk")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = base.select("series", F.col("wk").alias("wa"), F.col("x").alias("xa"))
+    b = base.select("series", F.col("wk").alias("wb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, "series")
+        .filter(F.col("wb") > F.col("wa"))
+        .groupBy("series")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = base.groupBy("series").agg(F.count(F.lit(1)).alias("n_obs"))
+    ties = (
+        base.groupBy("series", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("series")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    return (
+        s.join(n, "series")
+        .join(ties, "series", "left")
+        .select(
+            "series",
+            "n_obs",
+            "s_stat",
+            (
+                F.col("n_obs") * (F.col("n_obs") - 1) * (2 * F.col("n_obs") + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            ).alias("var_x18"),
+        )
+    )
