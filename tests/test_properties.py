@@ -175,3 +175,82 @@ def test_deletion_neighborhood_blocking_never_misses(a, b):
     shorter). Small alphabet forces dense collisions."""
     if _lev1(a, b):
         assert _del_keys(a) & _del_keys(b), (a, b)
+
+
+def test_token_bucket_fold_matches_python_reference(spark):
+    """Property-style check of the JVM aggregate fold against an
+    independent pure-Python replay of the token-bucket recurrence on the
+    real events table (sf0.001): identical admission decisions and token
+    levels for every event."""
+    from pyspark.sql import functions as F
+
+    from oe_batch_processing_spark.operators.relational8 import (
+        _TB_CAP_U,
+        _TB_US_PER_UTOK,
+        events_token_bucket_admission,
+    )
+    from oe_batch_processing_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_id"]): (r["admitted"], r["tokens_after_u"])
+        for r in events_token_bucket_admission(spark, sf).collect()
+    }
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+    n_checked = 0
+    for uid, evts in by_user.items():
+        tok, prev = _TB_CAP_U, None
+        for t, eid in sorted(evts):
+            avail = (
+                _TB_CAP_U
+                if prev is None
+                else min(_TB_CAP_U, tok + (t - prev) // _TB_US_PER_UTOK)
+            )
+            admitted = avail >= 1_000_000
+            tok = avail - 1_000_000 if admitted else avail
+            prev = t
+            assert got[(uid, eid)] == (admitted, tok), (uid, eid)
+            n_checked += 1
+    assert n_checked == len(got) == len(rows)
+
+
+def test_capped_session_fold_matches_python_reference(spark):
+    """Same discipline for the gap+cap sessionizer: the JVM fold's session
+    assignments equal an independent Python replay."""
+    from pyspark.sql import functions as F
+
+    from oe_batch_processing_spark.operators.relational8 import (
+        _SESS_GAP_US,
+        _SESS_MAX_US,
+        events_sessionize_capped,
+    )
+    from oe_batch_processing_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_id"]): (r["sess_idx"], r["sess_start_us"])
+        for r in events_sessionize_capped(spark, sf).collect()
+    }
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+    for uid, evts in by_user.items():
+        idx, anchor, prev = 0, None, None
+        for t, eid in sorted(evts):
+            if idx == 0 or t - prev > _SESS_GAP_US or t - anchor > _SESS_MAX_US:
+                idx += 1
+                anchor = t
+            prev = t
+            assert got[(uid, eid)] == (idx, anchor), (uid, eid)
