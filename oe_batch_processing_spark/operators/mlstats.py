@@ -14,6 +14,7 @@ formulas cannot drift between engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.registry import query
 from oe_batch_processing_spark.tables import register_views
@@ -250,3 +251,114 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_MWU_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval (LCG resampling, integer-exact)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200  # bootstrap replicates
+_BOOT_SCALE = 1000
+
+
+@query(
+    "stats_bootstrap_ci_weekly_orders",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(floor(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT wk, x, ROW_NUMBER() OVER (ORDER BY wk) AS rn,
+             COUNT(*) OVER () AS n
+      FROM base
+    ),
+    draws AS (
+      SELECT b.b, i.i,
+             1 + ((b.b * 1000003 + i.i) * 48271 % 2147483647)
+                 % (SELECT MAX(n) FROM idx) AS pick
+      FROM (SELECT UNNEST(range(1, {_BOOT_B} + 1)) AS b) b,
+           (SELECT UNNEST(range(1, (SELECT MAX(n) FROM idx) + 1)) AS i) i
+    ),
+    reps AS (
+      SELECT d.b,
+             CAST(({_BOOT_SCALE} * SUM(idx.x)) // MAX(idx.n) AS BIGINT)
+               AS mean_q
+      FROM draws d JOIN idx ON idx.rn = d.pick
+      GROUP BY d.b
+    ),
+    ranked AS (
+      SELECT mean_q, ROW_NUMBER() OVER (ORDER BY mean_q, b) AS rk FROM reps
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM idx) AS n_weeks,
+           {_BOOT_B} AS n_boot,
+           (SELECT CAST(({_BOOT_SCALE} * SUM(x)) // MAX(n) AS BIGINT)
+            FROM idx) AS mean_q,
+           (SELECT mean_q FROM ranked WHERE rk = 5) AS ci_lo_q,
+           (SELECT mean_q FROM ranked WHERE rk = 195) AS ci_hi_q
+    """,
+)
+def stats_bootstrap_ci_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean weekly order count —
+    made fully DETERMINISTIC (and therefore hash-oracle-able, which no
+    RNG bootstrap is) by drawing resample indices from an explicit LCG:
+    pick(b,i) = 1 + ((b·1000003 + i)·48271 mod 2³¹−1) mod n. {_BOOT_B}
+    replicates × n draws, replicate means quantized as (1000·Σx) div n,
+    CI = percentile_disc(2.5%/97.5%) of the ranked replicate means (ranks
+    5 and 195, ties broken by replicate id). Reproducible uncertainty
+    quantification for pipeline metrics — rerunnable on any engine,
+    auditable draw by draw; a production run swaps the LCG for a
+    splittable counter-based RNG with the identical relational shape.
+
+    Plan: the fact table collapses to the O(weeks) bucket frame first;
+    the draw grid is B×n rows (bounded by the AGGREGATE's size, never
+    the corpus) built from two nested sequence-explodes, resolved by one
+    hash join on the row index, one groupBy(b), one rank over B rows.
+    """
+    from pyspark.sql import Window
+
+    from oe_batch_processing_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    base = orders.groupBy(
+        F.floor(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("wk")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w_all = Window.partitionBy()
+    idx = base.select(
+        "x",
+        F.row_number().over(Window.orderBy("wk")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    n_frame = F.broadcast(idx.agg(F.max("n").alias("n")))
+    draws = (
+        n_frame.select("n", F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"))
+        .select("n", "b", F.explode(F.expr("sequence(1, n)")).alias("i"))
+        .select(
+            "b",
+            (
+                F.lit(1)
+                + F.expr("((b * 1000003 + i) * 48271 % 2147483647) % n")
+            ).alias("pick"),
+        )
+    )
+    reps = (
+        draws.join(idx, draws["pick"] == idx["rn"])
+        .groupBy("b")
+        .agg(F.expr(f"CAST(({_BOOT_SCALE} * SUM(x)) div MAX(n) AS BIGINT)").alias("mean_q"))
+    )
+    ranked = reps.select(
+        "mean_q", F.row_number().over(Window.orderBy("mean_q", "b")).alias("rk")
+    )
+    lo = ranked.filter(F.col("rk") == 5).select(F.col("mean_q").alias("ci_lo_q"))
+    hi = ranked.filter(F.col("rk") == 195).select(F.col("mean_q").alias("ci_hi_q"))
+    overall = idx.agg(
+        F.max("n").alias("n_weeks"),
+        F.lit(_BOOT_B).alias("n_boot"),
+        F.expr(f"CAST(({_BOOT_SCALE} * SUM(x)) div MAX(n) AS BIGINT)").alias("mean_q"),
+    )
+    return overall.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
