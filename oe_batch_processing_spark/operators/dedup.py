@@ -1095,3 +1095,106 @@ def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("e_match", "n_match").alias("match_doc"),
         )
     )
+
+
+# --- Bloom-filter prefilter for incremental dedup (bloom-as-relation) -------
+#
+# At 100 TB the history side of incremental dedup is the whole corpus; the
+# classic trick is a Bloom filter of history fingerprints small enough to
+# broadcast. Expressed RELATIONALLY it stays engine-exact and hash-
+# oracle-able: k=3 bit positions per fingerprint (16-bit slices of the
+# md5), the history "filter" is just the DISTINCT bit-position table
+# (<= 2^16 rows REGARDLESS of history size — that bound is the whole
+# point), and membership = all 3 of a new doc's positions present.
+# Candidates then verify by exact fingerprint semi-join, so the output
+# also exhibits the filter's false positives — the measurable quantity a
+# real deployment tunes m/k against.
+
+_BLOOM_K = 3  # 16-bit positions sliced from the md5 (m = 65536 bits)
+
+
+@query(
+    "dedup_incremental_bloom_prefilter",
+    oracle=f"""
+    WITH hist AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    ),
+    inc AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+    ),
+    bits AS (
+      SELECT DISTINCT j.j AS k_idx,
+             (instr('0123456789abcdef', substr(fp, j.j*4+1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substr(fp, j.j*4+2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(fp, j.j*4+3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(fp, j.j*4+4, 1)) - 1) AS pos
+      FROM hist, (SELECT UNNEST(range({_BLOOM_K})) AS j) j
+    ),
+    probes AS (
+      SELECT i.doc_id, i.fp, j.j AS k_idx,
+             (instr('0123456789abcdef', substr(i.fp, j.j*4+1, 1)) - 1) * 4096
+           + (instr('0123456789abcdef', substr(i.fp, j.j*4+2, 1)) - 1) * 256
+           + (instr('0123456789abcdef', substr(i.fp, j.j*4+3, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(i.fp, j.j*4+4, 1)) - 1) AS pos
+      FROM inc i, (SELECT UNNEST(range({_BLOOM_K})) AS j) j
+    ),
+    candidates AS (
+      SELECT p.doc_id, p.fp
+      FROM probes p JOIN bits b ON b.k_idx = p.k_idx AND b.pos = p.pos
+      GROUP BY p.doc_id, p.fp
+      HAVING COUNT(*) = {_BLOOM_K}
+    )
+    SELECT c.doc_id,
+           (EXISTS (SELECT 1 FROM hist h WHERE h.fp = c.fp)) AS true_dup
+    FROM candidates c
+    """,
+)
+def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for incremental exact dedup, expressed as
+    relations: the history corpus (even doc_ids) collapses to its DISTINCT
+    (k_idx, bit-position) table — bounded by k·2^16 rows NO MATTER how big
+    history grows, which is what makes it broadcastable at 100 TB — and a
+    new batch doc (odd ids) is a candidate iff all {_BLOOM_K} of its
+    md5-sliced positions hit. Candidates re-verify against the true
+    fingerprint set, so the emitted ``true_dup`` flag exposes the filter's
+    false-positive rate (the m/k tuning signal; FP ≈ (1−e^{{-kn/m}})^k).
+
+    Per-partition practice would use an actual bitset UDAF; the relational
+    spelling is semantically identical, engine-exact (same md5 nibble
+    arithmetic both sides), and keeps every step hash-oracle-checked —
+    including the false positives themselves, which are deterministic
+    functions of the corpus.
+
+    Plan: history → one distinct aggregate (≤ 3·65536 rows) broadcast into
+    the probe join; the only corpus-sized work is the two fingerprint
+    scans. The exact-verify semi-join touches only bloom candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    pos16 = "cast(conv(substr(fp, j * 4 + 1, 4), 16, 10) as int)"
+    bits = (
+        hist.select(F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("j"), "fp")
+        .select(F.col("j").alias("k_idx"), F.expr(pos16).alias("pos"))
+        .distinct()
+    )
+    probes = inc.select(
+        "doc_id", "fp",
+        F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("j"),
+    ).select("doc_id", "fp", F.col("j").alias("k_idx"), F.expr(pos16).alias("pos"))
+    candidates = (
+        probes.join(F.broadcast(bits), ["k_idx", "pos"])
+        .groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == _BLOOM_K)
+    )
+    return (
+        candidates.join(
+            hist.distinct().withColumnRenamed("fp", "hfp"),
+            candidates["fp"] == F.col("hfp"),
+            "left",
+        )
+        .select("doc_id", F.col("hfp").isNotNull().alias("true_dup"))
+    )
