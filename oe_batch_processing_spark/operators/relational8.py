@@ -1093,3 +1093,138 @@ def orders_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_x18"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window battery (last/first/nth_value over sparse signals)
+# ---------------------------------------------------------------------------
+
+@query(
+    "win_ignore_nulls_battery",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS pv
+      FROM events
+    )
+    SELECT user_id, event_id,
+           last_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value,
+           first_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_purchase_value,
+           nth_value(pv, 2 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_purchase_value
+    FROM e
+    """,
+)
+def win_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IGNORE NULLS window family over a sparse signal (purchase value,
+    NULL on every non-purchase event): carry-forward
+    ``last_value IGNORE NULLS`` (the idiomatic LOCF — contrast with
+    ``events_gap_fill_locf``'s count-group workaround, which predates
+    engine support), per-user ``first_value`` and ``nth_value(2)`` over
+    the full frame. Both engines implement the SQL:2008 null-treatment
+    clause; the shared frame spec makes the results bit-identical.
+
+    Plan: one user_id Exchange serves all three functions (same partition
+    + order spec); the full-frame functions add no second sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.last(pv, ignorenulls=True).over(w_run).alias("last_purchase_value"),
+        F.first(pv, ignorenulls=True).over(w_full).alias("first_purchase_value"),
+        F.nth_value(pv, 2, ignoreNulls=True).over(w_full).alias("second_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall (per-phase trend test, summed)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orders_trend_seasonal_mk",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS series,
+             CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             CAST(EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT a.series, a.mo,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_mo,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs_mo
+      FROM base a JOIN base b
+        ON b.series = a.series AND b.mo = a.mo AND b.yr > a.yr
+      GROUP BY 1, 2
+    )
+    SELECT series,
+           CAST(SUM(s_mo) AS BIGINT) AS s_seasonal,
+           CAST(SUM(n_pairs_mo) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS INTEGER) AS n_phases
+    FROM s GROUP BY series
+    """,
+)
+def orders_trend_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL Mann-Kendall: the trend test that ignores seasonality by
+    comparing each calendar month only against the SAME month of other
+    years (Hirsch-Slack) — S_seasonal = Σ_month Σ_{yr_i<yr_j}
+    sign(x_j − x_i). The plain MK test (``orders_trend_mann_kendall``)
+    confounds seasonal cycles with trend; this is the hydrology-standard
+    fix, and for pipeline telemetry the is-volume-really-growing test
+    that a strong weekly/monthly cycle would otherwise fool. Integers
+    end to end.
+
+    Plan: fact table → (series, year, month) aggregate; the pairwise
+    join is within (series, month) — 1/12th the pairs of plain MK — then
+    two tiny aggregates. Same aggregate-first discipline as the rest of
+    the trend family.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = base.select("series", "mo", F.col("yr").alias("ya"), F.col("x").alias("xa"))
+    b = base.select("series", "mo", F.col("yr").alias("yb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, ["series", "mo"])
+        .filter(F.col("yb") > F.col("ya"))
+        .groupBy("series", "mo")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).alias("s_mo"),
+            F.count(F.lit(1)).alias("n_pairs_mo"),
+        )
+    )
+    return s.groupBy("series").agg(
+        F.sum("s_mo").alias("s_seasonal"),
+        F.sum("n_pairs_mo").alias("n_pairs"),
+        F.count(F.lit(1)).cast("int").alias("n_phases"),
+    )

@@ -78,8 +78,9 @@ ORACLE: dict[str, str] = {}
 # text_bigram_lm_kneser_ney, graph_label_propagation,
 # orders_forecast_holt_winters, multimodal_gzip_decode,
 # stream_burst_detection, orders_trend_mann_kendall,
-# stats_bootstrap_ci_weekly_orders, dedup_incremental_bloom_prefilter
-# — and any later round-6 additions.
+# stats_bootstrap_ci_weekly_orders, dedup_incremental_bloom_prefilter,
+# win_ignore_nulls_battery, orders_trend_seasonal_mk — and any later
+# round-6 additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",
