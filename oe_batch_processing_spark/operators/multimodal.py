@@ -1658,3 +1658,157 @@ def multimodal_gzip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id long, fname string, n_raw long, "
                "decoded_md5 string, crc_ok boolean",
     )
+
+
+# --- real archive-format decode #4: ZIP central directory -------------------
+#
+# ZIP differs structurally from tar: members are located via a BACKWARDS
+# scan for the End-Of-Central-Directory record, then the central directory
+# (one fixed-layout little-endian entry per member, with name length /
+# extra length indirection and a local-header offset cross-reference).
+# Shards-as-zip is the other common sample-container convention (TFDS,
+# many eval harnesses), so the walker earns its keep next to the tar one.
+
+ZIP_SHARD = 8
+
+
+def parse_zip_central_directory(b: bytes) -> list:
+    """Walk a ZIP archive -> [(name, comp_size, uncomp_size, crc32,
+    local_offset_ok)] from the central directory.
+
+    Implements the real grammar: locate EOCD (signature 50 4b 05 06,
+    scanned backwards past an optional comment), read entry count +
+    directory offset, then parse each 46-byte central entry (signature
+    50 4b 01 02, LE u16/u32 fields, name/extra/comment length
+    indirection) and cross-check that the referenced local header
+    (50 4b 03 04) exists at the recorded offset with the same name."""
+    import struct
+
+    eocd = b.rfind(b"PK\x05\x06")
+    if eocd < 0:
+        raise ValueError("no EOCD record")
+    n_entries, cd_size, cd_off = struct.unpack(
+        "<HII", b[eocd + 10 : eocd + 20]
+    )
+    out = []
+    i = cd_off
+    for _ in range(n_entries):
+        if b[i : i + 4] != b"PK\x01\x02":
+            raise ValueError(f"bad central entry signature at {i}")
+        crc, csize, usize = struct.unpack("<III", b[i + 16 : i + 28])
+        nlen, elen, clen = struct.unpack("<HHH", b[i + 28 : i + 34])
+        lho = struct.unpack("<I", b[i + 42 : i + 46])[0]
+        name = b[i + 46 : i + 46 + nlen].decode("utf-8")
+        # cross-check the local header back-reference
+        ok = b[lho : lho + 4] == b"PK\x03\x04"
+        if ok:
+            lnlen = struct.unpack("<H", b[lho + 26 : lho + 28])[0]
+            ok = b[lho + 30 : lho + 30 + lnlen].decode("utf-8") == name
+        out.append((name, csize, usize, crc, ok))
+        i += 46 + nlen + elen + clen
+    return out
+
+
+_ZIP_ORACLE = f"""
+    SELECT doc_id // {ZIP_SHARD} AS archive_id,
+           printf('doc_%08d.txt', doc_id) AS member_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS size,
+           TRUE AS crc_ok,
+           TRUE AS offset_ok
+    FROM documents
+"""
+
+
+@query("multimodal_zip_member_index", oracle=_ZIP_ORACLE)
+def multimodal_zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP shard indexing — the central-directory counterpart of
+    ``multimodal_tar_member_index``: {ZIP_SHARD} documents per REAL .zip
+    archive (stdlib ``zipfile``, STORED entries, fixed date_time for
+    determinism), walked by :func:`parse_zip_central_directory` — EOCD
+    backwards scan, 46-byte LE central entries, local-header offset
+    cross-check — and each member's stored CRC32 re-verified against the
+    extracted payload. Sizes are uncompressed (STORED), so the oracle
+    recomputes the full index from the packing rule; any walker defect
+    (offset arithmetic, LE field, name indirection) breaks it.
+
+    Scale: identical profile to the tar op — one grouping shuffle to
+    build shards, embarrassingly parallel parse, bounded by shard size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shards = docs.select(
+        "doc_id", F.expr(f"doc_id div {ZIP_SHARD}").alias("archive_id"), "text"
+    )
+
+    def build(pdf):
+        import io
+        import zipfile as zf
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        buf = io.BytesIO()
+        with zf.ZipFile(buf, "w", compression=zf.ZIP_STORED) as z:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                info = zf.ZipInfo(
+                    f"doc_{int(doc_id):08d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                z.writestr(info, str(text).encode("utf-8"))
+        return pd.DataFrame(
+            {"archive_id": [int(pdf["archive_id"].iloc[0])],
+             "payload": [buf.getvalue()]}
+        )
+
+    archives = shards.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary"
+    )
+
+    def index(batches: Iterator) -> Iterator:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for archive_id, payload in zip(pdf["archive_id"], pdf["payload"]):
+                b = bytes(payload)
+                for name, csize, usize, crc, off_ok in parse_zip_central_directory(b):
+                    # extract the STORED payload via a local-header name
+                    # walk to re-verify the central directory's CRC
+                    i = 0
+                    data = None
+                    while True:
+                        j = b.find(b"PK\x03\x04", i)
+                        if j < 0 or j >= len(b):
+                            break
+                        nlen, elen = struct.unpack("<HH", b[j + 26 : j + 30])
+                        nm = b[j + 30 : j + 30 + nlen].decode("utf-8")
+                        start = j + 30 + nlen + elen
+                        if nm == name:
+                            data = b[start : start + csize]
+                            break
+                        i = j + 4
+                    crc_ok = (
+                        data is not None
+                        and (zlib.crc32(data) & 0xFFFFFFFF) == crc
+                        and len(data) == usize
+                    )
+                    rows.append(
+                        {
+                            "archive_id": archive_id,
+                            "member_name": name,
+                            "size": usize,
+                            "crc_ok": crc_ok,
+                            "offset_ok": off_ok,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["archive_id", "member_name", "size", "crc_ok", "offset_ok"],
+            )
+
+    return archives.mapInPandas(
+        index,
+        schema="archive_id long, member_name string, size long, "
+               "crc_ok boolean, offset_ok boolean",
+    )

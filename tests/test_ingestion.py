@@ -515,3 +515,37 @@ def test_parse_gzip_grammar():
     assert parse_gzip(bytes(bad))[2] is False
     with pytest.raises(ValueError):
         parse_gzip(b"\x1f\x8c" + b"\x00" * 20)  # bad magic
+
+
+def test_parse_zip_central_directory():
+    """ZIP walker vs the stdlib encoder: entry fields, EOCD-with-comment,
+    local-header cross-check, corruption detection."""
+    import io
+    import zipfile as zf
+    import zlib
+
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import (
+        parse_zip_central_directory,
+    )
+
+    buf = io.BytesIO()
+    bodies = {f"m{i}.txt": bytes([97 + i]) * (100 + i * 37) for i in range(3)}
+    with zf.ZipFile(buf, "w", compression=zf.ZIP_STORED) as z:
+        for name, data in bodies.items():
+            z.writestr(zf.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0)), data)
+        z.comment = b"trailing archive comment"  # EOCD not at EOF-22
+    raw = buf.getvalue()
+    members = parse_zip_central_directory(raw)
+    assert [(m[0], m[2]) for m in members] == [(n, len(d)) for n, d in bodies.items()]
+    assert all(m[4] for m in members)  # local-header back-references verify
+    assert members[1][3] == (zlib.crc32(bodies["m1.txt"]) & 0xFFFFFFFF)
+    # corrupt a local-header signature: that member's offset_ok flips
+    corrupted = bytearray(raw)
+    # find second local header and break it
+    second = raw.find(b"PK\x03\x04", 4)
+    corrupted[second] ^= 0x01
+    assert not parse_zip_central_directory(bytes(corrupted))[1][4]
+    with pytest.raises(ValueError):
+        parse_zip_central_directory(b"not a zip at all")
