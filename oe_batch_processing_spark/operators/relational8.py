@@ -1228,3 +1228,96 @@ def orders_trend_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pairs_mo").alias("n_pairs"),
         F.count(F.lit(1)).cast("int").alias("n_phases"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Budget-constrained mixture optimization (greedy exact LP solution)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET_TOK = 30_000  # target token budget for the training mix
+_MIX_RATE_SCALE = 1_000_000  # sampling rates quantized to micro-units
+
+
+@query(
+    "pipeline_budget_mixture_greedy",
+    oracle=f"""
+    WITH src AS (
+      SELECT lang || '/' || source AS src,
+             CAST(SUM(n_chars // 4) AS BIGINT) AS toks,
+             -- quality proxy: per-source mean chars/word in micro-units
+             CAST(({_MIX_RATE_SCALE} * SUM(CAST(n_chars AS BIGINT)))
+                  // SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS quality_q
+      FROM documents GROUP BY 1
+    ),
+    ranked AS (
+      SELECT src, toks, quality_q,
+             COALESCE(SUM(toks) OVER (ORDER BY quality_q DESC, src
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_before
+      FROM src
+    )
+    SELECT src, toks, quality_q,
+           CAST(CASE
+             WHEN cum_before >= {_MIX_BUDGET_TOK} THEN 0
+             WHEN cum_before + toks <= {_MIX_BUDGET_TOK} THEN {_MIX_RATE_SCALE}
+             ELSE ({_MIX_RATE_SCALE} * ({_MIX_BUDGET_TOK} - cum_before)) // toks
+           END AS BIGINT) AS rate_q,
+           CAST(CASE
+             WHEN cum_before >= {_MIX_BUDGET_TOK} THEN 0
+             WHEN cum_before + toks <= {_MIX_BUDGET_TOK} THEN toks
+             ELSE {_MIX_BUDGET_TOK} - cum_before
+           END AS BIGINT) AS toks_taken
+    FROM ranked
+    """,
+)
+def pipeline_budget_mixture_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mixture optimization: choose per-source sampling
+    rates maximizing total quality under a {_MIX_BUDGET_TOK}-token budget.
+    The LP (maximize Σ qᵢ·rᵢ·tᵢ s.t. Σ rᵢ·tᵢ ≤ B, 0 ≤ rᵢ ≤ 1) has the
+    exact greedy solution — take sources in descending quality until the
+    budget breaks, fractional rate on the marginal source — so the
+    "optimizer" is one ordered prefix sum over the per-source aggregate,
+    fully deterministic (micro-unit rate quantization, integer token
+    math, lexicographic tie-break on source name).
+
+    Distinct from the quota mixers (`alloc_largest_remainder`,
+    `pipeline_mix_temperature_sqrt`): those apportion a FIXED composition;
+    this one derives the composition from a quality signal + budget — the
+    planning step you run before the stratified sampler materializes it.
+
+    Plan: corpus → per-source aggregate (one map-side-combined shuffle);
+    the ordered window runs over |sources| rows. At 100 TB |sources| is
+    thousands — still a single-partition frame, and the banded prefix
+    pattern applies unchanged if it ever isn't.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy(
+        F.concat_ws("/", "lang", "source").alias("src")
+    ).agg(
+        F.sum(F.expr("n_chars div 4")).alias("toks"),
+        F.expr(
+            f"CAST(({_MIX_RATE_SCALE} * SUM(CAST(n_chars AS BIGINT)))"
+            " div SUM(CAST(size(split(text, ' ')) AS BIGINT)) AS BIGINT)"
+        ).alias("quality_q"),
+    )
+    w = Window.orderBy(F.col("quality_q").desc(), "src").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = src.withColumn(
+        "cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0))
+    )
+    B, S = _MIX_BUDGET_TOK, _MIX_RATE_SCALE
+    rate = F.expr(
+        f"CAST(CASE WHEN cum_before >= {B} THEN 0 "
+        f"WHEN cum_before + toks <= {B} THEN {S} "
+        f"ELSE ({S} * ({B} - cum_before)) div toks END AS BIGINT)"
+    )
+    taken = F.expr(
+        f"CAST(CASE WHEN cum_before >= {B} THEN 0 "
+        f"WHEN cum_before + toks <= {B} THEN toks "
+        f"ELSE {B} - cum_before END AS BIGINT)"
+    )
+    return ranked.select(
+        "src", "toks", "quality_q", rate.alias("rate_q"), taken.alias("toks_taken")
+    )

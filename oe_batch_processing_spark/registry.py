@@ -80,7 +80,8 @@ ORACLE: dict[str, str] = {}
 # stream_burst_detection, orders_trend_mann_kendall,
 # stats_bootstrap_ci_weekly_orders, dedup_incremental_bloom_prefilter,
 # win_ignore_nulls_battery, orders_trend_seasonal_mk,
-# multimodal_zip_member_index — and any later round-6 additions.
+# multimodal_zip_member_index, pipeline_budget_mixture_greedy — and any
+# later round-6 additions.
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # -- docs / SCD2 / MERGE / CDC --
     "docs_chunk_overlap",
