@@ -113,6 +113,13 @@ HEADLINE = [
     "events_burst_detection",
     "udtf_table_arg_streaks",
     "text_bigram_lm_kneser_ney",
+    # late round-6 additions (container/codec grammars, bloom prefilter,
+    # deterministic bootstrap, LPA):
+    "multimodal_zip_member_index",
+    "multimodal_gzip_decode",
+    "dedup_incremental_bloom_prefilter",
+    "stats_bootstrap_ci_weekly_orders",
+    "graph_label_propagation",
 ]
 
 

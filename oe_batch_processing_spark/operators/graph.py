@@ -540,20 +540,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b"))
         .distinct()
     )
+    # The adjacency list feeds every BSP round (and the round-k label frame
+    # chains back through round k-1's join): without a persist the pair
+    # self-join would recompute 3x inside one action. Cache it once — this
+    # IS the Pregel pattern (static edges cached, labels iterate).
     nbrs = pairs.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
         pairs.select(F.col("b").alias("v"), F.col("a").alias("u"))
-    )
+    ).persist()
     labels = nbrs.select("v").distinct().select("v", F.col("v").alias("lbl"))
-    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), "lbl")
     for _ in range(_LPA_ITERS):
         votes = (
             nbrs.join(labels.withColumnRenamed("v", "u"), "u")
             .groupBy("v", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # argmax(cnt, tie -> min lbl) via max(struct(cnt, -lbl)): a
+        # map-side-combining aggregate instead of a per-round rank window
+        # (no sort, no full vote materialization per partition)
         labels = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("v", "lbl")
+            votes.groupBy("v")
+            .agg(F.max(F.struct("cnt", (-F.col("lbl")).alias("neg"))).alias("b"))
+            .select("v", (-F.col("b.neg")).alias("lbl"))
         )
     return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
