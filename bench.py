@@ -3,7 +3,10 @@
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line: ``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name:
-sec}, "sf": ...}``.
+sec}, "sf": ...}``, followed by a compact one-object summary line (no
+per-query map) so a bounded tail capture of stdout always ends with one
+complete parseable JSON object — the 68-entry full line outgrew the driver's
+tail window in round 6 and its artifact recorded ``"parsed": null``.
 
 Each query is executed with a full action (count via noop write would be
 ideal; ``toPandas`` would measure arrow transfer — we use ``count`` on the
@@ -199,6 +202,7 @@ def main() -> None:
     timings: dict[str, object] = {}
     spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    warmup_errors: dict[str, str] = {}
     do_warm = bool(warm_dir) and os.path.isdir(warm_dir) and warm_dir != sf_dir
     total = 0.0
     for name in HEADLINE:
@@ -213,11 +217,22 @@ def main() -> None:
         if do_warm:
             try:
                 fn(spark, warm_dir).count()
-            except Exception:  # noqa: BLE001 — warmup is best-effort
-                pass
+            except Exception as exc:  # noqa: BLE001 — warmup is best-effort,
+                # but a query that only warms up at the real SF is being timed
+                # COLD, which skews the protocol numbers — record the fact.
+                warmup_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         runs: list[float] = []
         try:
             for _ in range(repeat):
+                # Each timed run pays its own internal persist()/cache build:
+                # without this, repeat 2..N of a query that caches (LPA
+                # adjacency, minhash fingerprints, ...) reuses repeat 1's
+                # cache and the reported MEDIAN measures a quantity the
+                # driver's repeat-1 protocol can never reproduce — exactly
+                # the r6 graph_label_propagation gap (committed median
+                # 1.67 s vs driver 9.4 s). Cache build is data-proportional
+                # work; the number of record must include it.
+                spark.catalog.clearCache()
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 runs.append(time.time() - t0)
@@ -244,13 +259,48 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": {"warmup_dir": warm_dir if do_warm else None, "repeat": repeat},
+        "protocol": {
+            "warmup_dir": warm_dir if do_warm else None,
+            "repeat": repeat,
+            "cache_cleared_per_run": True,
+        },
     }
+    if warmup_errors:
+        out["protocol"]["warmup_errors"] = warmup_errors
     if spread:
         out["spread"] = spread
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+    # The driver captures a bounded TAIL of stdout; by round 6 the full
+    # per-query line outgrew it and BENCH_r06.json recorded "parsed": null.
+    # Always print a compact, self-contained summary line LAST so the tail
+    # window is guaranteed to contain one complete JSON object.
+    shared34 = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r03.json")) as f:
+            r3 = json.load(f).get("parsed") or {}
+        r3_keys = set(r3.get("queries", {}))
+        vals = [float(timings[k]) for k in r3_keys if k in timings]
+        if vals and len(vals) == len(r3_keys & set(timings)):
+            shared34 = round(sum(vals), 3)
+    except Exception:  # noqa: BLE001 — summary extra, never sink the bench
+        pass
+    compact = {
+        "metric": "headline_query_wall_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "n_warmup_errors": len(warmup_errors),
+        "repeat": repeat,
+    }
+    if shared34 is not None:
+        compact["shared_r3_total"] = shared34
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

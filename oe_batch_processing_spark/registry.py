@@ -38,112 +38,85 @@ ORACLE: dict[str, str] = {}
 # the text/docs analysis batch, multimodal, SCD2/MERGE/CDC, and the
 # late-round-5 timeseries/scripting batch. Everything else keeps its
 # existing green row plus the committed full local sweep.
-# Round-7 window note: rotate in the remaining 56 never-checked names:
+# Round-7 window: 50 of the 93 queries that had never had a driver row
+# after rounds 1-6 (cumulative driver-green: 185/278) — all 37 round-6
+# additions plus 13 of the older never-checked batch. Everything else is
+# local-sweep-verified at sf0.01 AND sf0.001 (CHECK_LOCAL_r06.md /
+# CHECK_LOCAL_SF0001_r06.md) plus the judge's independent samples.
+# Round-8 window note: rotate in the remaining 43 never-checked names
+# (plus any round-7 additions without a driver row):
 # pyds_stream_synthetic, multimodal_audio_vad_segments,
 # multimodal_video_shot_boundaries, users_churn_labels,
 # pipeline_mix_temperature_sqrt, scalar_variant_events,
 # lateral_recent_orders, set_union_by_name, scalar_interval_arith,
-# recursive_cte_custkey_tree, stats_corr_regression,
-# join_full_outer_nation_presence, win_rolling_distinct_users,
-# stats_equidepth_bins, pareto_frontier_parts, asof_nearest_click,
-# mv_incremental_hourly, win_percent_of_total, sql_pipe_revenue_by_flag,
-# events_session_window_native, agg_listagg_segment_nations,
-# events_anomaly_mad, join_null_safe_halves, agg_group_by_all,
-# intervals_coalesce_shipping, scalar_url_parse_battery, agg_bitwise_mode,
+# stats_corr_regression, join_full_outer_nation_presence,
+# stats_equidepth_bins, pareto_frontier_parts, mv_incremental_hourly,
+# win_percent_of_total, sql_pipe_revenue_by_flag,
+# agg_listagg_segment_nations, events_anomaly_mad, join_null_safe_halves,
+# agg_group_by_all, scalar_url_parse_battery, agg_bitwise_mode,
 # subquery_exists_projection, agg_ordered_set_percentiles,
 # alloc_largest_remainder, scalar_try_arith_battery,
-# events_pattern_sequence, join_range_pure_bucketized, stats_chi2_type_dow,
-# ab_test_conversion_lift, orders_open_backlog_daily,
+# events_pattern_sequence, join_range_pure_bucketized,
+# stats_chi2_type_dow, ab_test_conversion_lift, orders_open_backlog_daily,
 # subquery_not_in_null_trap, customer_rfm_scores,
 # lineitem_abc_classification, quality_control_pchart,
 # sql_udf_parameterized, scalar_collation_lcase,
-# events_funnel_staged_windows, join_salted_orders_segment,
-# events_gap_fill_locf, events_ewma_user, events_type_transitions,
+# events_funnel_staged_windows, events_type_transitions,
 # events_resample_interp_linear, events_weekly_seasonality,
-# events_late_arrival_profile, events_anomaly_seasonal,
-# arrow_user_value_stats, udtf_python_word_stats,
-# stream_dedup_within_watermark, stream_foreachbatch_upsert,
-# stream_ewma_user — plus the round-6 additions (no driver row yet):
-# multimodal_ppm_decode, multimodal_wav_riff_features,
-# set_intersect_all_quantities, set_except_all_quantities,
-# orders_trend_theil_sen, sample_pps_systematic,
-# events_sessionize_capped, events_token_bucket_admission,
-# pipeline_token_budget_epochs, stats_ks_two_sample,
-# stats_mann_whitney_u, orders_cohort_retention, orders_runs_test_daily,
-# customer_revenue_gini, stream_token_bucket_admission,
-# sql_window_named_spec, sql_select_star_except, sample_reservoir_per_user,
-# multimodal_tar_member_index, ingest_binaryfile_netpbm,
-# udtf_table_arg_streaks, events_burst_detection, stream_sessionize_capped,
-# dedup_semdedup_clusters, pyds_writer_roundtrip,
-# text_bigram_lm_kneser_ney, graph_label_propagation,
-# orders_forecast_holt_winters, multimodal_gzip_decode,
-# stream_burst_detection, orders_trend_mann_kendall,
-# stats_bootstrap_ci_weekly_orders, dedup_incremental_bloom_prefilter,
-# win_ignore_nulls_battery, orders_trend_seasonal_mk,
-# multimodal_zip_member_index, pipeline_budget_mixture_greedy — and any
-# later round-6 additions.
+# events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # -- docs / SCD2 / MERGE / CDC --
-    "docs_chunk_overlap",
-    "docs_tfidf_topterms",
-    "scd2_user_value_tiers",
-    "scd2_point_in_time_join",
-    "merge_upsert_customer_balance",
-    "events_cdc_latest_state",
-    # -- graph --
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "graph_bfs_levels",
-    "graph_link_prediction_cn",
-    # -- sketches (hll/theta are rows-only by nature) --
-    "sketch_hll_user_rollup",
-    "sketch_theta_segment_overlap",
-    "sketch_countmin_user_counts",
-    "agg_bitmap_exact_distinct",
-    # -- similarity scale paths --
-    "similarity_topk_ivfpq",
-    "similarity_topk_matmul",
-    "embedding_knn_classify",
-    # -- dedup family completions --
-    "dedup_shingle_containment",
-    "dedup_cluster_canonical",
-    "dedup_jaccard_prefix_filter",
-    "dedup_pipeline_tiered",
-    "dedup_incremental_vs_history",
-    "docs_url_canonical_dedup",
-    "docs_duplicate_ngram_spans",
-    # -- text / language analysis --
-    "text_bigram_lm_score",
-    "docs_lang_tvd_drift",
-    "text_bpe_apply_fertility",
-    "docs_bigram_novelty",
-    "text_repetition_ratios",
-    "text_readability_forcast",
-    "text_rake_keywords",
-    # -- pipeline / quality / profiling --
-    "pipeline_curriculum_order",
-    "stream_docs_quality_gate",
-    "itemsets_frequent_pairs",
-    "dq_constraint_report",
-    "profile_documents_columns",
-    "layout_zorder_events",
-    # -- timeseries / stats late batch --
-    "regression_multivar_normal_eq",
-    "events_lagged_crosscorr",
-    "events_changepoint_cusum",
-    "stream_changepoint_cusum",
-    "orders_forecast_holt",
-    "sql_scripting_vars",
-    # -- ingest formats --
-    "xml_parse_roundtrip",
-    "pyds_synthetic_events",
-    "ingest_orc_roundtrip",
-    # -- multimodal --
-    "multimodal_audio_pcm_features",
-    "multimodal_raster_gradients",
-    "multimodal_rle_roundtrip",
-    "multimodal_image_ahash",
+    "multimodal_ppm_decode",
+    "multimodal_wav_riff_features",
+    "multimodal_tar_member_index",
+    "multimodal_zip_member_index",
+    "multimodal_gzip_decode",
+    "ingest_binaryfile_netpbm",
+    "pyds_writer_roundtrip",
+    "set_intersect_all_quantities",
+    "set_except_all_quantities",
+    "orders_trend_theil_sen",
+    "orders_trend_mann_kendall",
+    "orders_trend_seasonal_mk",
+    "orders_forecast_holt_winters",
+    "orders_cohort_retention",
+    "orders_runs_test_daily",
+    "customer_revenue_gini",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "stats_bootstrap_ci_weekly_orders",
+    "sample_pps_systematic",
+    "sample_reservoir_per_user",
+    "events_sessionize_capped",
+    "events_token_bucket_admission",
+    "events_burst_detection",
+    "pipeline_token_budget_epochs",
+    "pipeline_budget_mixture_greedy",
+    "sql_window_named_spec",
+    "sql_select_star_except",
+    "win_ignore_nulls_battery",
+    "udtf_table_arg_streaks",
+    "dedup_semdedup_clusters",
+    "dedup_incremental_bloom_prefilter",
+    "text_bigram_lm_kneser_ney",
+    "graph_label_propagation",
+    "stream_token_bucket_admission",
+    "stream_sessionize_capped",
+    "stream_burst_detection",
+    "recursive_cte_custkey_tree",
+    "asof_nearest_click",
+    "events_gap_fill_locf",
+    "events_ewma_user",
+    "events_session_window_native",
+    "win_rolling_distinct_users",
+    "intervals_coalesce_shipping",
+    "join_salted_orders_segment",
+    "arrow_user_value_stats",
+    "udtf_python_word_stats",
+    "stream_dedup_within_watermark",
+    "stream_foreachbatch_upsert",
+    "stream_ewma_user",
 )
+
 
 
 def driver_ordered(mapping: dict[str, object]) -> dict[str, object]:
