@@ -1103,14 +1103,22 @@ def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classic trick is a Bloom filter of history fingerprints small enough to
 # broadcast. Expressed RELATIONALLY it stays engine-exact and hash-
 # oracle-able: k=3 bit positions per fingerprint (16-bit slices of the
-# md5), the history "filter" is just the DISTINCT bit-position table
-# (<= 2^16 rows REGARDLESS of history size — that bound is the whole
-# point), and membership = all 3 of a new doc's positions present.
-# Candidates then verify by exact fingerprint semi-join, so the output
-# also exhibits the filter's false positives — the measurable quantity a
-# real deployment tunes m/k against.
+# md5, reduced mod m), the history "filter" is just the DISTINCT
+# bit-position table (<= k*m rows REGARDLESS of history size — that bound
+# is the whole point), and membership = all 3 of a new doc's positions
+# present. Candidates then verify by exact fingerprint semi-join, so the
+# output also exhibits the filter's false positives — the measurable
+# quantity a real deployment tunes m/k against.
+#
+# m is deliberately sized DOWN (1024) for the test corpus so the
+# false-positive branch is actually exercised at the correctness-contract
+# scale: at m=2^16 the sf0.01 output was EMPTY on both engines and the
+# oracle check was vacuous (round-6 verdict). Production sizes m to the
+# history cardinality (m ≈ 1.44·k·n bits for a target FP); the relational
+# shape is identical at any m.
 
-_BLOOM_K = 3  # 16-bit positions sliced from the md5 (m = 65536 bits)
+_BLOOM_K = 3  # positions per fingerprint, 16-bit md5 slices reduced mod m
+_BLOOM_M = 1024  # filter bits per k-slice (kept small: see note above)
 
 
 @query(
@@ -1124,18 +1132,20 @@ _BLOOM_K = 3  # 16-bit positions sliced from the md5 (m = 65536 bits)
     ),
     bits AS (
       SELECT DISTINCT j.j AS k_idx,
-             (instr('0123456789abcdef', substr(fp, j.j*4+1, 1)) - 1) * 4096
-           + (instr('0123456789abcdef', substr(fp, j.j*4+2, 1)) - 1) * 256
-           + (instr('0123456789abcdef', substr(fp, j.j*4+3, 1)) - 1) * 16
-           + (instr('0123456789abcdef', substr(fp, j.j*4+4, 1)) - 1) AS pos
+             ((instr('0123456789abcdef', substr(fp, j.j*4+1, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(fp, j.j*4+2, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(fp, j.j*4+3, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(fp, j.j*4+4, 1)) - 1))
+             % {_BLOOM_M} AS pos
       FROM hist, (SELECT UNNEST(range({_BLOOM_K})) AS j) j
     ),
     probes AS (
       SELECT i.doc_id, i.fp, j.j AS k_idx,
-             (instr('0123456789abcdef', substr(i.fp, j.j*4+1, 1)) - 1) * 4096
-           + (instr('0123456789abcdef', substr(i.fp, j.j*4+2, 1)) - 1) * 256
-           + (instr('0123456789abcdef', substr(i.fp, j.j*4+3, 1)) - 1) * 16
-           + (instr('0123456789abcdef', substr(i.fp, j.j*4+4, 1)) - 1) AS pos
+             ((instr('0123456789abcdef', substr(i.fp, j.j*4+1, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(i.fp, j.j*4+2, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(i.fp, j.j*4+3, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(i.fp, j.j*4+4, 1)) - 1))
+             % {_BLOOM_M} AS pos
       FROM inc i, (SELECT UNNEST(range({_BLOOM_K})) AS j) j
     ),
     candidates AS (
@@ -1152,12 +1162,15 @@ _BLOOM_K = 3  # 16-bit positions sliced from the md5 (m = 65536 bits)
 def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter prefilter for incremental exact dedup, expressed as
     relations: the history corpus (even doc_ids) collapses to its DISTINCT
-    (k_idx, bit-position) table — bounded by k·2^16 rows NO MATTER how big
+    (k_idx, bit-position) table — bounded by k·m rows NO MATTER how big
     history grows, which is what makes it broadcastable at 100 TB — and a
     new batch doc (odd ids) is a candidate iff all {_BLOOM_K} of its
     md5-sliced positions hit. Candidates re-verify against the true
     fingerprint set, so the emitted ``true_dup`` flag exposes the filter's
     false-positive rate (the m/k tuning signal; FP ≈ (1−e^{{-kn/m}})^k).
+    m={_BLOOM_M} is sized so that rate is nonzero on the test corpus — the
+    round-6 m=2^16 filter passed its oracle vacuously (0 rows both
+    engines); a correctness check must exercise both branches.
 
     Per-partition practice would use an actual bitset UDAF; the relational
     spelling is semantically identical, engine-exact (same md5 nibble
@@ -1170,11 +1183,22 @@ def dedup_incremental_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataF
     scans. The exact-verify semi-join touches only bloom candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return bloom_prefilter(docs)
+
+
+def bloom_prefilter(docs: DataFrame) -> DataFrame:
+    """Core of ``dedup_incremental_bloom_prefilter`` over any frame with
+    ``doc_id`` (even = history, odd = incoming batch) and ``text`` —
+    factored out so unit tests can drive it with a crafted corpus that
+    contains both a true duplicate and an engineered mod-m collision
+    (``tests/test_dedup_bloom.py``)."""
     hist = docs.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("fp"))
     inc = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.md5("text").alias("fp")
     )
-    pos16 = "cast(conv(substr(fp, j * 4 + 1, 4), 16, 10) as int)"
+    pos16 = (
+        f"cast(conv(substr(fp, j * 4 + 1, 4), 16, 10) as int) % {_BLOOM_M}"
+    )
     bits = (
         hist.select(F.explode(F.expr(f"sequence(0, {_BLOOM_K - 1})")).alias("j"), "fp")
         .select(F.col("j").alias("k_idx"), F.expr(pos16).alias("pos"))

@@ -581,6 +581,9 @@ def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-scoped semantic dedup (Abbas et al., 2023 shape) -----
 
+SEMDEDUP_CELL_CAP = 2000  # far above the test corpus's max cell (≈ tens):
+# the oracle has no cap, so the cap must be a provable no-op at test SFs
+# while still bounding a skewed production corpus's worst cell.
 SEMDEDUP_T = 0.15  # cosine threshold (uniform-random test vectors sit near 0;
 # real corpora use 0.7-0.9 — the threshold is data-dependent, the SHAPE isn't)
 
@@ -647,11 +650,25 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE ops on identical inputs, so both engines select identical pairs.
 
     Scale: centroids broadcast (bounded set); assignment is one codegen
-    pass; the self-join shuffles on cell_id — AQE splits hot cells, and a
-    per-cell member cap (as in the MinHash buckets) bounds worst-case
-    quadratic cells on real skewed corpora.
+    pass; the self-join shuffles on cell_id — AQE splits hot partitions,
+    but partition-splitting does NOT reduce PAIR counts, so a per-cell
+    member cap (deterministic: first {SEMDEDUP_CELL_CAP} members by
+    vec_id, same idiom as the MinHash bucket cap) bounds the worst-case
+    quadratic cell on real skewed corpora. The cap is a no-op on the test
+    corpus (max cell ≪ cap), so the oracle — which has no cap — still
+    matches exactly; ``tests/test_scale_patterns.py`` drives the capped
+    path with a crafted hot cell.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_clusters(emb)
+
+
+def semdedup_clusters(
+    emb: DataFrame, cap: int = None  # noqa: RUF013 — None => SEMDEDUP_CELL_CAP
+) -> DataFrame:
+    """Core of ``dedup_semdedup_clusters`` over any (vec_id, embedding)
+    frame; ``cap`` overrides the per-cell member bound for tests."""
+    cap = SEMDEDUP_CELL_CAP if cap is None else cap
     vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
     cents = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
         F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
@@ -669,6 +686,17 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = best.select(
         "vec_id", F.col("best.cell_id").alias("cell_id")
     ).join(vecs, "vec_id")
+    # Per-cell member cap: one rank window over the N-row assignment frame
+    # (NOT the N×K score frame), keeping the first `cap` members by vec_id.
+    # Quadratic pair growth in a mega-cell is the one cost AQE cannot fix.
+    assigned = (
+        assigned.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("cell_id").orderBy("vec_id")),
+        )
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+    )
     nrm = assigned.withColumn(
         "nr",
         F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)),

