@@ -259,8 +259,13 @@ def ingest_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # app-id-scoped so concurrent sessions never clobber each other's
+    # staging dir (ORC write itself is driver-coordinated, so the only
+    # assumption is the usual one: the write path is session-visible)
     path = os.path.join(
-        tempfile.gettempdir(), "oebp-orc-roundtrip", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        f"oebp-orc-roundtrip-{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir),
     )
     ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
@@ -380,6 +385,12 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently and return commit messages; only the tiny manifest
     passes through the driver. A production writer swaps the local
     directory for object storage and adds task-attempt isolation paths.
+
+    Staging-path assumption: executor tasks write files the driver then
+    re-reads, so ``out`` must be a filesystem BOTH sides see (true in
+    local mode; a cluster deployment points it at shared/object storage).
+    The dir is scoped by Spark applicationId so concurrent sessions never
+    rmtree each other's output.
     """
     import json as _json
     import os
@@ -390,7 +401,9 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     py_datasource.register(spark)
     out = os.path.join(
-        tempfile.gettempdir(), "oebp-pyds-writer", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        f"oebp-pyds-writer-{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir),
     )
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)

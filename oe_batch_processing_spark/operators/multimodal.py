@@ -1463,13 +1463,22 @@ def ingest_binaryfile_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefer a few thousand tar shards (see multimodal_tar_member_index)
     over millions of tiny blobs — the small-files problem applies to
     binary corpora exactly as to parquet.
+
+    Staging-path assumption: executors write and the driver re-reads
+    ``out_dir``, so it must be a SHARED filesystem (true on local mode and
+    on clusters staging to NFS/object storage via a hadoop-compatible
+    path; on a real cluster point it at ``s3a://...`` and the same code
+    holds). The dir is scoped by Spark applicationId so concurrent
+    sessions never clobber each other's staging area.
     """
     import os
     import shutil
     import tempfile
 
     out_dir = os.path.join(
-        tempfile.gettempdir(), "oebp-binaryfile-netpbm", os.path.basename(sf_dir)
+        tempfile.gettempdir(),
+        f"oebp-binaryfile-netpbm-{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir),
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
@@ -1674,14 +1683,20 @@ ZIP_SHARD = 8
 
 def parse_zip_central_directory(b: bytes) -> list:
     """Walk a ZIP archive -> [(name, comp_size, uncomp_size, crc32,
-    local_offset_ok)] from the central directory.
+    local_offset_ok, data_start)] from the central directory.
 
     Implements the real grammar: locate EOCD (signature 50 4b 05 06,
     scanned backwards past an optional comment), read entry count +
     directory offset, then parse each 46-byte central entry (signature
     50 4b 01 02, LE u16/u32 fields, name/extra/comment length
     indirection) and cross-check that the referenced local header
-    (50 4b 03 04) exists at the recorded offset with the same name."""
+    (50 4b 03 04) exists at the recorded offset with the same name.
+    ``data_start`` is the member payload's absolute offset computed from
+    the LOCAL header's own name/extra lengths (they may differ from the
+    central entry's) — the correct way to locate payload bytes; scanning
+    for the 50 4b 03 04 signature instead would misparse any member whose
+    PAYLOAD contains those four bytes (round-6 advice). None when the
+    back-reference fails."""
     import struct
 
     eocd = b.rfind(b"PK\x05\x06")
@@ -1701,10 +1716,13 @@ def parse_zip_central_directory(b: bytes) -> list:
         name = b[i + 46 : i + 46 + nlen].decode("utf-8")
         # cross-check the local header back-reference
         ok = b[lho : lho + 4] == b"PK\x03\x04"
+        data_start = None
         if ok:
-            lnlen = struct.unpack("<H", b[lho + 26 : lho + 28])[0]
+            lnlen, lelen = struct.unpack("<HH", b[lho + 26 : lho + 30])
             ok = b[lho + 30 : lho + 30 + lnlen].decode("utf-8") == name
-        out.append((name, csize, usize, crc, ok))
+            if ok:
+                data_start = lho + 30 + lnlen + lelen
+        out.append((name, csize, usize, crc, ok, data_start))
         i += 46 + nlen + elen + clen
     return out
 
@@ -1763,7 +1781,6 @@ def multimodal_zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def index(batches: Iterator) -> Iterator:
-        import struct
         import zlib
 
         import pandas as pd
@@ -1772,22 +1789,18 @@ def multimodal_zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for archive_id, payload in zip(pdf["archive_id"], pdf["payload"]):
                 b = bytes(payload)
-                for name, csize, usize, crc, off_ok in parse_zip_central_directory(b):
-                    # extract the STORED payload via a local-header name
-                    # walk to re-verify the central directory's CRC
-                    i = 0
-                    data = None
-                    while True:
-                        j = b.find(b"PK\x03\x04", i)
-                        if j < 0 or j >= len(b):
-                            break
-                        nlen, elen = struct.unpack("<HH", b[j + 26 : j + 30])
-                        nm = b[j + 30 : j + 30 + nlen].decode("utf-8")
-                        start = j + 30 + nlen + elen
-                        if nm == name:
-                            data = b[start : start + csize]
-                            break
-                        i = j + 4
+                for name, csize, usize, crc, off_ok, data_start in (
+                    parse_zip_central_directory(b)
+                ):
+                    # extract the STORED payload at the offset the central
+                    # directory's local-header back-reference resolves to —
+                    # never by signature scan (a payload containing
+                    # "PK\\x03\\x04" would derail that; round-6 advice)
+                    data = (
+                        b[data_start : data_start + csize]
+                        if data_start is not None
+                        else None
+                    )
                     crc_ok = (
                         data is not None
                         and (zlib.crc32(data) & 0xFFFFFFFF) == crc

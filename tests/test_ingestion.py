@@ -532,6 +532,10 @@ def test_parse_zip_central_directory():
 
     buf = io.BytesIO()
     bodies = {f"m{i}.txt": bytes([97 + i]) * (100 + i * 37) for i in range(3)}
+    # adversarial member: payload EMBEDS a local-header signature — a
+    # signature-scanning extractor would misparse the member after it
+    # (round-6 advice); the central-directory offset walk must not care.
+    bodies["trap.bin"] = b"xx" + b"PK\x03\x04" + b"\x00" * 40 + b"tail"
     with zf.ZipFile(buf, "w", compression=zf.ZIP_STORED) as z:
         for name, data in bodies.items():
             z.writestr(zf.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0)), data)
@@ -541,6 +545,13 @@ def test_parse_zip_central_directory():
     assert [(m[0], m[2]) for m in members] == [(n, len(d)) for n, d in bodies.items()]
     assert all(m[4] for m in members)  # local-header back-references verify
     assert members[1][3] == (zlib.crc32(bodies["m1.txt"]) & 0xFFFFFFFF)
+    # payload located by the central directory's offset, not by scanning:
+    # every member's bytes (incl. the one AFTER the embedded signature)
+    # slice out exactly and re-verify against their stored CRC
+    for (name, csize, usize, crc, ok, data_start) in members:
+        data = raw[data_start : data_start + csize]
+        assert data == bodies[name]
+        assert (zlib.crc32(data) & 0xFFFFFFFF) == crc
     # corrupt a local-header signature: that member's offset_ok flips
     corrupted = bytearray(raw)
     # find second local header and break it
