@@ -123,6 +123,8 @@ HEADLINE = [
     "dedup_incremental_bloom_prefilter",
     "stats_bootstrap_ci_weekly_orders",
     "graph_label_propagation",
+    # round-7 additions:
+    "multimodal_png_decode",
 ]
 
 

@@ -44,7 +44,9 @@ ORACLE: dict[str, str] = {}
 # local-sweep-verified at sf0.01 AND sf0.001 (CHECK_LOCAL_r06.md /
 # CHECK_LOCAL_SF0001_r06.md) plus the judge's independent samples.
 # Round-8 window note: rotate in the remaining 43 never-checked names
-# (plus any round-7 additions without a driver row):
+# (plus any round-7 additions without a driver row, and
+# join_salted_orders_segment which yielded its slot to the round-7
+# multimodal_png_decode):
 # pyds_stream_synthetic, multimodal_audio_vad_segments,
 # multimodal_video_shot_boundaries, users_churn_labels,
 # pipeline_mix_temperature_sqrt, scalar_variant_events,
@@ -102,6 +104,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "stream_token_bucket_admission",
     "stream_sessionize_capped",
     "stream_burst_detection",
+    "multimodal_png_decode",
     "recursive_cte_custkey_tree",
     "asof_nearest_click",
     "events_gap_fill_locf",
@@ -109,7 +112,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "events_session_window_native",
     "win_rolling_distinct_users",
     "intervals_coalesce_shipping",
-    "join_salted_orders_segment",
     "arrow_user_value_stats",
     "udtf_python_word_stats",
     "stream_dedup_within_watermark",

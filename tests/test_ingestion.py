@@ -560,3 +560,49 @@ def test_parse_zip_central_directory():
     assert not parse_zip_central_directory(bytes(corrupted))[1][4]
     with pytest.raises(ValueError):
         parse_zip_central_directory(b"not a zip at all")
+
+
+def test_parse_png_roundtrip_and_corruption():
+    """PNG codec pair: encode_png/parse_png round-trip for both color
+    types (exercising every filter predictor and multi-IDAT reassembly),
+    plus the corruption battery the other format walkers carry."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import (
+        encode_png,
+        parse_png,
+    )
+
+    # gray 7x6 (h>4 => all five filters used) and rgb 5x9
+    for w, h, ch in ((7, 6, 1), (5, 9, 3)):
+        raster = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+        png = encode_png(raster, w, h, ch)
+        assert png.count(b"IDAT") == 2  # multi-IDAT reassembly exercised
+        w2, h2, color, back, mask = parse_png(png)
+        assert (w2, h2) == (w, h)
+        assert color == (0 if ch == 1 else 2)
+        assert back == raster
+        assert mask == 0b11111  # None/Sub/Up/Average/Paeth all ran
+
+    png = encode_png(bytes(range(60)), 4, 5, 3)
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"\x89PNJ" + png[4:])
+    # flip one byte inside the first IDAT payload: CRC must catch it
+    idat = png.find(b"IDAT")
+    bad = bytearray(png)
+    bad[idat + 6] ^= 0x01
+    with pytest.raises(ValueError, match="crc"):
+        parse_png(bytes(bad))
+    # unsupported bit depth in IHDR (fix up the CRC so only IHDR trips)
+    bad = bytearray(png)
+    bad[8 + 8 + 8] = 16  # depth byte inside IHDR payload
+    ihdr_payload = bytes(bad[16:29])
+    bad[29:33] = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_payload) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="IHDR"):
+        parse_png(bytes(bad))
+    # truncation
+    with pytest.raises(ValueError):
+        parse_png(png[: len(png) - 10])
