@@ -119,8 +119,15 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PLANES = 4  # 2^4 = 16 buckets per table
-N_TABLES = 8  # independent tables; recall ~ 1-(1-p^planes)^tables
+N_PLANES = 5  # 2^5 = 32 buckets per table
+N_TABLES = 16  # independent tables; recall ~ 1-(1-p^planes)^tables
+# Geometry set by the round-7 sweep (tools/recall.py --lsh-geometry): at the
+# FIXED candidate budget tables/2^planes = 1/2, measured recall@5 at sf0.1
+# was 3×4 → 0.680, 4×8 → 0.760 (rounds 4-6 default), 5×16 → 0.810,
+# 6×32 → 0.870 — matching 1-(1-p^planes)^tables with p ≈ 0.63 to ±0.01.
+# 5×16 clears the 0.8 bar at ~1.5× the 4×8 runtime; 6×32 costs ~3× for
+# +0.06 — finer slicing buys recall because FEWER near-duplicate-bucket
+# collisions are wasted on far pairs, at identical rescore volume.
 NZ_PER_PLANE = 16  # sparse hyperplanes: signed entries on 16 of the 64 dims
 EMB_DIM = 64  # testdata embeddings are 64-d (TESTDATA.md)
 
@@ -168,9 +175,10 @@ def _hof_dot(a: str, b: str) -> str:
 
 @query("similarity_topk_lsh")  # approximate candidate gen => rows-only
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN: bucket by the sign pattern of 4 sparse
-    pseudo-random hyperplanes × 8 tables, cosine rescore within candidate
-    buckets only, per-query top-k. The scale path for similarity search.
+    """Random-hyperplane LSH ANN: bucket by the sign pattern of
+    {N_PLANES} sparse pseudo-random hyperplanes × {N_TABLES} tables,
+    cosine rescore within candidate buckets only, per-query top-k. The
+    scale path for similarity search.
 
     Everything stays inside whole-stage codegen: bucket ids are flat signed
     element_at sums (one expression per table — zero intermediate rows; a
@@ -180,12 +188,22 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     see _hof_dot). Hyperplanes derive from md5(table, plane) at plan
     build time, so the operator needs no stored model.
 
-    Measured recall@5 vs brute force: ~0.7 at sf0.1 — on UNIFORM-RANDOM
-    64-d vectors, ANN's worst case (top neighbors sit at cos~0.4 with no
-    cluster structure); real embedding corpora cluster and both recall and
-    pruning improve. Tune planes/tables for the recall-cost point
-    (recall ~ 1-(1-p^planes)^tables with p = 1 - angle/pi).
+    Geometry (round-7 sweep, tools/recall.py --lsh-geometry, committed in
+    COVERAGE.md): at a FIXED candidate budget (tables / 2^planes = 1/2 of
+    the corpus rescored), recall@5 at sf0.1 follows the theory curve
+    recall ~ 1-(1-p^planes)^tables with p = 1 - angle/pi ≈ 0.63 for this
+    corpus's cos~0.4 true neighbors (uniform-random vectors, ANN's worst
+    case — real clustered embeddings do better): 3×4 → ~0.68, 4×8 →
+    ~0.76, 5×16 → ~0.81, 6×32 → ~0.87. Default is {N_PLANES}×{N_TABLES};
+    ``lsh_topk`` takes the geometry as parameters.
     """
+    return lsh_topk(spark, sf_dir, N_PLANES, N_TABLES)
+
+
+def lsh_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Parameterized core of ``similarity_topk_lsh`` (geometry sweeps)."""
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(F.expr(_hof_dot("embedding", "embedding")))
     vecs = emb.select("vec_id", "embedding", nrm.alias("nrm"))
@@ -202,7 +220,7 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket(t: int) -> str:
         return " + ".join(
-            f"CAST({proj(t, p)} > 0 AS LONG) * {1 << p}" for p in range(N_PLANES)
+            f"CAST({proj(t, p)} > 0 AS LONG) * {1 << p}" for p in range(n_planes)
         )
 
     # table id from an exploded literal sequence + a lazy CASE per table: the
@@ -213,13 +231,13 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code bounded.)
     bucket_case = (
         "CASE tbl "
-        + " ".join(f"WHEN {t} THEN {bucket(t)}" for t in range(N_TABLES))
+        + " ".join(f"WHEN {t} THEN {bucket(t)}" for t in range(n_tables))
         + " END"
     )
 
     def with_buckets(df: DataFrame) -> DataFrame:
         return df.select(
-            "*", F.explode(F.expr(f"sequence(0, {N_TABLES - 1})")).alias("tbl")
+            "*", F.explode(F.expr(f"sequence(0, {n_tables - 1})")).alias("tbl")
         ).withColumn("bucket", F.expr(bucket_case))
 
     # One corpus pass: explode the 8 (table, bucket) keys, broadcast-hash-join

@@ -54,6 +54,12 @@ def main() -> None:
     rerank_depths = None
     if "--rerank" in args:
         rerank_depths = [int(x) for x in args[args.index("--rerank") + 1].split(",")]
+    lsh_geoms = None
+    if "--lsh-geometry" in args:
+        lsh_geoms = [
+            tuple(int(v) for v in g.split("x"))
+            for g in args[args.index("--lsh-geometry") + 1].split(",")
+        ]
 
     spark = get_spark("recall")
     exact = topk_sets(registry.QUERIES["similarity_topk_cosine"](spark, sf_dir))
@@ -68,6 +74,25 @@ def main() -> None:
                 print(f"ivfpq rerank={depth}: recall@5={r:.3f} ({dt:.1f}s)")
         finally:
             similarity2.IVFPQ_RERANK = base
+        return
+
+    if lsh_geoms:
+        import time as _t
+
+        from oe_batch_processing_spark.operators.similarity import lsh_topk
+
+        for planes, tables in lsh_geoms:
+            t0 = _t.time()
+            approx = topk_sets(lsh_topk(spark, sf_dir, planes, tables))
+            dt = _t.time() - t0
+            hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+            total = sum(len(v) for v in exact.values())
+            budget = tables / (1 << planes)
+            print(
+                f"lsh {planes}planes x {tables}tables "
+                f"(candidate budget {budget:.3f}·N): "
+                f"recall@5={hits / total:.3f} ({dt:.1f}s)"
+            )
         return
 
     for name in ("similarity_topk_lsh", "similarity_topk_ivf", "similarity_topk_ivfpq"):
