@@ -435,3 +435,73 @@ def pyds_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"manifest says {manifest['total_rows']} rows, read {n_back}"
         )
     return agg
+
+
+@query(
+    "ingest_gzip_codec_scan",
+    oracle="""
+    SELECT doc_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_sum,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(COUNT(*) AS BIGINT) AS n_from_gz
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def ingest_gzip_codec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE compression-codec scan path: write the documents
+    table as gzip-compressed JSON-lines shards (``.json.gz`` — the
+    writer-side ``compression`` option), read them back with the plain
+    JSON reader (codec auto-detected from the extension), and aggregate
+    content checksums per bucket. ``n_from_gz`` counts only rows whose
+    ``input_file_name()`` ends in ``.json.gz`` — equal to ``n_docs`` iff
+    every row really came through the gzip codec, which the oracle
+    (computed from the original parquet) enforces.
+
+    This is the third decompression surface in the repo, and the one a
+    production crawl pipeline actually uses (Common-Crawl-style .gz
+    text): stdlib-gzip decode of payload BYTES (multimodal_gzip_decode),
+    hand-written DEFLATE containers (PNG), and here the JVM codec stack
+    at SCAN level.
+
+    Scale: gzip files are NOT SPLITTABLE — each .gz shard is one task, so
+    the writer's ``repartition(N)`` IS the read parallelism knob; a
+    production layout targets shards of 100-500 MB compressed. (Prefer
+    zstd/bzip2-splittable or plain parquet where possible; .gz is what
+    crawls hand you.) The write scopes its staging dir by applicationId
+    (shared-FS assumption, same as the binaryFile op).
+    """
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"oebp-gzip-scan-{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # hash-partitioned (deterministic shard contents, unlike round-robin)
+    docs.repartition(8, "doc_id").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
+
+    back = spark.read.schema("doc_id long, text string").json(out)
+    # input_file_name() is non-deterministic to Catalyst — project the
+    # came-through-gzip flag BEFORE the aggregate
+    flagged = back.withColumn(
+        "from_gz",
+        F.when(F.input_file_name().endswith(".json.gz"), 1).otherwise(0),
+    )
+    return flagged.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("total_bytes"),
+        F.sum(F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("long"))
+        .alias("content_sum"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("from_gz").alias("n_from_gz"),
+    )

@@ -45,8 +45,10 @@ ORACLE: dict[str, str] = {}
 # CHECK_LOCAL_SF0001_r06.md) plus the judge's independent samples.
 # Round-8 window note: rotate in the remaining 43 never-checked names
 # (plus any round-7 additions without a driver row, and
-# join_salted_orders_segment which yielded its slot to the round-7
-# multimodal_png_decode):
+# events_ewma_user, win_rolling_distinct_users, and
+# join_salted_orders_segment, which yielded their slots to the round-7
+# additions multimodal_png_decode, dedup_minhash_error_profile,
+# ingest_gzip_codec_scan):
 # pyds_stream_synthetic, multimodal_audio_vad_segments,
 # multimodal_video_shot_boundaries, users_churn_labels,
 # pipeline_mix_temperature_sqrt, scalar_variant_events,
@@ -105,12 +107,12 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "stream_sessionize_capped",
     "stream_burst_detection",
     "multimodal_png_decode",
+    "dedup_minhash_error_profile",
+    "ingest_gzip_codec_scan",
     "recursive_cte_custkey_tree",
     "asof_nearest_click",
     "events_gap_fill_locf",
-    "events_ewma_user",
     "events_session_window_native",
-    "win_rolling_distinct_users",
     "intervals_coalesce_shipping",
     "arrow_user_value_stats",
     "udtf_python_word_stats",
