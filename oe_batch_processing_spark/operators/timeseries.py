@@ -874,3 +874,103 @@ def orders_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series string, rn int, day bigint, x double, level double,"
         " trend double, seasonal double, forecast_next double",
     )
+
+
+# --- STL-style decomposition (moving-average flavor, exact integer math) ----
+
+_STL_OFF = 1_000_000_000  # floor-division offset: Spark `div` truncates
+# toward zero while DuckDB `//` floors; adding OFF*cnt to the (possibly
+# negative) numerator makes it non-negative, where truncate == floor, then
+# OFF subtracts back out exactly.
+
+
+@query(
+    "orders_stl_decompose_monthly",
+    oracle=f"""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT mon, n_orders,
+             SUM(n_orders) OVER (ORDER BY (year(mon) * 12 + month(mon))
+               RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS s13,
+             COUNT(*) OVER (ORDER BY (year(mon) * 12 + month(mon))
+               RANGE BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS c13
+      FROM m
+    ),
+    t AS (
+      SELECT mon, n_orders, month(mon) AS moy,
+             CASE WHEN c13 = 13
+                  THEN CAST((1000 * s13) // 13 AS BIGINT) END AS trend_milli
+      FROM w
+    ),
+    d AS (
+      SELECT *, 1000 * n_orders - trend_milli AS det_milli FROM t
+    ),
+    seas AS (
+      SELECT moy,
+             CAST((SUM(det_milli) + {_STL_OFF} * COUNT(*)) // COUNT(*)
+                  - {_STL_OFF} AS BIGINT) AS seas_milli
+      FROM d WHERE det_milli IS NOT NULL GROUP BY moy
+    )
+    SELECT d.mon, CAST(d.n_orders AS BIGINT) AS n_orders,
+           d.trend_milli, s.seas_milli,
+           CAST(d.det_milli - s.seas_milli AS BIGINT) AS resid_milli
+    FROM d JOIN seas s USING (moy)
+    """,
+)
+def orders_stl_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal decomposition of the monthly order-count series
+    (the moving-average classical flavor, complementing the model-based
+    ``orders_forecast_holt_winters``): trend = centered 13-month moving
+    average (defined only where all 13 months exist), detrended = series −
+    trend, seasonal = per month-of-year mean of the detrended values,
+    residual = detrended − seasonal. ALL arithmetic is quantized-integer
+    milli-units — the one subtlety is floor semantics: Spark ``div``
+    truncates toward zero while DuckDB ``//`` floors, which diverges on
+    the (negative) detrended sums, so the seasonal mean adds
+    ``{_STL_OFF}·cnt`` before dividing (non-negative ⇒ truncate == floor)
+    and subtracts it back — bit-exact in both engines.
+
+    Scale: the fact table collapses to |months| rows in one
+    map-side-combined aggregate; the window, seasonal aggregate, and join
+    all run on that bounded series. The same shape decomposes any keyed
+    series (add the key to every PARTITION BY/GROUP BY).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.trunc("o_orderdate", "month").alias("mon")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    idx = (F.year("mon") * 12 + F.month("mon")).alias("idx")
+    w = Window.orderBy(idx).rangeBetween(-6, 6)
+    t = m.select(
+        "mon",
+        "n_orders",
+        F.month("mon").alias("moy"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 13,
+            F.expr("1000") * F.sum("n_orders").over(w),
+        ).alias("s13_milli"),
+    ).withColumn(
+        "trend_milli", F.expr("CAST(s13_milli div 13 AS BIGINT)")
+    ).withColumn(
+        "det_milli", F.expr("1000 * n_orders - trend_milli")
+    )
+    seas = (
+        t.filter(F.col("det_milli").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.expr(
+                f"CAST((SUM(det_milli) + {_STL_OFF}L * COUNT(*)) div COUNT(*) "
+                f"- {_STL_OFF}L AS BIGINT)"
+            ).alias("seas_milli")
+        )
+    )
+    return t.join(seas, "moy").select(
+        "mon",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "trend_milli",
+        "seas_milli",
+        (F.col("det_milli") - F.col("seas_milli")).cast("long").alias("resid_milli"),
+    )
