@@ -125,6 +125,9 @@ HEADLINE = [
     "graph_label_propagation",
     # round-7 additions:
     "multimodal_png_decode",
+    "dedup_minhash_error_profile",
+    "ingest_gzip_codec_scan",
+    "orders_stl_decompose_monthly",
 ]
 
 

@@ -888,7 +888,8 @@ _STL_OFF = 1_000_000_000  # floor-division offset: Spark `div` truncates
     "orders_stl_decompose_monthly",
     oracle=f"""
     WITH m AS (
-      SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n_orders
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             COUNT(*) AS n_orders
       FROM orders GROUP BY 1
     ),
     w AS (
@@ -914,7 +915,8 @@ _STL_OFF = 1_000_000_000  # floor-division offset: Spark `div` truncates
                   - {_STL_OFF} AS BIGINT) AS seas_milli
       FROM d WHERE det_milli IS NOT NULL GROUP BY moy
     )
-    SELECT d.mon, CAST(d.n_orders AS BIGINT) AS n_orders,
+    SELECT strftime(d.mon, '%Y-%m') AS month,
+           CAST(d.n_orders AS BIGINT) AS n_orders,
            d.trend_milli, s.seas_milli,
            CAST(d.det_milli - s.seas_milli AS BIGINT) AS resid_milli
     FROM d JOIN seas s USING (moy)
@@ -968,7 +970,7 @@ def orders_stl_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.join(seas, "moy").select(
-        "mon",
+        F.date_format("mon", "yyyy-MM").alias("month"),
         F.col("n_orders").cast("long").alias("n_orders"),
         "trend_milli",
         "seas_milli",
