@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_minhash_error_profile",
     "ingest_gzip_codec_scan",
     "orders_stl_decompose_monthly",
+    "embedding_pca_power_iteration",
 ]
 
 

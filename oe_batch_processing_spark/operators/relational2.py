@@ -58,20 +58,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.5 * (
         SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
         FROM orders
     )
     """,
 )
 def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: orders above 2x the (exact-decimal) average price."""
+    """Scalar subquery: orders above 1.5x the (exact-decimal) average price.
+    (The original 2x threshold returned ZERO rows at sf>=0.01 — the oracle
+    check was vacuous, caught by the round-7 0-row tripwire; 1.5x selects a
+    real tail at every SF: 380 / 3,717 / 37,430 rows.)"""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2 * (
+        WHERE o_totalprice > 1.5 * (
             SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
             FROM orders
         )

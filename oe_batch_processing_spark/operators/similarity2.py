@@ -731,3 +731,101 @@ def semdedup_clusters(
             F.count(F.lit(1)).alias("n_witnesses"),
         )
     )
+
+
+# --- distributed PCA: top principal direction by power iteration -------------
+#
+# The iterative-linear-algebra family member next to the closed-form OLS
+# (regression_multivar_normal_eq): v_{k+1} ∝ (XᵀX)·v_k, three unrolled
+# iterations, ENTIRELY in quantized integers so even an iterative eigen
+# solver carries a full DuckDB hash oracle. Each iteration is two relational
+# passes — per-row dot products (JVM zip_with fold) and a per-dimension
+# elementwise sum (posexplode + groupBy(dim), the standard relational
+# spelling of Xᵀy) — and the only driver-side state is the 64-value vector
+# itself (bounded by DIMENSION, not data). Normalization is by max-|v|
+# with the offset-before-div trick (Spark `div` truncates toward zero,
+# DuckDB `//` floors; a +OFF·m shift makes the numerator non-negative where
+# the two agree), yielding v ∈ [-1e4, 1e4] integers after every step —
+# magnitudes stay < 2^63 for corpora up to ~10⁹ rows at this quantization.
+
+PCA_ITERS = 3
+_PCA_OFF = 20_000  # > max |v_i| bound, so s + OFF*m >= 0 always
+
+
+def _pca_oracle() -> str:
+    head = f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, i, qe[i+1] AS qv
+      FROM q, UNNEST(range({EMB_DIM})) AS t(i)
+    ),
+    v0 AS (SELECT UNNEST(range({EMB_DIM})) AS i, CAST(10000 AS BIGINT) AS v)
+    """
+    steps = []
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+    d{k} AS (
+      SELECT e.vec_id, SUM(e.qv * v{k-1}.v) AS dot
+      FROM e JOIN v{k-1} ON v{k-1}.i = e.i GROUP BY e.vec_id
+    ),
+    s{k} AS (
+      SELECT e.i, SUM(e.qv * d{k}.dot) AS s
+      FROM e JOIN d{k} ON d{k}.vec_id = e.vec_id GROUP BY e.i
+    ),
+    m{k} AS (SELECT MAX(ABS(s)) AS m FROM s{k}),
+    v{k} AS (
+      SELECT i, CAST(((s + {_PCA_OFF} * m) // m) - {_PCA_OFF} AS BIGINT) AS v
+      FROM s{k}, m{k}
+    )""")
+    return (
+        head + "," + ",".join(steps)
+        + f"""
+    SELECT CAST(i AS INTEGER) AS dim, v AS loading FROM v{PCA_ITERS}
+    """
+    )
+
+
+@query("embedding_pca_power_iteration", oracle=_pca_oracle())
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by {PCA_ITERS}
+    unrolled power-iteration steps over the (uncentered) Gram matrix XᵀX,
+    in exact quantized-integer arithmetic — see the module note above for
+    why an ITERATIVE eigen solver can still be hash-oracle-checked. The
+    starting vector is all-10000 (scale 1e4); each step computes per-row
+    dots x·v (one codegen fold), the per-dimension sums Xᵀ(Xv) (posexplode
+    + groupBy(dim) — {EMB_DIM}·N rows, the relational Xᵀy), and
+    renormalizes to max-|component| = 1e4 integers on the driver (64
+    values — bounded by dimension, never by data).
+
+    Scale: each iteration is two shuffles (vec_id and dim); the dim
+    shuffle has {EMB_DIM} distinct keys with map-side partial sums, so the
+    reducer side is |dims| rows regardless of corpus size. Convergence at
+    100 TB is identical math — more rows only widen the map side. Deflate
+    and repeat for the next component (v ← v − λu uᵀv, same loop).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    v = [10_000] * EMB_DIM
+    for _ in range(PCA_ITERS):
+        v_lit = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(qe, {v_lit}, (x, y) -> x * y), "
+            "0L, (acc, t) -> acc + t)"
+        )
+        contrib = vecs.select(
+            dot.alias("dot"), F.posexplode("qe").alias("i", "qv")
+        )
+        sums = (
+            contrib.groupBy("i")
+            .agg(F.sum(F.col("qv") * F.col("dot")).alias("s"))
+            .collect()
+        )
+        s = [0] * EMB_DIM
+        for r in sums:
+            s[r["i"]] = r["s"]
+        m = max(abs(x) for x in s)
+        v = [((x + _PCA_OFF * m) // m) - _PCA_OFF for x in s]
+    out = [(i, int(v[i])) for i in range(EMB_DIM)]
+    return spark.createDataFrame(out, "dim int, loading long")

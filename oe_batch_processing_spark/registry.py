@@ -45,7 +45,8 @@ ORACLE: dict[str, str] = {}
 # CHECK_LOCAL_SF0001_r06.md) plus the judge's independent samples.
 # Round-8 window note: rotate in the remaining 43 never-checked names
 # (plus any round-7 additions without a driver row, and
-# events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf, and
+# events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,
+# asof_nearest_click, and
 # join_salted_orders_segment, which yielded their slots to the round-7
 # additions multimodal_png_decode, dedup_minhash_error_profile,
 # ingest_gzip_codec_scan):
@@ -110,8 +111,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_error_profile",
     "ingest_gzip_codec_scan",
     "orders_stl_decompose_monthly",
+    "embedding_pca_power_iteration",
     "recursive_cte_custkey_tree",
-    "asof_nearest_click",
     "events_session_window_native",
     "intervals_coalesce_shipping",
     "arrow_user_value_stats",
