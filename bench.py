@@ -129,6 +129,7 @@ HEADLINE = [
     "ingest_gzip_codec_scan",
     "orders_stl_decompose_monthly",
     "embedding_pca_power_iteration",
+    "pipeline_data_card",
 ]
 
 

@@ -569,3 +569,57 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rn")).cast("bigint").alias("curriculum_pos"),
         )
     )
+
+
+# --- corpus data card --------------------------------------------------------
+
+_DATA_CARD_SQL = """
+    WITH d AS (
+      SELECT lang, source, n_chars,
+             {size_split} AS n_tokens,
+             CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
+                  THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS is_short
+      FROM documents
+    )
+    SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang,
+           CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END
+             AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(is_short) AS BIGINT) AS n_short_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM d
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+"""
+
+
+@query(
+    "pipeline_data_card",
+    oracle=_DATA_CARD_SQL.format(
+        size_split="len(string_split(text, ' '))"
+    ),
+)
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD: one GROUPING SETS pass producing the summary a
+    training-data release ships — per-language, per-source, per-(language ×
+    source) and overall doc counts, char/token volume, exact-duplicate
+    document counts (text appears more than once in the corpus — a window
+    count, not a self-join), and short-doc counts. The '(all)' rows come
+    from GROUPING() so a NULL language can never masquerade as a rollup
+    row.
+
+    Scale: ONE shuffle for the duplicate window (partition by text — at
+    100 TB partition by xxhash64(text)), then one grouping-sets aggregate;
+    Spark expands the 4 sets in a single Expand+HashAggregate, map-side
+    partial, |langs × sources| result rows regardless of corpus size.
+    """
+    from oe_batch_processing_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _DATA_CARD_SQL.format(size_split="size(split(text, ' '))")
+    )
