@@ -130,6 +130,7 @@ HEADLINE = [
     "orders_stl_decompose_monthly",
     "embedding_pca_power_iteration",
     "pipeline_data_card",
+    "multimodal_bmp_decode",
 ]
 
 

@@ -2118,3 +2118,201 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="media_id long, color string, w int, h int, "
                     "mean_lum int, hgrad long, vgrad long, filters_mask int"
     )
+
+
+# --- real image-container decode #2: BMP (DIB header, palette, stride) ------
+#
+# Same discipline as PNG/netpbm: a REAL uncompressed container with three
+# grammar hazards the others don't have — rows are stored BOTTOM-UP, every
+# row pads to a 4-byte boundary, and 24-bit pixels are BGR (not RGB); the
+# 8-bit form adds a 256-entry BGRA palette between the headers and the
+# raster. Encoder and parser are both hand-written (stdlib has no BMP);
+# correctness is anchored by the DuckDB oracle recomputing the statistics
+# from the pixel-generation rule, so a wrong stride, an un-flipped row
+# order, or a BGR/RGB swap shifts the gradient sums and fails the hash.
+
+
+def encode_bmp(raster: bytes, w: int, h: int, ch: int) -> bytes:
+    """Encode an 8-bit raster as a REAL .bmp: ch=1 → 8-bpp with a 256-entry
+    grayscale BGRA palette; ch=3 → 24-bpp BGR. Rows bottom-up, stride
+    padded to 4 bytes (the format's mandatory layout)."""
+    import struct
+
+    bpp = 8 if ch == 1 else 24
+    stride = ((w * ch) + 3) // 4 * 4
+    palette = (
+        b"".join(bytes((i, i, i, 0)) for i in range(256)) if ch == 1 else b""
+    )
+    data_off = 14 + 40 + len(palette)
+    img_size = stride * h
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + img_size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, img_size,
+                      2835, 2835, 256 if ch == 1 else 0, 0)
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = raster[r * w * ch : (r + 1) * w * ch]
+        if ch == 3:
+            # RGB -> BGR per pixel
+            row = b"".join(row[i * 3 : i * 3 + 3][::-1] for i in range(w))
+        body += row + b"\x00" * (stride - w * ch)
+    return file_hdr + dib + palette + bytes(body)
+
+
+def parse_bmp(b: bytes) -> tuple:
+    """Decode a BMP -> (w, h, n_channels, top-down RGB/gray raster bytes,
+    data_offset). Validates the BM magic, BITMAPINFOHEADER size/planes/
+    compression, palette (8-bpp must be identity grayscale), per-row
+    4-byte stride, bottom-up row order, and BGR ordering (returned as
+    RGB). Raises ValueError on any malformed structure."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("bad bmp magic")
+    file_size, _r1, _r2, data_off = struct.unpack("<IHHI", b[2:14])
+    if file_size != len(b):
+        raise ValueError("file size field mismatch")
+    (hdr_size, w, h, planes, bpp, comp, _img_size, _xp, _yp, n_colors,
+     _imp) = struct.unpack("<IiiHHIIiiII", b[14:54])
+    if hdr_size != 40 or planes != 1 or comp != 0:
+        raise ValueError("unsupported DIB header")
+    if h <= 0 or w <= 0:
+        raise ValueError("only bottom-up positive dimensions supported")
+    if bpp == 8:
+        ch = 1
+        pal = b[54 : 54 + 1024]
+        if len(pal) != 1024 or data_off != 54 + 1024:
+            raise ValueError("bad palette geometry")
+        for i in range(256):
+            e = pal[i * 4 : i * 4 + 4]
+            if e[0] != i or e[1] != i or e[2] != i:
+                raise ValueError("palette is not identity grayscale")
+    elif bpp == 24:
+        ch = 3
+        if data_off != 54:
+            raise ValueError("unexpected data offset for 24-bpp")
+    else:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = ((w * ch) + 3) // 4 * 4
+    if data_off + stride * h > len(b):
+        raise ValueError("truncated raster")
+    out = bytearray(w * h * ch)
+    for r in range(h):
+        src = data_off + (h - 1 - r) * stride  # un-flip bottom-up
+        row = b[src : src + w * ch]
+        if ch == 3:
+            row = b"".join(row[i * 3 : i * 3 + 3][::-1] for i in range(w))
+        out[r * w * ch : (r + 1) * w * ch] = row
+    return w, h, ch, bytes(out), data_off
+
+
+_BMP_ORACLE = """
+    WITH g AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'pal8' ELSE 'bgr24' END AS fmt,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             CAST(16 + doc_id % 17 AS BIGINT) AS w,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    dims AS (
+      SELECT media_id, fmt, w, ch, n_bytes // (w * ch) AS h
+      FROM g WHERE n_bytes // (w * ch) >= 1
+    ),
+    px AS (
+      SELECT d.media_id, d.fmt, d.w, d.h, d.ch,
+             [ (instr('0123456789ABCDEF', g.hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', g.hx[2*i+2]) - 1)
+               FOR i IN range(d.w * d.h * d.ch)] AS b
+      FROM dims d JOIN g USING (media_id)
+    ),
+    lum AS (
+      SELECT media_id, fmt, w, h, ch, w * h AS npx,
+             CASE WHEN fmt = 'pal8' THEN b
+                  ELSE [ (b[3*i+1] + b[3*i+2] + b[3*i+3]) // 3
+                         FOR i IN range(w * h)] END AS l
+      FROM px
+    )
+    SELECT media_id, fmt,
+           CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+           CAST(LIST_SUM(l) // npx AS INTEGER) AS mean_lum,
+           CAST(COALESCE(LIST_SUM([
+             CASE WHEN i % w <> 0 THEN ABS(l[i+1] - l[i]) ELSE 0 END
+             FOR i IN range(1, npx)]), 0) AS BIGINT) AS hgrad,
+           CAST(COALESCE(LIST_SUM([
+             ABS(l[i + w + 1] - l[i + 1])
+             FOR i IN range(npx - w)]), 0) AS BIGINT) AS vgrad,
+           CAST(CASE WHEN fmt = 'pal8' THEN 54 + 1024 ELSE 54 END
+                AS INTEGER) AS data_offset
+    FROM lum
+"""
+
+
+@query("multimodal_bmp_decode", oracle=_BMP_ORACLE)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP container decode as a transcode pipeline (netpbm corpus →
+    :func:`encode_bmp` → :func:`parse_bmp` → raster statistics): the
+    grammar hazards unique to BMP — bottom-up row order, mandatory 4-byte
+    row stride padding, BGR pixel order, and (for the 8-bpp form) a
+    256-entry BGRA palette whose identity-grayscale property is verified —
+    all must round-trip for the luminance/gradient hash oracle to match.
+    ``data_offset`` additionally proves the header arithmetic (54 for
+    24-bpp, 54+1024 past the palette for 8-bpp).
+
+    Scale: identical profile to the PNG op — two chained mapInPandas
+    stages, zero shuffles, O(pixels) per file; a real corpus of .bmp blobs
+    enters at stage 2 from a binaryFile scan.
+    """
+    files = netpbm_files(load_table(spark, sf_dir, "documents"))
+
+    def transcode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w_, h_, _maxval, raster = parse_netpbm(bytes(payload))
+                ch = 1 if fmt == "P5" else 3
+                rows.append(
+                    {"media_id": media_id, "bmp": encode_bmp(raster, w_, h_, ch)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "bmp"])
+
+    bmps = files.mapInPandas(transcode, schema="media_id long, bmp binary")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["bmp"]):
+                w_, h_, ch, raster, data_off = parse_bmp(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                if ch == 3:
+                    a = a.reshape(h_, w_, 3).sum(axis=2) // 3
+                else:
+                    a = a.reshape(h_, w_)
+                npx = w_ * h_
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "fmt": "pal8" if ch == 1 else "bgr24",
+                        "w": w_,
+                        "h": h_,
+                        "mean_lum": int(a.sum() // npx),
+                        "hgrad": int(np.abs(np.diff(a, axis=1)).sum()),
+                        "vgrad": int(np.abs(np.diff(a, axis=0)).sum()),
+                        "data_offset": data_off,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "w", "h", "mean_lum",
+                         "hgrad", "vgrad", "data_offset"],
+            )
+
+    return bmps.mapInPandas(
+        run, schema="media_id long, fmt string, w int, h int, "
+                    "mean_lum int, hgrad long, vgrad long, data_offset int"
+    )

@@ -606,3 +606,44 @@ def test_parse_png_roundtrip_and_corruption():
     # truncation
     with pytest.raises(ValueError):
         parse_png(png[: len(png) - 10])
+
+
+def test_parse_bmp_roundtrip_and_corruption():
+    """BMP codec pair: bottom-up un-flip, stride padding, BGR order, and
+    the 8-bpp identity-grayscale palette all round-trip; corruption battery
+    mirrors the other format walkers."""
+    import struct
+
+    import pytest
+
+    from oe_batch_processing_spark.operators.multimodal import (
+        encode_bmp,
+        parse_bmp,
+    )
+
+    # w=5, ch=3 -> row bytes 15, stride 16 (padding exercised); gray w=6
+    for w, h, ch in ((5, 4, 3), (6, 3, 1)):
+        raster = bytes((i * 53 + 7) % 256 for i in range(w * h * ch))
+        bmp = encode_bmp(raster, w, h, ch)
+        w2, h2, ch2, back, off = parse_bmp(bmp)
+        assert (w2, h2, ch2) == (w, h, ch)
+        assert back == raster  # BGR swap + row flip undone exactly
+        assert off == (54 + 1024 if ch == 1 else 54)
+
+    bmp = encode_bmp(bytes(range(60)), 5, 4, 3)
+    with pytest.raises(ValueError, match="magic"):
+        parse_bmp(b"BX" + bmp[2:])
+    with pytest.raises(ValueError, match="size"):
+        parse_bmp(bmp + b"junk")
+    bad = bytearray(bmp)
+    bad[28] = 16  # bpp field -> unsupported
+    with pytest.raises(ValueError, match="bpp"):
+        parse_bmp(bytes(bad))
+    # corrupt a palette entry in the 8-bpp form
+    g = bytearray(encode_bmp(bytes(18), 6, 3, 1))
+    g[54 + 4 * 10] = 99  # entry 10 blue component no longer 10
+    with pytest.raises(ValueError, match="palette"):
+        parse_bmp(bytes(g))
+    # truncation trips the file-size cross-check before the raster bound
+    with pytest.raises(ValueError, match="size field mismatch"):
+        parse_bmp(encode_bmp(bytes(60), 5, 4, 3)[:-8])
