@@ -312,3 +312,82 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "events_session_window_dynamic_gap",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value,
+             CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
+             CASE event_type WHEN 'click' THEN 1200000000
+                             WHEN 'purchase' THEN 3600000000
+                             ELSE 2400000000 END AS gap_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, value, ts_us, gap_us,
+             CASE WHEN MAX(ts_us + gap_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR ts_us > MAX(ts_us + gap_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, value, ts_us, gap_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S')
+             AS session_start,
+           strftime(make_timestamp(MAX(ts_us + gap_us)),
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization — ``session_window`` with a PER-EVENT gap
+    expression (Spark 3.2+/4 feature the fixed-gap op can't express): a
+    click keeps its session alive 20 minutes, a purchase 60, everything
+    else 40. Spark merges events whose [t, t+gap(t)) windows overlap or
+    touch, so the merged window end is the MAX of per-event ends — the
+    gaps-and-islands oracle therefore needs a running max of (ts + gap)
+    over PRECEDING rows (a plain LAG is wrong: an earlier long-gap event
+    can outreach a later short-gap one). Session grouping is invariant
+    under equal-timestamp tie order: whichever tied row is scanned first
+    carries the new-session flag, and the aggregate per session is the
+    same set of rows either way.
+
+    Scale: identical to the fixed-gap twin — one shuffle on user_id, one
+    ordered merge pass per key, watermark-evictable in streaming.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # session_window requires CalendarIntervalType — INTERVAL literals
+    # parse as DayTimeIntervalType under ANSI-interval rules, so build the
+    # gap with make_interval (a string CASE would also work)
+    gap = F.expr(
+        "CASE event_type WHEN 'click' THEN make_interval(0,0,0,0,0,20,0) "
+        "WHEN 'purchase' THEN make_interval(0,0,0,0,1,0,0) "
+        "ELSE make_interval(0,0,0,0,0,40,0) END"
+    )
+    sess = e.groupBy("user_id", F.session_window("ts", gap).alias("sw")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n_events",
+        "total_value",
+    )
