@@ -381,3 +381,47 @@ def test_burst_detection_single_exchange_pure_jvm(spark):
     plan = formatted_plan(df)
     assert "EvalPython" not in plan
     assert plan.count("Exchange (") == 1
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_data_card_plan_two_exchanges_and_expand(spark, sf_dir):
+    """The corpus data card must cost exactly two exchanges — the
+    duplicate-count window (hashpartitioning on text) and the
+    grouping-sets aggregate — with the four grouping sets expanded in ONE
+    Expand node, not four scans."""
+    from oe_batch_processing_spark import registry
+
+    plan = _executed_plan(registry.QUERIES["pipeline_data_card"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 2
+    assert any("hashpartitioning(text" in l for l in exchanges)
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1  # one scan feeds all four sets
+
+
+def test_dynamic_session_window_plan_single_exchange(spark, sf_dir):
+    """Dynamic-gap sessionization = one hash exchange on user_id; the
+    per-key interval merging is post-shuffle sort work, not extra
+    shuffles."""
+    from oe_batch_processing_spark import registry
+
+    plan = _executed_plan(
+        registry.QUERIES["events_session_window_dynamic_gap"](spark, sf_dir)
+    )
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1
+    assert "hashpartitioning(user_id" in exchanges[0]
+
+
+def test_media_transcode_plans_shuffle_free(spark, sf_dir):
+    """The PNG and BMP transcode pipelines claim 'embarrassingly parallel,
+    zero shuffles' — hold them to it: no Exchange anywhere in either
+    executed plan (two chained mapInPandas stages over the scan)."""
+    from oe_batch_processing_spark import registry
+
+    for name in ("multimodal_png_decode", "multimodal_bmp_decode"):
+        plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} plans a shuffle"
