@@ -131,6 +131,7 @@ HEADLINE = [
     "embedding_pca_power_iteration",
     "pipeline_data_card",
     "multimodal_bmp_decode",
+    "events_session_window_dynamic_gap",
 ]
 
 
