@@ -314,9 +314,10 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_session_window_dynamic_gap",
-    oracle="""
+# Shared by the batch query below and its streaming twin
+# (streaming/event_windows.py): availableNow + complete mode reproduces
+# batch session semantics exactly, so ONE oracle serves both.
+DYN_SESS_ORACLE = """
     WITH o AS (
       SELECT user_id, value,
              CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us,
@@ -351,8 +352,10 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM sess GROUP BY user_id, session_seq
-    """,
-)
+    """
+
+
+@query("events_session_window_dynamic_gap", oracle=DYN_SESS_ORACLE)
 def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC-gap sessionization — ``session_window`` with a PER-EVENT gap
     expression (Spark 3.2+/4 feature the fixed-gap op can't express): a
@@ -370,6 +373,12 @@ def events_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
     ordered merge pass per key, watermark-evictable in streaming.
     """
     e = load_table(spark, sf_dir, "events")
+    return dynamic_gap_sessions(e)
+
+
+def dynamic_gap_sessions(e: DataFrame) -> DataFrame:
+    """Unified transformation (batch or stream) behind
+    ``events_session_window_dynamic_gap`` and its streaming twin."""
     # session_window requires CalendarIntervalType — INTERVAL literals
     # parse as DayTimeIntervalType under ANSI-interval rules, so build the
     # gap with make_interval (a string CASE would also work)

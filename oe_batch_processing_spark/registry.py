@@ -47,7 +47,7 @@ ORACLE: dict[str, str] = {}
 # (plus any round-7 additions without a driver row, and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,
 # asof_nearest_click, intervals_coalesce_shipping,
-# arrow_user_value_stats, udtf_python_word_stats, and
+# arrow_user_value_stats, udtf_python_word_stats, stream_ewma_user, and
 # join_salted_orders_segment, which yielded their slots to the round-7
 # additions multimodal_png_decode, dedup_minhash_error_profile,
 # ingest_gzip_codec_scan):
@@ -116,11 +116,11 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_data_card",
     "multimodal_bmp_decode",
     "events_session_window_dynamic_gap",
+    "stream_session_window_dynamic_gap",
     "recursive_cte_custkey_tree",
     "events_session_window_native",
     "stream_dedup_within_watermark",
     "stream_foreachbatch_upsert",
-    "stream_ewma_user",
 )
 
 

@@ -317,3 +317,28 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_available_now(
         dedup_pairs_within_watermark(events_stream(spark, sf_dir)), "append"
     )
+
+
+def _dyn_sess_oracle() -> str:
+    from oe_batch_processing_spark.operators.relational5 import DYN_SESS_ORACLE
+
+    return DYN_SESS_ORACLE
+
+
+@query("stream_session_window_dynamic_gap", oracle=_dyn_sess_oracle())
+def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_session_window_dynamic_gap``: the SAME
+    ``dynamic_gap_sessions`` transformation (session_window with a
+    per-event CalendarInterval gap) over the bounded event stream with a
+    watermark, availableNow + complete mode — and the SAME batch SQL
+    oracle, the strongest batch/stream-parity statement available for a
+    dynamic-gap session operator. State at scale: one session struct per
+    open (user, session); the watermark evicts sessions whose merged end
+    falls behind it, so state is bounded by ACTIVE users, not history.
+    """
+    from oe_batch_processing_spark.operators.relational5 import (
+        dynamic_gap_sessions,
+    )
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    return run_available_now(dynamic_gap_sessions(ev), "complete")
