@@ -623,3 +623,160 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _DATA_CARD_SQL.format(size_split="size(split(text, ' '))")
     )
+
+
+# --- train/val leakage report ------------------------------------------------
+
+
+@query(
+    "pipeline_split_leakage_report",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN ({_SPLIT_BYTE_DUCK}) % 10 < 8 THEN 'train'
+                  WHEN ({_SPLIT_BYTE_DUCK}) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, split,
+             words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS sh
+      FROM (
+        SELECT doc_id, split, string_split(text, ' ') AS words FROM split
+        WHERE len(string_split(text, ' ')) >= 3
+      ), UNNEST(range(len(words) - 2)) AS t(i)
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    cross_pairs AS (
+      SELECT t.doc_id AS train_doc, h.doc_id AS held_doc, h.split AS held_split,
+             COUNT(*) AS n_common
+      FROM shingles t JOIN shingles h ON t.sh = h.sh
+      WHERE t.split = 'train' AND h.split <> 'train'
+      GROUP BY 1, 2, 3
+    ),
+    leaks AS (
+      SELECT held_split, held_doc, train_doc,
+             CAST(n_common AS DOUBLE) / (nt.n + nh.n - n_common) AS jaccard
+      FROM cross_pairs
+      JOIN counts nt ON nt.doc_id = train_doc
+      JOIN counts nh ON nh.doc_id = held_doc
+      WHERE CAST(n_common AS DOUBLE) / (nt.n + nh.n - n_common) >= 0.8
+    )
+    SELECT held_split,
+           CAST(COUNT(DISTINCT held_doc) AS BIGINT) AS n_leaked_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_leak_pairs,
+           CAST(MIN(held_doc) AS BIGINT) AS first_leaked_doc
+    FROM leaks
+    GROUP BY held_split
+    """,
+)
+def pipeline_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→holdout LEAKAGE audit — the check every training pipeline
+    must run before trusting an eval number: near-duplicate pairs (word-
+    trigram Jaccard >= 0.8, same ground truth as the dedup family) that
+    CROSS the md5-stable train/val/test split, reported per held-out
+    split. A val doc that near-duplicates a train doc invalidates the
+    perplexity/benchmark signal; this op counts exactly those docs and
+    pairs. Composes three already-oracled primitives — the hash split,
+    the shingle inverted index, and exact Jaccard — into the capstone
+    question, and inherits their exactness, so the report itself is
+    hash-checked.
+
+    Scale: identical profile to ``dedup_jaccard_shingles`` (the pair
+    stream is inverted-index bounded, further cut by the train×holdout
+    predicate pushed to both join sides); the final report is a
+    |splits|-row aggregate. At 100 TB, swap the exact pair stage for the
+    MinHash candidates + exact verify — the report contract is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    from oe_batch_processing_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(tagged, 3).join(
+        tagged.select("doc_id", "split"), "doc_id"
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = sh.repartition(n_part, "sh")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t = sh.filter(F.col("split") == "train").alias("t")
+    h = sh.filter(F.col("split") != "train").hint("shuffle_hash").alias("h")
+    cross = (
+        t.join(h, F.col("t.sh") == F.col("h.sh"))
+        .groupBy(
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("h.doc_id").alias("held_doc"),
+            F.col("h.split").alias("held_split"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nt = counts.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("nt"))
+    nh = counts.select(F.col("doc_id").alias("held_doc"), F.col("n").alias("nh"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("nt") + F.col("nh") - F.col("n_common")
+    )
+    leaks = (
+        cross.join(nt, "train_doc")
+        .join(nh, "held_doc")
+        .filter(jac >= 0.8)
+    )
+    return leaks.groupBy("held_split").agg(
+        F.count_distinct("held_doc").alias("n_leaked_docs"),
+        F.count(F.lit(1)).alias("n_leak_pairs"),
+        F.min("held_doc").alias("first_leaked_doc"),
+    )
+
+
+K_ANON = 5  # minimum group size for a quasi-identifier combination
+
+
+@query(
+    "dq_k_anonymity_report",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, n_chars // 100 AS size_band, COUNT(*) AS n
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_groups,
+           CAST(SUM(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT)
+             AS n_risky_docs,
+           CAST(MIN(n) AS BIGINT) AS min_group_size,
+           CAST(MAX(n) AS BIGINT) AS max_group_size
+    FROM g
+    GROUP BY lang
+    """,
+)
+def dq_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination (lang,
+    source, 100-char size band): a document whose combination matches
+    fewer than {K_ANON} corpus rows is re-identification-risky — the
+    privacy screen a dataset release runs next to the PII redactor
+    (text_pii_redact), reported per language. Two map-side-combined
+    aggregates, result bounded by |quasi-identifier combos|; at 100 TB
+    the k-threshold and banding are the tunables, the plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", "source", F.expr("n_chars div 100").alias("size_band")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky = F.when(F.col("n") < K_ANON, 1).otherwise(0)
+    return g.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky).alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).alias(
+            "n_risky_docs"
+        ),
+        F.min("n").alias("min_group_size"),
+        F.max("n").alias("max_group_size"),
+    )
