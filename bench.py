@@ -132,6 +132,8 @@ HEADLINE = [
     "pipeline_data_card",
     "multimodal_bmp_decode",
     "events_session_window_dynamic_gap",
+    # continuation-session additions (lossy codec):
+    "multimodal_jpeg_decode",
 ]
 
 

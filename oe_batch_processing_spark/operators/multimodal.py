@@ -2,13 +2,14 @@
 ``binary`` columns with typed metadata, plus decode / feature-extract plumbing
 as Arrow-batched Pandas UDFs.
 
-The container has no image/audio codec libraries, so JPEG/H.264 decode is
+The container has no image/audio codec libraries, so H.264 decode is
 stubbed behind ``NotImplementedError`` with a deterministic fake (byte-level
 feature extraction) — the Spark-side plumbing (schema, partitioning, UDF
 signature, batch shape) is real and tested (tests/test_ingestion.py).
 Formats that need no external codec are decoded FOR REAL by hand-written
-grammars: netpbm, RIFF/WAVE, USTAR tar, ZIP, gzip/DEFLATE, and PNG
-(chunk walk + zlib inflate + all five scanline unfilters).
+grammars: netpbm, RIFF/WAVE, USTAR tar, ZIP, gzip/DEFLATE, PNG
+(chunk walk + zlib inflate + all five scanline unfilters), BMP, and
+baseline JPEG (multimodal_jpeg.py — full marker/Huffman/DCT pipeline).
 
 Scale notes: binary payloads ride in parquet/Arrow untouched until the UDF
 stage; ``mapInPandas`` streams Arrow batches so executor memory is bounded by
@@ -58,12 +59,26 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an imaging library not present in this
-    container. The pipeline plumbing around it is fully functional; swap this
-    implementation on a cluster with codecs installed."""
+    """Dispatch to a real hand-written decoder when the format has one
+    (PNG / BMP / netpbm here, baseline JPEG in multimodal_jpeg.py); other
+    compressed formats (WebP, ...) need an imaging library not present in
+    this container."""
+    if payload[:2] == b"\xff\xd8":
+        from oe_batch_processing_spark.operators.multimodal_jpeg import (
+            decode_jpeg_rgb,
+        )
+
+        return decode_jpeg_rgb(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return parse_png(payload)
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return parse_netpbm(payload)
     raise NotImplementedError(
-        "JPEG/WebP/... decode requires an imaging library (e.g. Pillow); "
-        "PNG decodes for real via parse_png, netpbm via parse_netpbm; "
+        "WebP/TIFF/... decode requires an imaging library (e.g. Pillow); "
+        "JPEG/PNG/BMP/netpbm decode for real (parse_jpeg/parse_png/"
+        "parse_bmp/parse_netpbm); "
         "use extract_features (deterministic byte-level fake) otherwise"
     )
 
@@ -454,9 +469,10 @@ def multimodal_raster_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy path: zero-copy ``np.frombuffer`` → reshape(rows, {RASTER_W}) →
     vectorized `np.abs(np.diff(...))` along each axis. Fully hash-checked —
     DuckDB rebuilds every pixel from hex nibbles and computes identical
-    integer sums. JPEG/H.264 remain declared stubs (PNG decodes for real —
-    see multimodal_png_decode); this shows the identical pipeline on the
-    format class that needs no codec at all.
+    integer sums. H.264 remains the only declared stub (PNG and baseline
+    JPEG decode for real — multimodal_png_decode / multimodal_jpeg_decode);
+    this shows the identical pipeline on the format class that needs no
+    codec at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     imgs = media_frame(docs).filter(F.col("media_type") == "image")
@@ -1542,7 +1558,7 @@ def ingest_binaryfile_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- real COMPRESSED-format decode: gzip (RFC 1952 container + DEFLATE) -----
 #
-# The JPEG/H.264 stubs stay stubbed (no codec libs), but DEFLATE is in
+# The H.264 stub stays stubbed (no codec libs), but DEFLATE is in
 # the standard library — so gzip gives a genuine compressed-format decode:
 # stage 1 produces real .gz bytes (zlib, fixed level, FNAME header on every
 # 3rd file), stage 2 walks the RFC 1952 grammar by hand — magic, CM, FLG
@@ -1847,7 +1863,8 @@ def multimodal_zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputes the statistics (and the filter-type bitmask) from the
 # generation rule, so any defect anywhere in encode OR decode — filter
 # math, CRC coverage, chunk ordering, IDAT reassembly — breaks the hash.
-# JPEG/H.264 remain the only declared codec stubs.
+# H.264 remains the only declared codec stub (baseline JPEG decodes for
+# real — multimodal_jpeg.py).
 
 
 def _paeth(a: int, b: int, c: int) -> int:

@@ -307,15 +307,22 @@ def test_row_at_a_time_udf_matches_vectorized_path(spark):
     assert got == {("1e3", 1000.0), ("0x10", 16.0), ("", 0.0), ("nope", None)}
 
 
-def test_multimodal_decode_is_explicitly_stubbed():
-    """The image-decode step must fail loudly (no codecs in this container),
-    while the surrounding plumbing stays real (multimodal_byte_features)."""
+def test_multimodal_decode_dispatch_and_residual_stub():
+    """decode_image dispatches to the real hand-written decoders for
+    formats that have one (JPEG/PNG/BMP/netpbm) and fails loudly only for
+    formats that genuinely need an external codec library."""
+    import numpy as np
     import pytest
 
     from oe_batch_processing_spark.operators.multimodal import decode_image
+    from oe_batch_processing_spark.operators.multimodal_jpeg import encode_jpeg
+
+    raster = np.full((8, 8), 77, dtype=np.uint8)
+    w, h, ch, a, _rc = decode_image(encode_jpeg(raster.tobytes(), 8, 8, 1))
+    assert (w, h, ch) == (8, 8, 1) and np.array_equal(a, raster)
 
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"\x89PNG...")
+        decode_image(b"RIFF....WEBP")  # WebP: no hand-written decoder
 
 
 def test_multimodal_resize_is_explicitly_stubbed():

@@ -422,6 +422,10 @@ def test_media_transcode_plans_shuffle_free(spark, sf_dir):
     executed plan (two chained mapInPandas stages over the scan)."""
     from oe_batch_processing_spark import registry
 
-    for name in ("multimodal_png_decode", "multimodal_bmp_decode"):
+    for name in (
+        "multimodal_png_decode",
+        "multimodal_bmp_decode",
+        "multimodal_jpeg_decode",
+    ):
         plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} plans a shuffle"
