@@ -132,8 +132,12 @@ HEADLINE = [
     "pipeline_data_card",
     "multimodal_bmp_decode",
     "events_session_window_dynamic_gap",
-    # continuation-session additions (lossy codec):
+    # continuation-session additions (lossy codec, forensic screen,
+    # intermittent-demand forecast, ACF):
     "multimodal_jpeg_decode",
+    "dq_benford_screen",
+    "orders_forecast_croston",
+    "events_acf_battery",
 ]
 
 

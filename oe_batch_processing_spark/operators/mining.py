@@ -282,3 +282,100 @@ def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_chars_max)
            AS (col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"""
     )
+
+
+# --- Benford first-digit screen ---------------------------------------------
+
+import math as _math
+
+# log10(1 + 1/d) for d = 1..9, materialized as repr() literals so the Spark
+# plan and the DuckDB oracle parse the IDENTICAL doubles (computing log10 in
+# each engine could differ in the last ULP; a shared literal cannot).
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_VALUES_SQL = ", ".join(
+    # CAST: DuckDB types a bare decimal literal as DECIMAL, and decimal
+    # arithmetic then overflows/diverges; force the shared-literal DOUBLE.
+    f"({d}, CAST({_BENFORD_P[d]!r} AS DOUBLE))" for d in range(1, 10)
+)
+
+
+@query(
+    "dq_benford_screen",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS obs
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM orders),
+    benford(digit, p) AS (VALUES {_BENFORD_VALUES_SQL})
+    SELECT b.digit,
+           COALESCE(o.obs, 0) AS obs,
+           t.n,
+           CAST(FLOOR(t.n * b.p * 1000000.0) AS BIGINT) AS expected_micro,
+           CAST(FLOOR(COALESCE(o.obs, 0) * 1000000.0 / t.n
+                      - b.p * 1000000.0) AS BIGINT) AS dev_micro,
+           CAST(FLOOR((COALESCE(o.obs, 0) - t.n * b.p)
+                      * (COALESCE(o.obs, 0) - t.n * b.p)
+                      / (t.n * b.p) * 1000000.0) AS BIGINT) AS chi2_micro
+    FROM benford b
+    LEFT JOIN obs o ON o.digit = b.digit
+    CROSS JOIN tot t
+    """,
+)
+def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over order totals —
+    the classic fabricated-data / upstream-corruption detector for a
+    financial fact column. Emits, per digit 1-9: the observed count, the
+    Benford-expected count, the deviation, and the per-digit chi-square
+    contribution, all micro-quantized (floor of 1e6x) for bit-exact
+    cross-engine comparison.
+
+    Exactness: the first digit is read from the DECIMAL(18,2) string form
+    (both engines recover the same 2-dp decimal from the same double, so
+    the same character); the Benford probabilities are shared repr()
+    literals, so every double expression is the identical IEEE op
+    sequence in both engines, and FLOOR lands on the same integer.
+
+    Scale: one map-side-combinable 9-group aggregation over the fact
+    table + a broadcast of the 9-row constant spine and the 1-row total —
+    a single scan, a single tiny shuffle, no skew exposure (9 groups
+    combine map-side to 9 rows per task before the exchange).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    tot = orders.agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)], "digit int, p double"
+    )
+    j = (
+        spine.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            "n",
+            "p",
+        )
+    )
+    np_ = F.col("n") * F.col("p")
+    return j.select(
+        "digit",
+        "obs",
+        "n",
+        F.floor(np_ * F.lit(1000000.0)).alias("expected_micro"),
+        F.floor(
+            F.col("obs") * F.lit(1000000.0) / F.col("n")
+            - F.col("p") * F.lit(1000000.0)
+        ).alias("dev_micro"),
+        F.floor(
+            (F.col("obs") - np_) * (F.col("obs") - np_) / np_
+            * F.lit(1000000.0)
+        ).alias("chi2_micro"),
+    )

@@ -976,3 +976,261 @@ def orders_stl_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seas_milli",
         (F.col("det_milli") - F.col("seas_milli")).cast("long").alias("resid_milli"),
     )
+
+
+_CROSTON_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT o_orderpriority AS series,
+         CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1, 2
+),
+seq AS (
+  SELECT series, wk, x,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY wk) AS rn,
+         CAST(COALESCE(wk - LAG(wk) OVER (PARTITION BY series ORDER BY wk),
+                       1) AS DOUBLE) AS q
+  FROM base
+),
+c AS (
+  SELECT series, rn, wk, x, q, x AS z, CAST(1.0 AS DOUBLE) AS p
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.series, s.rn, s.wk, s.x, s.q,
+         0.5 * s.x + 0.5 * c.z AS z,
+         0.5 * s.q + 0.5 * c.p AS p
+  FROM c JOIN seq s ON s.series = c.series AND s.rn = c.rn + 1
+)
+SELECT series, CAST(rn AS INTEGER) AS rn, wk, x, q, z, p,
+       z / p AS forecast, 0.75 * (z / p) AS forecast_sba
+FROM c
+"""
+
+
+@query("orders_forecast_croston", oracle=_CROSTON_ORACLE)
+def orders_forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972) with the
+    Syntetos-Boylan approximation: the demand series is weekly counts of
+    big-ticket orders (> 300k) per priority — mostly-zero weeks, the
+    regime where plain exponential smoothing is biased. Croston smooths
+    the nonzero demand sizes z and the inter-demand intervals p as two
+    coupled recurrences updated ONLY at demand points
+    (z' = a*x + (1-a)z, p' = a*q + (1-a)p, a = 1/2, q = weeks since the
+    previous demand), forecasting z/p per week; the SBA column applies
+    the (1 - a/2) bias correction.
+
+    Same execution shape as orders_forecast_holt: the fact table
+    collapses to per-(series, week) counts JVM-side, then applyInPandas
+    runs the O(demand-points) float loop per series while Spark
+    parallelizes across series; the oracle is a DuckDB recursive CTE
+    stepping the identical IEEE expressions in the identical order —
+    bit-equal doubles, no decimal crutch needed.
+
+    Scale: series count partitions the work; each group is O(demand
+    weeks) — far smaller than O(orders) after the pre-aggregation. The
+    zero weeks never materialize anywhere (Croston only consumes demand
+    points + gap lengths), which is exactly why it beats dense-grid
+    methods at 100 TB sparsity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_totalprice") > 300000.0)
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        n = len(pdf)
+        wk = pdf["wk"].to_numpy()
+        x = pdf["x"].to_numpy()
+        q = [1.0] * n
+        for i in range(1, n):
+            q[i] = float(wk[i] - wk[i - 1])
+        z = [0.0] * n
+        p = [0.0] * n
+        if n:
+            z[0] = float(x[0])
+            p[0] = 1.0
+        for i in range(1, n):
+            z[i] = 0.5 * float(x[i]) + 0.5 * z[i - 1]
+            p[i] = 0.5 * q[i] + 0.5 * p[i - 1]
+        fc = [zi / pi for zi, pi in zip(z, p)]
+        return pd.DataFrame(
+            {
+                "series": pdf["series"],
+                "rn": range(1, n + 1),
+                "wk": pdf["wk"],
+                "x": pdf["x"],
+                "q": q,
+                "z": z,
+                "p": p,
+                "forecast": fc,
+                "forecast_sba": [0.75 * f for f in fc],
+            }
+        )
+
+    return base.groupBy("series").applyInPandas(
+        fit,
+        "series string, rn int, wk bigint, x double, q double, z double,"
+        " p double, forecast double, forecast_sba double",
+    )
+
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+_ACF_SCALE = 1_000_000
+_ACF_OFF = 2_000_000  # |r| <= 1 so SCALE*num + OFF*den >= (OFF-SCALE)*den >= 0
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n         ".join(
+        f"LEAD(x, {k}) OVER w AS l{k}" for k in _ACF_LAGS
+    )
+    aggs = ",\n       ".join(
+        f"SUM(CASE WHEN l{k} IS NOT NULL THEN (n*x - s) * (n*l{k} - s) "
+        f"ELSE 0 END) AS num{k},\n       COUNT(l{k}) AS np{k}"
+        for k in _ACF_LAGS
+    )
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT event_type, {k} AS lag, n, np{k} AS n_pairs, den, "
+        f"num{k} AS num FROM per"
+        for k in _ACF_LAGS
+    )
+    return f"""
+    WITH counts AS (
+      SELECT event_type,
+             date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hr,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM counts GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, UNNEST(range(h0, h1 + 1)) AS hr FROM bounds
+    ),
+    dense AS (
+      SELECT g.event_type, g.hr, COALESCE(c.x, 0) AS x
+      FROM grid g LEFT JOIN counts c USING (event_type, hr)
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS s FROM dense GROUP BY 1
+    ),
+    led AS (
+      SELECT d.event_type, d.hr, d.x, st.n, st.s,
+         {lag_cols}
+      FROM dense d JOIN stats st USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.hr)
+    ),
+    per AS (
+      SELECT event_type, n,
+       SUM((n*x - s) * (n*x - s)) AS den,
+       {aggs}
+      FROM led GROUP BY 1, 2
+    ),
+    stacked AS (
+{arms}
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(den AS BIGINT) AS den, CAST(num AS BIGINT) AS num,
+           CAST((({_ACF_SCALE} * num + {_ACF_OFF} * den) // den)
+                - {_ACF_OFF} AS BIGINT) AS r_micro
+    FROM stacked WHERE den > 0
+    """
+
+
+@query("events_acf_battery", oracle=_acf_oracle())
+def events_acf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation battery over the hourly event-count series
+    per event type, at lags 1/2/3/6/12/24 — the standard seasonality /
+    burstiness diagnostic (lag 24 exposes the diurnal cycle). The series
+    is densified to every hour between each type's first and last event
+    (missing hours count 0), exactly like a resample step.
+
+    Exactness: the estimator is computed as the exact RATIONAL
+    r_k = num_k / den with num_k = sum (n*x_t - S)(n*x_{t+k} - S) and
+    den = sum (n*x_t - S)^2 — multiplying the mean-deviation by n keeps
+    everything in BIGINT (counts are integers), and the sums are
+    order-independent. r is emitted micro-quantized via the
+    offset-before-div idiom (Spark ``div`` truncates toward zero, DuckDB
+    ``//`` floors; adding OFF*den first makes the numerator non-negative
+    where they agree, then OFF subtracts back out). |num| <= den by
+    Cauchy-Schwarz, so the offset bound holds; magnitudes stay far below
+    2^63 at every test SF (den ~ n * (n*x)^2; the DECIMAL(38,0) widening
+    is the documented remedy if a 1000x larger grid ever pushes it).
+
+    Scale: one shuffle to (type, hour) counts (map-side combinable), a
+    broadcast-size bounds frame, one window pass per type for the leads
+    (all six lags share one sort), and a final 6-row-per-type stack.
+    State is O(hours), not O(events) — the fact table collapses first.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hr = F.floor(F.unix_timestamp(F.col("ts")) / 3600).cast("bigint")
+    counts = events.groupBy(F.col("event_type"), hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    dense = grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    part = Window.partitionBy("event_type")
+    ordered = part.orderBy("hr")
+    led = dense.select(
+        "event_type",
+        "hr",
+        "x",
+        F.count(F.lit(1)).over(part).alias("n"),
+        F.sum("x").over(part).alias("s"),
+        *[F.lead("x", k).over(ordered).alias(f"l{k}") for k in _ACF_LAGS],
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    per = led.groupBy("event_type", "n").agg(
+        F.sum(dev * dev).alias("den"),
+        *[
+            a
+            for k in _ACF_LAGS
+            for a in (
+                F.sum(
+                    F.when(
+                        F.col(f"l{k}").isNotNull(),
+                        dev * (F.col("n") * F.col(f"l{k}") - F.col("s")),
+                    ).otherwise(F.lit(0))
+                ).alias(f"num{k}"),
+                F.count(F.col(f"l{k}")).alias(f"np{k}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}, np{k}, num{k}" for k in _ACF_LAGS
+    )
+    stacked = per.selectExpr(
+        "event_type",
+        "n",
+        "den",
+        f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag, n_pairs, num)",
+    )
+    return stacked.filter(F.col("den") > 0).select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "den",
+        "num",
+        F.expr(
+            f"(({_ACF_SCALE} * num + {_ACF_OFF} * den) div den) - {_ACF_OFF}"
+        ).alias("r_micro"),
+    )
