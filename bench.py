@@ -135,6 +135,7 @@ HEADLINE = [
     # continuation-session additions (lossy codec, forensic screen,
     # intermittent-demand forecast, ACF):
     "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
     "dq_benford_screen",
     "orders_forecast_croston",
     "events_acf_battery",

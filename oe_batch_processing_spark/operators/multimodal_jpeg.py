@@ -27,9 +27,12 @@ vary with the data), EOB coding, byte stuffing wherever the bitstream
 emits 0xFF, and restart markers every 3 MCUs (the decoder verifies the
 RSTn index sequence and returns the count, which the oracle recomputes
 as (mcus-1)//3). The lossy general path (arbitrary rasters, 3-component
-YCbCr 4:4:4 color) is covered by pytest roundtrip-error-bound and
-corruption tests (tests/test_multimodal_jpeg.py) — it cannot be
-hash-oracled because quantization loss is not SQL-expressible.
+YCbCr color in both 4:4:4 and 4:2:0) is covered by pytest
+roundtrip-error-bound and corruption tests
+(tests/test_multimodal_jpeg.py) — it cannot be hash-oracled because
+quantization loss is not SQL-expressible. The 4:2:0 production mode
+additionally gets its own FULL hash oracle via an R=G=B corpus whose
+chroma planes are constant (multimodal_jpeg420_decode).
 
 Huffman tables are the public Annex K defaults. Cross-codec interop
 cannot be exercised in-container (no reference codec exists here); the
@@ -253,12 +256,18 @@ def _ycbcr_to_rgb(y, cb, cr):
 
 def encode_jpeg(raster: bytes, w: int, h: int, ch: int,
                 qtable: list[int] | None = None,
-                restart_interval: int = _DRI_INTERVAL) -> bytes:
+                restart_interval: int = _DRI_INTERVAL,
+                subsample: bool = False) -> bytes:
     """Encode an 8-bit raster (ch=1 grayscale / ch=3 RGB, which is first
-    converted to YCbCr 4:4:4) as a REAL baseline JFIF JPEG: SOI, APP0,
-    one DQT, SOF0, a single DHT segment carrying multiple tables
-    (grammar hazard: DC-lum + AC-lum, plus DC-chroma for color), DRI,
-    SOS, the entropy-coded scan with byte stuffing and RSTn markers, EOI.
+    converted to YCbCr) as a REAL baseline JFIF JPEG: SOI, APP0, one DQT,
+    SOF0, a single DHT segment carrying multiple tables (grammar hazard:
+    DC-lum + AC-lum, plus DC-chroma for color), DRI, SOS, the
+    entropy-coded scan with byte stuffing and RSTn markers, EOI.
+
+    ``subsample=True`` (ch=3 only) produces 4:2:0 — luma sampling 2x2,
+    chroma planes reduced by 2x2 floor-average, interleaved MCUs of
+    four Y blocks + Cb + Cr over 16x16 pixels; otherwise 4:4:4 (or
+    single-component grayscale).
     """
     import struct
 
@@ -270,19 +279,36 @@ def encode_jpeg(raster: bytes, w: int, h: int, ch: int,
     pix = np.frombuffer(raster, dtype=np.uint8)
     if len(pix) != w * h * ch:
         raise ValueError("raster length mismatch")
+    if subsample and ch != 3:
+        raise ValueError("subsample requires ch=3")
     if ch == 3:
         planes = _rgb_to_ycbcr(pix.reshape(h, w, 3))
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample else \
+            [(1, 1), (1, 1), (1, 1)]
     elif ch == 1:
         planes = [pix.reshape(h, w).astype(np.int64)]
+        sampling = [(1, 1)]
     else:
         raise ValueError("ch must be 1 or 3")
+    ncomp = len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
 
-    # pad to 8-multiples by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    # pad to MCU multiples by edge replication, then reduce chroma
+    ph = (h + 8 * vmax - 1) // (8 * vmax) * (8 * vmax)
+    pw = (w + 8 * hmax - 1) // (8 * hmax) * (8 * hmax)
     planes = [
         np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
     ]
-    mby, mbx = ph // 8, pw // 8
+    comp_planes = []
+    for ci, p in enumerate(planes):
+        fy, fx = vmax // sampling[ci][1], hmax // sampling[ci][0]
+        if fy > 1 or fx > 1:
+            # floor-average pooling (any consistent filter is spec-legal)
+            p = (p[0::fy, 0::fx] + p[1::fy, 0::fx]
+                 + p[0::fy, 1::fx] + p[1::fy, 1::fx]) // (fy * fx)
+        comp_planes.append(p)
+    mby, mbx = ph // (8 * vmax), pw // (8 * hmax)
 
     cmat = _dct_matrix()
     qzz = np.array(q, dtype=np.float64)
@@ -296,10 +322,10 @@ def encode_jpeg(raster: bytes, w: int, h: int, ch: int,
     out += _seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) +
                 struct.pack(">HH", 1, 1) + b"\x00\x00")
     out += _seg(0xDB, bytes([0x00]) + bytes(int(qzz[k]) for k in range(64)))
-    ncomp = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # 1x1 sampling (4:4:4), qtable 0
+        hv = (sampling[ci][0] << 4) | sampling[ci][1]
+        sof += bytes([ci + 1, hv, 0])  # shared qtable 0
     out += _seg(0xC0, sof)
     dht = _dht_payload(0, 0, DC_LUM_BITS, DC_LUM_VALS)
     dht += _dht_payload(1, 0, AC_LUM_BITS, AC_LUM_VALS)
@@ -327,14 +353,19 @@ def encode_jpeg(raster: bytes, w: int, h: int, ch: int,
                 writer.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 preds = [0] * ncomp
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-                f = cmat @ (blk.astype(np.float64) - 128.0) @ cmat.T
-                zz = np.rint(f.ravel()[zz_idx] / qzz).astype(np.int64)
-                preds[ci] = _encode_block(
-                    [int(v) for v in zz], preds[ci],
-                    dc_lum if ci == 0 else dc_chr,
-                    ac_lum, writer)
+            for ci, plane in enumerate(comp_planes):
+                hi, vi = sampling[ci]
+                for v in range(vi):
+                    for h_ in range(hi):
+                        r0 = (by * vi + v) * 8
+                        c0 = (bx * hi + h_) * 8
+                        blk = plane[r0:r0 + 8, c0:c0 + 8]
+                        f = cmat @ (blk.astype(np.float64) - 128.0) @ cmat.T
+                        zz = np.rint(f.ravel()[zz_idx] / qzz).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            [int(x) for x in zz], preds[ci],
+                            dc_lum if ci == 0 else dc_chr,
+                            ac_lum, writer)
             mcu += 1
     assert mcu == total_mcus
     writer.align()
@@ -474,9 +505,19 @@ def parse_jpeg(b: bytes) -> tuple:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
-                    raise ValueError("only 1x1 sampling (4:4:4) supported")
-                comps.append((cid, tq))
+                comps.append((cid, tq, hv >> 4, hv & 0x0F))
+            samplings = [(c[2], c[3]) for c in comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (
+                    len(samplings) == 3
+                    and samplings[0] == (2, 2)
+                    and samplings[1] == samplings[2] == (1, 1)
+                )
+            ):
+                raise ValueError(
+                    "only 4:4:4 (all 1x1) or 4:2:0 (luma 2x2) supported"
+                )
             sof = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -502,13 +543,21 @@ def parse_jpeg(b: bytes) -> tuple:
     if ss != 0 or se != 63 or ahal != 0:
         raise ValueError("non-sequential scan parameters")
 
-    mbx, mby = (w + 7) // 8, (h + 7) // 8
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mbx = (w + 8 * hmax - 1) // (8 * hmax)
+    mby = (h + 8 * vmax - 1) // (8 * vmax)
     total_mcus = mbx * mby
     reader = _BitReader(b, i)
     zz_idx = [r * 8 + c for (r, c) in ZIGZAG]
     cmat = _dct_matrix()
     preds = [0] * ns
-    coeffs = [np.zeros((total_mcus, 64), dtype=np.float64) for _ in range(ns)]
+    # per-component block grids: (mby*Vi) x (mbx*Hi) blocks of 64 coeffs
+    coeffs = [
+        np.zeros((mby * comps[ci][3] * mbx * comps[ci][2], 64),
+                 dtype=np.float64)
+        for ci in range(ns)
+    ]
     rst_idx = 0
     restart_count = 0
     for mcu in range(total_mcus):
@@ -517,33 +566,40 @@ def parse_jpeg(b: bytes) -> tuple:
             rst_idx = (rst_idx + 1) % 8
             restart_count += 1
             preds = [0] * ns
+        my, mx = divmod(mcu, mbx)
         for ci in range(ns):
             dc_t = huff.get((0, scan_tabs[ci][0]))
             ac_t = huff.get((1, scan_tabs[ci][1]))
             q = qtables.get(comps[ci][1])
             if dc_t is None or ac_t is None or q is None:
                 raise ValueError("scan references undefined table")
-            s = _decode_huffman(reader, dc_t)
-            diff = _extend(reader.read_bits(s), s) if s else 0
-            preds[ci] += diff
-            blk = coeffs[ci][mcu]
-            blk[zz_idx[0]] = preds[ci] * q[0]
-            k = 1
-            while k < 64:
-                rs = _decode_huffman(reader, ac_t)
-                if rs == 0x00:  # EOB
-                    break
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC run/size")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                blk[zz_idx[k]] = _extend(reader.read_bits(size), size) * q[k]
-                k += 1
+            hi, vi = comps[ci][2], comps[ci][3]
+            for v in range(vi):
+                for h_ in range(hi):
+                    s = _decode_huffman(reader, dc_t)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    preds[ci] += diff
+                    bi = (my * vi + v) * (mbx * hi) + (mx * hi + h_)
+                    blk = coeffs[ci][bi]
+                    blk[zz_idx[0]] = preds[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huffman(reader, ac_t)
+                        if rs == 0x00:  # EOB
+                            break
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC run/size")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        blk[zz_idx[k]] = (
+                            _extend(reader.read_bits(size), size) * q[k]
+                        )
+                        k += 1
     # after the scan: align and expect EOI (optional fill 0xFFs allowed)
     reader.n = 0
     j = reader.i
@@ -554,13 +610,18 @@ def parse_jpeg(b: bytes) -> tuple:
 
     planes = []
     for ci in range(ns):
-        f = coeffs[ci].reshape(total_mcus, 8, 8)
+        hi, vi = comps[ci][2], comps[ci][3]
+        bw, bh = mbx * hi, mby * vi
+        f = coeffs[ci].reshape(bh * bw, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", cmat, f, cmat, optimize=True)
         px = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.uint8)
-        full = np.zeros((mby * 8, mbx * 8), dtype=np.uint8)
-        for mcu in range(total_mcus):
-            by, bx = divmod(mcu, mbx)
-            full[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = px[mcu]
+        full = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for bi in range(bh * bw):
+            br, bc = divmod(bi, bw)
+            full[br * 8:(br + 1) * 8, bc * 8:(bc + 1) * 8] = px[bi]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # nearest-neighbor chroma upsample
+            full = np.repeat(np.repeat(full, fy, axis=0), fx, axis=1)
         planes.append(full[:h, :w])
     return w, h, ns, planes, restart_count
 
@@ -693,6 +754,139 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mean_lum": int(a.sum() // npx),
                     "hgrad": int(np.abs(np.diff(a, axis=1)).sum()),
                     "vgrad": int(np.abs(np.diff(a, axis=0)).sum()),
+                    "restart_count": rc,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "w", "h", "mean_lum", "hgrad",
+                         "vgrad", "restart_count"],
+            )
+
+    return jpgs.mapInPandas(
+        run,
+        schema="media_id long, w int, h int, mean_lum int, "
+               "hgrad long, vgrad long, restart_count int",
+    )
+
+
+_JPEG420_ORACLE = """
+    WITH g AS (
+      SELECT doc_id AS media_id,
+             2 * (2 + doc_id % 3) AS wb,
+             2 * (1 + doc_id % 3) AS hb,
+             hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    d AS (SELECT * FROM g WHERE n_bytes >= wb * hb),
+    v AS (
+      SELECT media_id, wb, hb,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(wb * hb)] AS bv
+      FROM d
+    )
+    SELECT media_id,
+           CAST(8 * wb AS INTEGER) AS w,
+           CAST(8 * hb AS INTEGER) AS h,
+           CAST(LIST_SUM(bv) // (wb * hb) AS INTEGER) AS mean_lum,
+           CAST(8 * COALESCE(LIST_SUM([
+             CASE WHEN i % wb <> 0 THEN ABS(bv[i+1] - bv[i]) ELSE 0 END
+             FOR i IN range(1, wb * hb)]), 0) AS BIGINT) AS hgrad,
+           CAST(8 * COALESCE(LIST_SUM([
+             ABS(bv[i + wb + 1] - bv[i + 1])
+             FOR i IN range(wb * (hb - 1))]), 0) AS BIGINT) AS vgrad,
+           CAST(((wb * hb) // 4 - 1) // 3 AS INTEGER) AS restart_count
+    FROM v
+"""
+
+
+@query("multimodal_jpeg420_decode", oracle=_JPEG420_ORACLE)
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION JPEG mode — 4:2:0 chroma subsampling — through the
+    full three-component color path, with a complete hash oracle.
+
+    Exactness argument extending the flat-block one: the corpus rasters
+    are R=G=B per pixel (flat 8x8 luma blocks), so the BT.601 forward
+    transform lands within ~1e-13 of (Y=v, Cb=128, Cr=128) and rounds
+    exactly; the chroma planes are then CONSTANT 128 — the 2x2
+    floor-average pools them exactly, their DCT is DC=0 after level
+    shift, and reconstruction + nearest-neighbor upsampling returns
+    exactly 128; the inverse color transform adds exactly zero chroma
+    terms, recovering R=G=B=v bit-for-bit. Every 4:2:0-specific
+    mechanism still runs for real: 16x16 MCUs interleaving four Y blocks
+    + Cb + Cr, three DC predictors, the chroma DC Huffman table, restart
+    markers at MCU (not block) granularity — restart_count recomputed by
+    the oracle from the MCU geometry (wb*hb/4 MCUs), which a decoder
+    that miscounts blocks-per-MCU cannot reproduce. The luminance stats
+    are computed from the decoded RGB as sum//3, so a channel-divergence
+    bug anywhere in the chroma path shifts the stats and fails the hash.
+    The lossy general path (noisy chroma destroyed by pooling) is
+    pytest-bounded on smooth images (tests/test_multimodal_jpeg.py).
+
+    Scale: identical to multimodal_jpeg_decode — two chained mapInPandas
+    stages, zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    wb = (F.lit(2) * (F.lit(2) + F.col("doc_id") % 3)).cast("int")
+    hb = (F.lit(2) * (F.lit(1) + F.col("doc_id") % 3)).cast("int")
+    corpus = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            wb.alias("wb"),
+            hb.alias("hb"),
+            F.expr(
+                "substring(encode(text, 'UTF-8'), 1, "
+                "cast(4 * (2 + doc_id % 3) * (1 + doc_id % 3) as int))"
+            ).alias("blocks"),
+            F.octet_length(raw).alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") >= F.col("wb") * F.col("hb"))
+        .drop("n_bytes")
+    )
+
+    def transcode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, wb_, hb_, blocks in zip(
+                pdf["media_id"], pdf["wb"], pdf["hb"], pdf["blocks"]
+            ):
+                bv = np.frombuffer(bytes(blocks), dtype=np.uint8)
+                grid = bv.reshape(int(hb_), int(wb_))
+                lum = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.repeat(lum[:, :, None], 3, axis=2)
+                rows.append({
+                    "media_id": media_id,
+                    "jpg": encode_jpeg(
+                        rgb.tobytes(), int(wb_) * 8, int(hb_) * 8, 3,
+                        subsample=True,
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=["media_id", "jpg"])
+
+    jpgs = corpus.mapInPandas(transcode, schema="media_id long, jpg binary")
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["jpg"]):
+                w_, h_, ch, a, rc = decode_jpeg_rgb(bytes(payload))
+                lum = a.astype(np.int64).sum(axis=2) // 3
+                npx = w_ * h_
+                rows.append({
+                    "media_id": media_id,
+                    "w": w_,
+                    "h": h_,
+                    "mean_lum": int(lum.sum() // npx),
+                    "hgrad": int(np.abs(np.diff(lum, axis=1)).sum()),
+                    "vgrad": int(np.abs(np.diff(lum, axis=0)).sum()),
                     "restart_count": rc,
                 })
             yield pd.DataFrame(

@@ -45,7 +45,8 @@ ORACLE: dict[str, str] = {}
 # CHECK_LOCAL_SF0001_r06.md) plus the judge's independent samples.
 # Round-8 window note: rotate in the remaining 43 never-checked names
 # (plus pipeline_split_leakage_report, dq_k_anonymity_report,
-# multimodal_jpeg_decode, dq_benford_screen, orders_forecast_croston, and
+# multimodal_jpeg_decode, multimodal_jpeg420_decode, dq_benford_screen,
+# orders_forecast_croston, and
 # events_acf_battery — round-7 additions registered after the window
 # filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,

@@ -165,3 +165,54 @@ def test_corruption_battery():
     (seglen,) = struct.unpack(">H", base[dht + 2:dht + 4])
     with pytest.raises(ValueError, match="undefined table"):
         parse_jpeg(base[:dht] + base[dht + 2 + seglen:])
+
+
+def test_420_flat_rgb_roundtrip_bit_exact():
+    """R=G=B flat-block rasters through the full 4:2:0 color path must be
+    bit-exact (the multimodal_jpeg420_decode oracle's premise): chroma is
+    constant 128, so subsampling/upsampling and the color transforms
+    cancel exactly."""
+    rng = np.random.RandomState(21)
+    for _ in range(10):
+        wb, hb = 2 * rng.randint(1, 4), 2 * rng.randint(1, 3)
+        grid = rng.randint(0, 256, (hb, wb)).astype(np.uint8)
+        lum = np.kron(grid, np.ones((8, 8), np.uint8))
+        rgb = np.stack([lum] * 3, axis=-1)
+        jpg = encode_jpeg(rgb.tobytes(), wb * 8, hb * 8, 3, subsample=True)
+        w, h, ch, a, rc = decode_jpeg_rgb(jpg)
+        assert (w, h, ch) == (wb * 8, hb * 8, 3)
+        assert np.array_equal(a, rgb)
+        assert rc == ((wb // 2) * (hb // 2) - 1) // 3  # MCUs are 16x16
+
+
+def test_420_smooth_image_error_bound():
+    """On a smooth gradient (the case 4:2:0 is designed for) the loss is
+    small; on chroma noise it would not be — that's the subsampling
+    trade, not a codec bug."""
+    yy, xx = np.mgrid[0:32, 0:48]
+    rgb = np.stack(
+        [
+            (yy * 4).astype(np.uint8),
+            (xx * 3).astype(np.uint8),
+            ((yy + xx) * 2).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    jpg = encode_jpeg(rgb.tobytes(), 48, 32, 3, qtable=[1] * 64,
+                      subsample=True)
+    w, h, ch, a, _ = decode_jpeg_rgb(jpg)
+    assert (w, h, ch) == (48, 32, 3)
+    assert np.abs(a.astype(int) - rgb.astype(int)).max() <= 12
+
+
+def test_420_rejects_other_sampling_layouts():
+    """Decoder scope is explicit: all-1x1 or luma-2x2; a 2x1 layout must
+    be rejected, not silently mis-tiled."""
+    lum = np.full((16, 16), 99, dtype=np.uint8)
+    rgb = np.stack([lum] * 3, axis=-1)
+    jpg = encode_jpeg(rgb.tobytes(), 16, 16, 3, subsample=True)
+    sof = jpg.find(b"\xff\xc0")
+    patched = bytearray(jpg)
+    patched[sof + 11] = 0x21  # luma H=2, V=1
+    with pytest.raises(ValueError, match="4:2:0"):
+        parse_jpeg(bytes(patched))

@@ -426,6 +426,7 @@ def test_media_transcode_plans_shuffle_free(spark, sf_dir):
         "multimodal_png_decode",
         "multimodal_bmp_decode",
         "multimodal_jpeg_decode",
+        "multimodal_jpeg420_decode",
     ):
         plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} plans a shuffle"
