@@ -139,6 +139,8 @@ HEADLINE = [
     "dq_benford_screen",
     "orders_forecast_croston",
     "events_acf_battery",
+    "stats_anova_oneway",
+    "text_lexical_mattr",
 ]
 
 

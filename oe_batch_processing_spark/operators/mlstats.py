@@ -362,3 +362,72 @@ def stats_bootstrap_ci_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr(f"CAST(({_BOOT_SCALE} * SUM(x)) div MAX(n) AS BIGINT)").alias("mean_q"),
     )
     return overall.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+# --- one-way ANOVA ----------------------------------------------------------
+
+# Shared VERBATIM between Spark and DuckDB (the mlstats doctrine): one
+# distributed pass reduces orders x customer to 5 per-segment moment rows
+# (exact decimal sums, pre-scaled 1e-5 so squares stay far under the 2^53
+# decimal->double bound), the grand totals re-sum those decimals exactly,
+# and the between/within sum-of-squares terms are quantized to
+# DECIMAL(24,12) per group so the final 5-row sums are order-independent;
+# every double expression is the identical IEEE op sequence in both
+# engines.
+_ANOVA_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice * 1e-5 AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT seg, COUNT(*) AS n_g,
+         CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(20,10))) AS DOUBLE) AS sxx
+  FROM j GROUP BY seg
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         COUNT(*) AS k,
+         CAST(SUM(CAST(sx AS DECIMAL(18,8))) AS DOUBLE) AS s
+  FROM g
+),
+terms AS (
+  SELECT
+    CAST(g.n_g * ((g.sx / g.n_g) - (t.s / t.n))
+               * ((g.sx / g.n_g) - (t.s / t.n)) AS DECIMAL(24,12)) AS ssb_g,
+    CAST(g.sxx - (g.sx * g.sx) / g.n_g AS DECIMAL(24,12)) AS ssw_g
+  FROM g CROSS JOIN tot t
+),
+agg AS (
+  SELECT CAST(SUM(ssb_g) AS DOUBLE) AS ssb,
+         CAST(SUM(ssw_g) AS DOUBLE) AS ssw
+  FROM terms
+)
+SELECT t.k, t.n, a.ssb, a.ssw,
+       (a.ssb / (t.k - 1)) / (a.ssw / (t.n - t.k)) AS f_stat,
+       a.ssb / (a.ssb + a.ssw) AS eta_sq
+FROM agg a CROSS JOIN tot t
+"""
+
+
+@query("stats_anova_oneway", oracle=_ANOVA_SQL)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order totals across the five customer market
+    segments: between/within sum of squares, the F statistic, and the
+    eta-squared effect size — the standard "does this grouping matter"
+    screen a feature-engineering pipeline runs before keeping a
+    categorical column.
+
+    Exactness (the sufficient-statistics doctrine): the fact scan reduces
+    to per-group (n, sum x, sum x^2) via exact pre-scaled decimal sums;
+    grand totals re-sum those (<= 8/10 dp, exactly representable) in
+    decimal; each group's SSB/SSW term is one deterministic double
+    expression quantized to DECIMAL(24,12), so the cross-group sums are
+    order-independent; the F ratio is scalar math on two exact inputs.
+
+    Scale: one shuffle join (orders x customer on custkey) + a map-side
+    combinable 5-group aggregate; everything after the moment rows is
+    constant-size. The SQL text is shared verbatim with the oracle.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_ANOVA_SQL)

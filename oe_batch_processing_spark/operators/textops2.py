@@ -419,3 +419,87 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_URL_CANON_SQL)
+
+
+_MATTR_W = 25  # moving window (tokens); docs shorter than this get one window
+
+
+@query(
+    "text_lexical_mattr",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    b AS (
+      SELECT doc_id, l, len(l) AS n, len(list_distinct(l)) AS d
+      FROM t WHERE len(l) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n >= {_MATTR_W} THEN n - {_MATTR_W - 1}
+                ELSE 1 END AS BIGINT) AS n_windows,
+           CAST(d AS BIGINT) AS distinct_full,
+           CAST((1000000 * d) // n AS BIGINT) AS ttr_full_micro,
+           CAST(CASE WHEN n >= {_MATTR_W} THEN
+             (1000000 * LIST_SUM([
+                len(list_distinct(l[i:i+{_MATTR_W - 1}]))
+                FOR i IN range(1, n - {_MATTR_W - 2})]))
+               // ({_MATTR_W} * (n - {_MATTR_W - 1}))
+           ELSE (1000000 * d) // n END AS BIGINT) AS mattr_micro
+    FROM b
+    """,
+)
+def text_lexical_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document via MATTR (moving-average
+    type-token ratio, Covington & McFall 2010): the mean of
+    distinct/window over every sliding 25-token window. Plain
+    TTR shrinks with document length (longer texts repeat function
+    words), which makes it useless as a cross-length quality filter;
+    MATTR is the standard length-robust replacement an LLM data
+    pipeline uses to flag template/boilerplate docs (low diversity) and
+    token-salad spam (implausibly high). Documents shorter than the
+    window fall back to whole-doc TTR (one window).
+
+    Exactness: distinct counts are integers; both ratios are emitted
+    micro-quantized by non-negative integer division, identical in both
+    engines. The sliding distinct is an array HOF chain
+    (sequence -> transform -> slice -> array_distinct -> aggregate) —
+    whole-stage codegen, no UDF, no explode/shuffle; the oracle is the
+    same computation as a DuckDB list comprehension.
+
+    Scale: embarrassingly parallel narrow scan; per-doc work is
+    O(tokens x window) = O(2.5k) small-object-free JVM ops here. For
+    book-length documents the same statistic decomposes into per-chunk
+    windows (chunk with window-sized overlap, union the window
+    sums) — noted rather than built because the corpus is short-doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        tokens.alias("l"),
+        F.size(tokens).alias("n"),
+        F.size(F.array_distinct(tokens)).alias("d"),
+    ).filter(F.col("n") > 0)
+    w = _MATTR_W
+    mattr = F.when(
+        F.col("n") >= w,
+        F.expr(
+            f"(1000000 * aggregate(transform(sequence(1, n - {w - 1}), "
+            f"i -> size(array_distinct(slice(l, i, {w})))), 0L, "
+            f"(a, x) -> a + x)) div ({w} * (n - {w - 1}))"
+        ),
+    ).otherwise(
+        F.expr("(1000000 * d) div n")
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.when(F.col("n") >= w, F.col("n") - (w - 1))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("n_windows"),
+        F.col("d").cast("bigint").alias("distinct_full"),
+        F.expr("(1000000 * d) div n").cast("bigint").alias("ttr_full_micro"),
+        mattr.cast("bigint").alias("mattr_micro"),
+    )
