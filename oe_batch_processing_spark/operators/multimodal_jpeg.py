@@ -45,10 +45,13 @@ Reference scope note: the reference engine (SURVEY.md §2.1,
 operator extends the §2.2 multimodal family the harness demands. After
 this, H.264 is the only remaining declared codec stub.
 
-Scale: two chained mapInPandas stages, embarrassingly parallel, zero
-shuffles; per-file work is O(pixels) + O(blocks) Huffman bits. On a real
-corpus the first stage is replaced by a binaryFile scan of .jpg blobs
-and the decode stage is unchanged.
+Scale: two chained mapInPandas stages, embarrassingly parallel across
+files; per-file work is O(pixels) + O(blocks) Huffman bits. The only
+Exchange in either query is a bounded round-robin fan-out of the raw
+block rows, needed because the tiny test parquet yields one scan split —
+on a real corpus the first stage is replaced by a binaryFile scan of
+.jpg blobs (whose file splits already parallelize) and the decode stage
+is unchanged.
 """
 
 from __future__ import annotations
@@ -161,7 +164,9 @@ def _category(v: int) -> int:
 
 
 class _BitWriter:
-    """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF00)."""
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF00).
+    Whole codes are appended at once and bytes drained in a batch —
+    per-bit Python loops were the encoder hot spot."""
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -169,15 +174,15 @@ class _BitWriter:
         self.n = 0
 
     def put(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.n) - 1
 
     def align(self) -> None:
         """Pad to a byte boundary with 1-bits (spec rule before markers)."""
@@ -341,33 +346,46 @@ def encode_jpeg(raster: bytes, w: int, h: int, ch: int,
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
-    writer = _BitWriter()
-    preds = [0] * ncomp
-    mcu = 0
-    rst = 0
-    total_mcus = mby * mbx
+    # Gather every 8x8 block in MCU-interleaved scan order, DCT+quantize
+    # them in ONE batched matmul (the per-block Python loop was the hot
+    # spot), then entropy-code serially.
+    block_comp: list[int] = []
+    block_views = []
     for by in range(mby):
         for bx in range(mbx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.align()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * ncomp
             for ci, plane in enumerate(comp_planes):
                 hi, vi = sampling[ci]
                 for v in range(vi):
                     for h_ in range(hi):
                         r0 = (by * vi + v) * 8
                         c0 = (bx * hi + h_) * 8
-                        blk = plane[r0:r0 + 8, c0:c0 + 8]
-                        f = cmat @ (blk.astype(np.float64) - 128.0) @ cmat.T
-                        zz = np.rint(f.ravel()[zz_idx] / qzz).astype(np.int64)
-                        preds[ci] = _encode_block(
-                            [int(x) for x in zz], preds[ci],
-                            dc_lum if ci == 0 else dc_chr,
-                            ac_lum, writer)
-            mcu += 1
-    assert mcu == total_mcus
+                        block_comp.append(ci)
+                        block_views.append(plane[r0:r0 + 8, c0:c0 + 8])
+    arr = np.stack(block_views).astype(np.float64) - 128.0
+    f = cmat @ arr @ cmat.T  # broadcast over the block axis
+    zzs = np.rint(f.reshape(len(block_views), 64)[:, zz_idx] / qzz)
+    zzs = zzs.astype(np.int64)
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    total_mcus = mby * mbx
+    per_mcu = sum(hi * vi for hi, vi in sampling)
+    bi = 0
+    for mcu in range(total_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.align()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0] * ncomp
+        for _ in range(per_mcu):
+            ci = block_comp[bi]
+            preds[ci] = _encode_block(
+                [int(x) for x in zzs[bi]], preds[ci],
+                dc_lum if ci == 0 else dc_chr,
+                ac_lum, writer)
+            bi += 1
+    assert bi == len(block_views)
     writer.align()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -377,7 +395,8 @@ def encode_jpeg(raster: bytes, w: int, h: int, ch: int,
 class _BitReader:
     """MSB-first reader over the entropy segment with 0xFF00 unstuffing.
     Markers are only legal at byte-aligned restart points; hitting one
-    mid-entropy raises."""
+    mid-entropy raises. Bytes accumulate into one int so multi-bit
+    extraction is a shift+mask, not a per-bit loop."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.d = data
@@ -385,34 +404,38 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
+    def _fill(self) -> None:
+        if self.i >= len(self.d):
+            raise ValueError("truncated entropy stream")
+        b = self.d[self.i]
+        if b == 0xFF:
+            if self.i + 1 >= len(self.d):
+                raise ValueError("truncated entropy stream")
+            nxt = self.d[self.i + 1]
+            if nxt != 0x00:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+            self.i += 2
+        else:
+            self.i += 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+        self.n += 8
+
     def read_bit(self) -> int:
         if self.n == 0:
-            if self.i >= len(self.d):
-                raise ValueError("truncated entropy stream")
-            b = self.d[self.i]
-            if b == 0xFF:
-                if self.i + 1 >= len(self.d):
-                    raise ValueError("truncated entropy stream")
-                nxt = self.d[self.i + 1]
-                if nxt != 0x00:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
-                    )
-                self.i += 2
-            else:
-                self.i += 1
-            self.acc = b
-            self.n = 8
+            self._fill()
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def read_bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
-        return v
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def align_and_expect_rst(self, idx: int) -> None:
+        self.acc = 0
         self.n = 0  # drop padding bits
         if self.i + 1 >= len(self.d):
             raise ValueError("truncated at restart boundary")
@@ -613,7 +636,7 @@ def parse_jpeg(b: bytes) -> tuple:
         hi, vi = comps[ci][2], comps[ci][3]
         bw, bh = mbx * hi, mby * vi
         f = coeffs[ci].reshape(bh * bw, 8, 8)
-        spatial = np.einsum("ux,nuv,vy->nxy", cmat, f, cmat, optimize=True)
+        spatial = cmat.T @ f @ cmat  # broadcast batched IDCT
         px = np.clip(np.rint(spatial + 128.0), 0, 255).astype(np.uint8)
         full = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
         for bi in range(bh * bw):
@@ -714,6 +737,11 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two chained mapInPandas stages, no shuffle; O(pixels) per file.
     """
     corpus = jpeg_block_corpus(load_table(spark, sf_dir, "documents"))
+    # One bounded round-robin fan-out of the tiny (media_id, blocks) rows:
+    # the test corpus is a single small parquet split, which would pin all
+    # per-file codec work to one task; a real corpus enters via a
+    # binaryFile scan whose file splits already provide this parallelism.
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
 
     def transcode(batches: Iterator) -> Iterator:
         import numpy as np
@@ -825,7 +853,7 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-bounded on smooth images (tests/test_multimodal_jpeg.py).
 
     Scale: identical to multimodal_jpeg_decode — two chained mapInPandas
-    stages, zero shuffles.
+    stages plus the one bounded fan-out Exchange of raw block rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     raw = F.encode(F.col("text"), "UTF-8")
@@ -844,6 +872,9 @@ def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bytes") >= F.col("wb") * F.col("hb"))
         .drop("n_bytes")
+        # same bounded fan-out as multimodal_jpeg_decode: codec work per
+        # file, scan gives one split on the test corpus
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def transcode(batches: Iterator) -> Iterator:

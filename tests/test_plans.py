@@ -419,14 +419,20 @@ def test_dynamic_session_window_plan_single_exchange(spark, sf_dir):
 def test_media_transcode_plans_shuffle_free(spark, sf_dir):
     """The PNG and BMP transcode pipelines claim 'embarrassingly parallel,
     zero shuffles' — hold them to it: no Exchange anywhere in either
-    executed plan (two chained mapInPandas stages over the scan)."""
+    executed plan (two chained mapInPandas stages over the scan). The
+    JPEG pipelines claim exactly ONE Exchange — the documented bounded
+    round-robin fan-out of raw block rows (the tiny test parquet yields
+    one scan split; a real binaryFile corpus splits per file) — and it
+    must be round-robin, not a keyed shuffle, and sit before the codec
+    stages."""
     from oe_batch_processing_spark import registry
 
-    for name in (
-        "multimodal_png_decode",
-        "multimodal_bmp_decode",
-        "multimodal_jpeg_decode",
-        "multimodal_jpeg420_decode",
-    ):
+    for name in ("multimodal_png_decode", "multimodal_bmp_decode"):
         plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} plans a shuffle"
+
+    for name in ("multimodal_jpeg_decode", "multimodal_jpeg420_decode"):
+        plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
+        exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+        assert len(exchanges) == 1, f"{name}: {exchanges}"
+        assert "RoundRobinPartitioning" in exchanges[0], f"{name} keyed shuffle"
