@@ -141,6 +141,7 @@ HEADLINE = [
     "events_acf_battery",
     "stats_anova_oneway",
     "text_lexical_mattr",
+    "multimodal_gif_decode",
 ]
 
 

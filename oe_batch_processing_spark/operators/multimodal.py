@@ -8,8 +8,9 @@ feature extraction) — the Spark-side plumbing (schema, partitioning, UDF
 signature, batch shape) is real and tested (tests/test_ingestion.py).
 Formats that need no external codec are decoded FOR REAL by hand-written
 grammars: netpbm, RIFF/WAVE, USTAR tar, ZIP, gzip/DEFLATE, PNG
-(chunk walk + zlib inflate + all five scanline unfilters), BMP, and
-baseline JPEG (multimodal_jpeg.py — full marker/Huffman/DCT pipeline).
+(chunk walk + zlib inflate + all five scanline unfilters), BMP,
+baseline JPEG (multimodal_jpeg.py — full marker/Huffman/DCT pipeline),
+and GIF89a (multimodal_gif.py — hand-written LZW + interlacing).
 
 Scale notes: binary payloads ride in parquet/Arrow untouched until the UDF
 stage; ``mapInPandas`` streams Arrow batches so executor memory is bounded by

@@ -46,7 +46,8 @@ ORACLE: dict[str, str] = {}
 # Round-8 window note: rotate in the remaining 43 never-checked names
 # (plus pipeline_split_leakage_report, dq_k_anonymity_report,
 # multimodal_jpeg_decode, multimodal_jpeg420_decode, dq_benford_screen,
-# orders_forecast_croston, stats_anova_oneway, text_lexical_mattr, and
+# orders_forecast_croston, stats_anova_oneway, text_lexical_mattr,
+# multimodal_gif_decode, and
 # events_acf_battery — round-7 additions registered after the window
 # filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,

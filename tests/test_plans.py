@@ -420,7 +420,7 @@ def test_media_transcode_plans_shuffle_free(spark, sf_dir):
     """The PNG and BMP transcode pipelines claim 'embarrassingly parallel,
     zero shuffles' — hold them to it: no Exchange anywhere in either
     executed plan (two chained mapInPandas stages over the scan). The
-    JPEG pipelines claim exactly ONE Exchange — the documented bounded
+    JPEG/GIF pipelines claim exactly ONE Exchange — the documented bounded
     round-robin fan-out of raw block rows (the tiny test parquet yields
     one scan split; a real binaryFile corpus splits per file) — and it
     must be round-robin, not a keyed shuffle, and sit before the codec
@@ -431,7 +431,11 @@ def test_media_transcode_plans_shuffle_free(spark, sf_dir):
         plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} plans a shuffle"
 
-    for name in ("multimodal_jpeg_decode", "multimodal_jpeg420_decode"):
+    for name in (
+        "multimodal_jpeg_decode",
+        "multimodal_jpeg420_decode",
+        "multimodal_gif_decode",
+    ):
         plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
         exchanges = [l for l in plan.splitlines() if "Exchange" in l]
         assert len(exchanges) == 1, f"{name}: {exchanges}"
