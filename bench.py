@@ -142,6 +142,7 @@ HEADLINE = [
     "stats_anova_oneway",
     "text_lexical_mattr",
     "multimodal_gif_decode",
+    "multimodal_audio_mulaw_roundtrip",
 ]
 
 

@@ -2334,3 +2334,166 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="media_id long, fmt string, w int, h int, "
                     "mean_lum int, hgrad long, vgrad long, data_offset int"
     )
+
+
+# --- real audio codec: G.711 mu-law companding -------------------------------
+#
+# The one audio CODEC whose entire transform is exact integer math (segment
+# + mantissa companding), so — like GIF and unlike JPEG — the full corpus
+# hash-oracles: the DuckDB oracle replays encode AND decode per sample from
+# the 16-bit-LE generation rule and recomputes every aggregate. The UDF
+# produces and re-parses the actual mu-law byte stream (not just formula
+# evaluation), so a framing bug fails the hash too.
+
+_MULAW_ORACLE = """
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS bytes,
+             n_bytes // 2 AS n_samples
+      FROM h WHERE n_bytes >= 2
+    ),
+    s AS (
+      SELECT media_id, n_samples,
+             [ CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               FOR v IN [bytes[2*i+1] + 256 * bytes[2*i+2]
+                         FOR i IN range(n_samples)]] AS smp
+      FROM b
+    ),
+    enc AS (
+      SELECT media_id, n_samples, smp,
+             [ CASE WHEN x2 >= 16384 THEN 7 WHEN x2 >= 8192 THEN 6
+                    WHEN x2 >= 4096 THEN 5 WHEN x2 >= 2048 THEN 4
+                    WHEN x2 >= 1024 THEN 3 WHEN x2 >= 512 THEN 2
+                    WHEN x2 >= 256 THEN 1 ELSE 0 END
+               FOR x2 IN [LEAST(ABS(x), 32635) + 132 FOR x IN smp]] AS e,
+             [ LEAST(ABS(x), 32635) + 132 FOR x IN smp] AS x2
+      FROM s
+    ),
+    cd AS (
+      SELECT media_id, n_samples, smp, e,
+             [ (x2[i] // (1 << (e[i] + 3))) % 16
+               FOR i IN range(1, n_samples + 1)] AS m
+      FROM enc
+    ),
+    fin AS (
+      SELECT media_id, n_samples,
+             [ 255 - ((CASE WHEN smp[i] < 0 THEN 128 ELSE 0 END)
+                      + e[i] * 16 + m[i])
+               FOR i IN range(1, n_samples + 1)] AS code,
+             [ CASE WHEN smp[i] < 0
+                    THEN -(((m[i] * 8 + 132) * (1 << e[i])) - 132)
+                    ELSE ((m[i] * 8 + 132) * (1 << e[i])) - 132 END
+               FOR i IN range(1, n_samples + 1)] AS dec,
+             smp
+      FROM cd
+    )
+    SELECT media_id,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(LIST_SUM(code) AS BIGINT) AS sum_code,
+           CAST(LIST_SUM([ABS(x) FOR x IN dec]) AS BIGINT) AS sum_abs_decoded,
+           CAST(LIST_MAX([ABS(dec[i] - smp[i])
+                          FOR i IN range(1, n_samples + 1)]) AS INTEGER)
+             AS max_abs_err,
+           CAST(LIST_SUM([CASE WHEN ABS(x) > 32635 THEN 1 ELSE 0 END
+                          FOR x IN smp]) AS INTEGER) AS n_clipped
+    FROM fin
+"""
+
+
+def mulaw_encode(samples):
+    """Vectorized G.711 mu-law encode: int16 samples -> uint8 codes
+    (BIAS 132, CLIP 32635, 8 exponent segments, inverted output)."""
+    import numpy as np
+
+    s = samples.astype(np.int64)
+    sign = s < 0
+    x2 = np.minimum(np.abs(s), 32635) + 132
+    e = np.zeros(len(s), dtype=np.int64)
+    for thr in (256, 512, 1024, 2048, 4096, 8192, 16384):
+        e += (x2 >= thr).astype(np.int64)
+    m = (x2 >> (e + 3)) & 0x0F
+    return (255 - (sign * 128 + e * 16 + m)).astype(np.uint8)
+
+
+def mulaw_decode(codes):
+    """Inverse: uint8 mu-law codes -> int16-range samples."""
+    import numpy as np
+
+    c = 255 - codes.astype(np.int64)
+    sign = (c & 0x80) != 0
+    e = (c >> 4) & 0x07
+    m = c & 0x0F
+    mag = ((m * 8 + 132) << e) - 132
+    return np.where(sign, -mag, mag)
+
+
+@query("multimodal_audio_mulaw_roundtrip", oracle=_MULAW_ORACLE)
+def multimodal_audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec with a full hash oracle: 16-bit LE PCM samples
+    (the multimodal_audio_pcm_features convention) are companded to
+    8-bit G.711 mu-law — the telephony codec: sign + 3-bit exponent
+    segment + 4-bit mantissa, BIAS 132, CLIP 32635, bit-inverted output
+    — then expanded back, all in exact integer arithmetic. The UDF emits
+    the actual mu-law byte stream between the two stages; the oracle
+    replays encode AND decode per sample in SQL (segment thresholds as
+    CASE, shifts as integer multiplies) and recomputes the code-stream
+    checksum, decoded energy, worst-case companding error, and clip
+    count — so an exponent off-by-one, a bias slip, or a sign-bit bug
+    all break the hash. Known-vector and idempotence tests in
+    tests/test_ingestion.py.
+
+    Scale: one mapInPandas over the fan-out (same plan contract as the
+    codec pipelines); vectorized numpy, O(samples) per file, 2:1
+    compression on the wire like the real codec.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    corpus = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            raw.alias("payload"),
+            F.octet_length(raw).alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // 2
+                smp = np.frombuffer(b[: 2 * n], dtype="<i2").astype(np.int64)
+                stream = mulaw_encode(smp).tobytes()  # the real wire bytes
+                codes = np.frombuffer(stream, dtype=np.uint8)
+                dec = mulaw_decode(codes)
+                rows.append({
+                    "media_id": media_id,
+                    "n_samples": n,
+                    "sum_code": int(codes.astype(np.int64).sum()),
+                    "sum_abs_decoded": int(np.abs(dec).sum()),
+                    "max_abs_err": int(np.abs(dec - smp).max()),
+                    "n_clipped": int((np.abs(smp) > 32635).sum()),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sum_code",
+                         "sum_abs_decoded", "max_abs_err", "n_clipped"],
+            )
+
+    return corpus.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id long, n_samples int, sum_code long, "
+               "sum_abs_decoded long, max_abs_err int, n_clipped int",
+    )

@@ -654,3 +654,39 @@ def test_parse_bmp_roundtrip_and_corruption():
     # truncation trips the file-size cross-check before the raster bound
     with pytest.raises(ValueError, match="size field mismatch"):
         parse_bmp(encode_bmp(bytes(60), 5, 4, 3)[:-8])
+
+
+def test_mulaw_known_vectors_and_properties():
+    """G.711 spec anchors: +0 encodes 0xFF, the -0/-1 region encodes
+    0x7F, the clipped maximum encodes 0x80; plus idempotence (a second
+    compand pass is lossless) and the per-segment error bound."""
+    import numpy as np
+
+    from oe_batch_processing_spark.operators.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    assert mulaw_encode(np.array([0]))[0] == 0xFF
+    assert mulaw_encode(np.array([-1]))[0] == 0x7F
+    assert mulaw_encode(np.array([32635]))[0] == 0x80
+    assert mulaw_encode(np.array([-32768]))[0] == 0x00  # clipped negative
+
+    rng = np.random.RandomState(9)
+    s = rng.randint(-32768, 32768, 20000).astype(np.int64)
+    codes = mulaw_encode(s)
+    dec = mulaw_decode(codes)
+    # second pass through the codec is exactly lossless, modulo the
+    # spec's one ambiguity: negative-zero codes (0x7F region) decode to
+    # 0, which re-encodes as positive zero 0xFF
+    recoded = mulaw_encode(dec)
+    nz = dec != 0
+    assert np.array_equal(recoded[nz], codes[nz])
+    assert np.all(recoded[~nz] == 0xFF)
+    assert np.array_equal(mulaw_decode(recoded), dec)
+    # companding error bounded by half the top-segment step (+ clip room)
+    clipped = np.abs(s) > 32635
+    assert np.abs(dec[~clipped] - s[~clipped]).max() <= 512
+    assert np.abs(dec - s).max() <= 1024
+    # decode never exceeds the representable range
+    assert np.abs(dec).max() <= 32635 + 132
