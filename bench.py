@@ -143,6 +143,7 @@ HEADLINE = [
     "text_lexical_mattr",
     "multimodal_gif_decode",
     "multimodal_audio_mulaw_roundtrip",
+    "graph_connected_components_star",
 ]
 
 

@@ -399,9 +399,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle="""
+# True-components oracle: recursive-CTE transitive closure over the
+# near-dup pair graph; shared with graph_connected_components_star
+# (operators/graph.py), which must produce the identical labeling via the
+# large-star/small-star algorithm.
+CC_TRANSITIVE_ORACLE = """
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM (
         WITH shingles AS (
@@ -435,8 +437,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS doc_id, MIN(dst) AS cluster_id
     FROM reach GROUP BY src
-    """,
-)
+    """
+
+
+@query("dedup_connected_components", oracle=CC_TRANSITIVE_ORACLE)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the near-dup
     pair graph (J >= 0.8), labels = min doc_id per component — the step that

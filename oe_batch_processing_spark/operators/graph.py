@@ -582,3 +582,113 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", (-F.col("b.neg")).alias("lbl"))
         )
     return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
+
+
+@query(
+    "graph_connected_components_star",
+    oracle=None,  # assigned below: shared with dedup_connected_components
+)
+def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the LARGE-STAR / SMALL-STAR algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") on
+    the same near-dup pair graph as ``dedup_connected_components`` —
+    and with the SAME transitive-closure oracle, so the two
+    implementations cross-validate: identical (doc_id, cluster_id)
+    labeling or the hash fails.
+
+    Why it exists next to the label-propagation version: LPA converges
+    in O(diameter) rounds, which is fine for near-dup clusters (2-3) but
+    fatal for long-chain graphs at 100 TB; large-star/small-star
+    converges in O(log^2 n) rounds REGARDLESS of diameter, each round a
+    pair of ordinary groupBy-min + join stages. This is the production
+    CC kernel; LPA is the low-round-count special case.
+
+    Mechanics per round: large-star connects every neighbor v > u to
+    m = min(N(u) ∪ {u}); small-star re-points every neighbor v <= u
+    (and u itself) to the min of that down-neighborhood. Fixed point =
+    a star per component rooted at the component minimum. The driver
+    loop detects the fixed point with an order-independent edge-set
+    checksum (count + sum of a per-edge hash) instead of materializing
+    set differences.
+    """
+    from oe_batch_processing_spark.operators.dedup import dedup_jaccard_shingles
+
+    pairs = dedup_jaccard_shingles(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("u"),
+        F.col("doc_b").cast("long").alias("v"),
+    ).persist()
+    all_nodes = (
+        edges.select(F.col("u").alias("doc"))
+        .union(edges.select(F.col("v").alias("doc")))
+        .distinct()
+        .persist()
+    )
+    all_nodes.count()
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    cur = edges
+    prev_sum = None
+    for _round in range(20):  # log^2 bound; near-dup graphs settle in ~3
+        # large-star
+        nbrs = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        large = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient each edge (max -> min), group by the max side
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .persist()
+        )
+        if cur is not edges:
+            cur.unpersist()
+        cur = small
+        new_sum = _checksum(cur)  # the one action per round (caches cur)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    # final star: every edge points node -> component root (= component
+    # min); roots label themselves; isolated-in-star nodes keep identity
+    labels = cur.select(F.col("u").alias("doc"), F.col("v").alias("lbl"))
+    out = (
+        all_nodes.join(labels, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce(F.col("lbl"), F.col("doc")).alias("cluster_id"),
+        )
+    )
+    edges.unpersist()
+    return out
+
+
+# shared oracle: the star algorithm must reproduce the transitive closure
+from oe_batch_processing_spark.operators.dedup import CC_TRANSITIVE_ORACLE  # noqa: E402
+from oe_batch_processing_spark import registry as _registry  # noqa: E402
+
+_registry.ORACLE["graph_connected_components_star"] = CC_TRANSITIVE_ORACLE
