@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_gif_decode",
     "multimodal_audio_mulaw_roundtrip",
     "graph_connected_components_star",
+    "pipeline_bpe_train",
 ]
 
 

@@ -540,3 +540,153 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BPE vocabulary TRAINING (the learn side of text_bpe_apply_fertility) ---
+
+_BPE_K = 8  # merges to learn; each is one chained oracle stage
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """K chained CTE stages, each: count adjacent symbol pairs weighted by
+    word frequency, pick the argmax (freq DESC, then lexicographic — the
+    deterministic tie-break), apply the merge with a left-to-right
+    comprehension. Self-pairs (a == b) are excluded from candidates so
+    the merge step is order-free (see the operator docstring)."""
+    parts = ["""
+    WITH w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             [word[i:i] FOR i IN range(1, len(word) + 1)] || ['</w>'] AS s
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    )"""]
+    for r in range(1, k + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT pr[1] AS a, pr[2] AS b, SUM(freq) AS cnt
+      FROM (SELECT freq,
+                   UNNEST([[s[i], s[i+1]] FOR i IN range(1, len(s))]) AS pr
+            FROM w{r-1})
+      GROUP BY 1, 2
+    ),
+    m{r} AS (
+      SELECT a, b, cnt FROM p{r} WHERE a <> b
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    w{r} AS (
+      SELECT word, freq,
+             [ CASE WHEN i < len(s) AND s[i] = m.a AND s[i+1] = m.b
+                    THEN s[i] || s[i+1] ELSE s[i] END
+               FOR i IN range(1, len(s) + 1)
+               IF NOT (i > 1 AND s[i-1] = m.a AND s[i] = m.b) ] AS s
+      FROM w{r-1}, m{r} m
+    )""")
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, CAST(cnt AS BIGINT) AS pair_freq FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + arms
+
+
+_SYM_OK = set("abcdefghijklmnopqrstuvwxyz0123456789</w>")
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Left-to-right merge of the (a, b) symbol pair as a pure HOF chain.
+    Safe to inline because symbols are validated against _SYM_OK."""
+    if not (set(a) <= _SYM_OK and set(b) <= _SYM_OK):
+        raise ValueError(f"unexpected symbol characters: {a!r} {b!r}")
+    return (
+        "transform("
+        f"  filter(sequence(1, size(s)), i -> NOT ("
+        f"    i > 1 AND element_at(s, i - 1) = '{a}'"
+        f"    AND element_at(s, i) = '{b}')),"
+        f"  i -> CASE WHEN i < size(s) AND element_at(s, i) = '{a}'"
+        f"            AND element_at(s, i + 1) = '{b}'"
+        f"       THEN concat('{a}', '{b}') ELSE element_at(s, i) END)"
+    )
+
+
+@query("pipeline_bpe_train", oracle=_bpe_oracle())
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary TRAINING (Sennrich et al. 2016) — the
+    learn side of ``text_bpe_apply_fertility``: start from characters +
+    an explicit ``</w>`` end-of-word marker, then repeatedly (a) count
+    every adjacent symbol pair weighted by word frequency, (b) take the
+    argmax with a deterministic tie-break (freq DESC, then lexicographic
+    on both symbols), (c) apply the merge corpus-wide. Emits the learned
+    merge table: (rank, left_sym, right_sym, merged, pair_freq) — the
+    artifact a tokenizer build step ships.
+
+    Candidate pairs with a == b are EXCLUDED: standard BPE resolves
+    self-runs ("aaa") left-to-right, which makes the merge application
+    order-dependent; restricting to a <> b makes each merge provably
+    non-overlapping, so the positionwise comprehension both engines run
+    is exact. On natural-language corpora the top merges are never
+    self-pairs, so the restriction is a determinism contract, not a
+    quality loss (documented deviation).
+
+    Execution shape: the corpus collapses ONCE to (word, freq, symbols)
+    — vocabulary-sized, Zipf-bounded, orders of magnitude smaller than
+    the token stream — then each round is one explode + one map-side
+    combinable pair count + a 1-ROW argmax collect (bounded driver
+    state: the merge rule itself), and the merge applies as a pure
+    array-HOF rewrite of the vocabulary table. At 100 TB only the first
+    word count touches the corpus; all K rounds run on the vocab table.
+    The oracle replays all K rounds as chained CTEs with the identical
+    argmax ordering.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split("word", ""), lambda x: x != "")
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(chars, F.array(F.lit("</w>"))).alias("s"),
+    ).persist()
+    cur.count()
+
+    merges = []
+    for rank in range(1, _BPE_K + 1):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> array(element_at(s, i), element_at(s, i + 1)))"
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.select(
+                F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"), "freq"
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one merge rule
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        nxt = cur.select(
+            "word", "freq", F.expr(_merge_expr(a, b)).alias("s")
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, merged string, "
+        "pair_freq bigint",
+    )
