@@ -584,6 +584,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
 
 
+_STAR_SMALL_EDGES = 100_000  # below this, the loop runs 1-partition/no-AQE
+
+
 @query(
     "graph_connected_components_star",
     oracle=None,  # assigned below: shared with dedup_connected_components
@@ -614,17 +617,25 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
     from oe_batch_processing_spark.operators.dedup import dedup_jaccard_shingles
 
     pairs = dedup_jaccard_shingles(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint: TRUNCATE lineage, not just cache it. Every round
+    # references the previous round's frame ~4 times, so with plain
+    # persist the LOGICAL plan (which CacheManager substitutes only at
+    # physical planning) grows ~4^rounds copies of the upstream jaccard
+    # plan and analysis time explodes — measured: round 4 went from
+    # seconds to minutes. Checkpointing makes each round's input a leaf.
+    # (Production note: localCheckpoint is executor-local; a cluster job
+    # that must survive executor loss uses spark.checkpoint() to a
+    # reliable dir — same plan shape.)
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("u"),
         F.col("doc_b").cast("long").alias("v"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     all_nodes = (
         edges.select(F.col("u").alias("doc"))
         .union(edges.select(F.col("v").alias("doc")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    all_nodes.count()
 
     def _checksum(e: DataFrame):
         row = e.agg(
@@ -633,58 +644,78 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # Size-adaptive execution: the star rounds run on an edge relation
+    # that is usually orders of magnitude smaller than the corpus. For a
+    # SMALL materialized edge set (< _STAR_SMALL_EDGES), per-stage AQE
+    # re-planning and 32-way shuffles dominate wall time (measured: each
+    # round 3.4-5.5 s with AQE vs 0.7-1.5 s without, on 244 edges), so
+    # the loop drops to one partition with AQE off and restores the
+    # session confs after. A 100 TB edge set keeps AQE and the full
+    # shuffle width — the plan shape is identical, only the knobs move.
+    n_edges = edges.count()
+    small_graph = n_edges < _STAR_SMALL_EDGES
+    saved = {}
+    if small_graph:
+        for k, v in (("spark.sql.adaptive.enabled", "false"),
+                     ("spark.sql.shuffle.partitions", "1")):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+        edges = edges.coalesce(1).localCheckpoint(eager=True)
+
     cur = edges
     prev_sum = None
-    for _round in range(20):  # log^2 bound; near-dup graphs settle in ~3
-        # large-star
-        nbrs = cur.select("u", "v").union(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
-            "u", F.least(F.col("mn"), F.col("u")).alias("m")
-        )
-        large = (
-            nbrs.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star: orient each edge (max -> min), group by the max side
-        directed = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).filter(F.col("u") != F.col("v"))
-        m2 = directed.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            directed.join(m2, "u")
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .select(
-                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    try:
+        for _round in range(20):  # log^2 bound; settles in ~3
+            # large-star
+            nbrs = cur.select("u", "v").union(
+                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            .distinct()
-            .persist()
-        )
-        if cur is not edges:
-            cur.unpersist()
-        cur = small
-        new_sum = _checksum(cur)  # the one action per round (caches cur)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    # final star: every edge points node -> component root (= component
-    # min); roots label themselves; isolated-in-star nodes keep identity
-    labels = cur.select(F.col("u").alias("doc"), F.col("v").alias("lbl"))
-    out = (
+            m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+                "u", F.least(F.col("mn"), F.col("u")).alias("m")
+            )
+            large = (
+                nbrs.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star: orient each edge (max -> min), group by the max side
+            directed = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).filter(F.col("u") != F.col("v"))
+            m2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                directed.join(m2, "u")
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .select(
+                    F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+                )
+                .distinct()
+                # lazy checkpoint: the checksum action below materializes it
+                # and truncates lineage in the same job
+                .localCheckpoint(eager=False)
+            )
+            cur = small
+            new_sum = _checksum(cur)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        # final star: every edge points node -> component root (= component
+        # min); roots label themselves; isolated-in-star nodes keep identity
+        labels = cur.select(F.col("u").alias("doc"), F.col("v").alias("lbl"))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return (
         all_nodes.join(labels, "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
             F.coalesce(F.col("lbl"), F.col("doc")).alias("cluster_id"),
         )
     )
-    edges.unpersist()
-    return out
 
 
 # shared oracle: the star algorithm must reproduce the transitive closure
