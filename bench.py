@@ -145,6 +145,7 @@ HEADLINE = [
     "multimodal_audio_mulaw_roundtrip",
     "graph_connected_components_star",
     "pipeline_bpe_train",
+    "ingest_parquet_footer_index",
 ]
 
 

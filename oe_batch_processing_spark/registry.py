@@ -48,7 +48,8 @@ ORACLE: dict[str, str] = {}
 # multimodal_jpeg_decode, multimodal_jpeg420_decode, dq_benford_screen,
 # orders_forecast_croston, stats_anova_oneway, text_lexical_mattr,
 # multimodal_gif_decode, multimodal_audio_mulaw_roundtrip,
-# graph_connected_components_star, pipeline_bpe_train, and
+# graph_connected_components_star, pipeline_bpe_train,
+# ingest_parquet_footer_index, and
 # events_acf_battery — round-7 additions registered after the window
 # filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,
