@@ -146,6 +146,7 @@ HEADLINE = [
     "graph_connected_components_star",
     "pipeline_bpe_train",
     "ingest_parquet_footer_index",
+    "stream_forecast_croston",
 ]
 
 

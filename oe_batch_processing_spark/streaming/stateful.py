@@ -766,3 +766,130 @@ def stream_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stateful_user_burst(events_stream(spark, sf_dir)), "append"
     )
+
+
+# --- stateful operator #9: streaming Croston (intermittent demand) ----------
+
+CROSTON_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("rn", IntegerType(), False),
+        StructField("wk", LongType(), False),
+        StructField("x", DoubleType(), False),
+        StructField("q", DoubleType(), False),
+        StructField("z", DoubleType(), False),
+        StructField("p", DoubleType(), False),
+        StructField("forecast", DoubleType(), False),
+        StructField("forecast_sba", DoubleType(), False),
+    ]
+)
+# state: the per-series demand histogram (weeks + counts, parallel arrays)
+CROSTON_STATE_SCHEMA = StructType(
+    [
+        StructField("wks", ArrayType(LongType()), False),
+        StructField("counts", ArrayType(LongType()), False),
+    ]
+)
+
+
+def _update_croston(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    import pandas as pd
+
+    if state.exists:
+        wks, counts = state.get
+        acc = dict(zip(list(wks), list(counts)))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for wk in pdf["wk"]:
+            acc[int(wk)] = acc.get(int(wk), 0) + 1
+    items = sorted(acc.items())
+    n = len(items)
+    q = [1.0] * n
+    for i in range(1, n):
+        q[i] = float(items[i][0] - items[i - 1][0])
+    z = [0.0] * n
+    p = [0.0] * n
+    if n:
+        z[0] = float(items[0][1])
+        p[0] = 1.0
+    for i in range(1, n):
+        z[i] = 0.5 * float(items[i][1]) + 0.5 * z[i - 1]
+        p[i] = 0.5 * q[i] + 0.5 * p[i - 1]
+    fc = [zi / pi for zi, pi in zip(z, p)]
+    state.update((
+        [wk for wk, _ in items], [c for _, c in items],
+    ))
+    yield pd.DataFrame(
+        {
+            "series": key[0],
+            "rn": range(1, n + 1),
+            "wk": [wk for wk, _ in items],
+            "x": [float(c) for _, c in items],
+            "q": q,
+            "z": z,
+            "p": p,
+            "forecast": fc,
+            "forecast_sba": [0.75 * f for f in fc],
+        }
+    )
+
+
+def orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the orders parquet (same pattern as events_stream)."""
+    from oe_batch_processing_spark.tables import table_path
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "orders")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stateful_croston(orders: DataFrame) -> DataFrame:
+    """Streaming Croston/SBA: state carries the per-series demand
+    histogram (weeks + counts) — bounded by the number of DEMAND weeks,
+    the same asymmetry the batch operator exploits (zero weeks never
+    materialize). Each trigger re-emits the refreshed fitted path for
+    the series it saw, which is the natural streaming contract for a
+    recurrence whose early terms are immutable but whose current-week
+    count is still accumulating; under the bounded single-pass replay
+    the final emission equals the batch fit exactly (same float ops in
+    the same order), which is what the shared oracle hash-checks."""
+    demand = (
+        orders.filter(F.col("o_totalprice") > 300000.0)
+        .select(
+            F.col("o_orderpriority").alias("series"),
+            F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+            .cast("bigint")
+            .alias("wk"),
+        )
+    )
+    return demand.groupBy("series").applyInPandasWithState(
+        _update_croston,
+        outputStructType=CROSTON_OUTPUT_SCHEMA,
+        stateStructType=CROSTON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _croston_oracle() -> str:
+    from oe_batch_processing_spark.operators.timeseries import _CROSTON_ORACLE
+
+    return _CROSTON_ORACLE
+
+
+@query("stream_forecast_croston", oracle=_croston_oracle())
+def stream_forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``orders_forecast_croston`` — the ninth
+    batch/stream pair sharing one oracle: the same coupled size/interval
+    recurrences run inside applyInPandasWithState with the demand
+    histogram as per-series state, over a bounded stream of the orders
+    table, and must reproduce the batch fit bit-for-bit."""
+    return run_available_now(
+        stateful_croston(orders_stream(spark, sf_dir)), "append"
+    )
