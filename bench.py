@@ -147,6 +147,7 @@ HEADLINE = [
     "pipeline_bpe_train",
     "ingest_parquet_footer_index",
     "stream_forecast_croston",
+    "sample_neyman_allocation",
 ]
 
 

@@ -431,3 +431,84 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_ANOVA_SQL)
+
+
+# --- Neyman (optimal) stratified-sample allocation --------------------------
+
+_NEYMAN_N = 1_000  # total sample budget to allocate across strata
+
+_NEYMAN_SQL = f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice * 1e-5 AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT seg, COUNT(*) AS n_h,
+         CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(20,10))) AS DOUBLE) AS sxx
+  FROM j GROUP BY seg
+),
+s AS (
+  SELECT seg, n_h,
+         SQRT((n_h * sxx - sx * sx) / (CAST(n_h AS DOUBLE) * (n_h - 1)))
+           AS std_h
+  FROM g
+),
+w AS (
+  -- weights quantize to DECIMAL(24,8) so the cross-strata window SUM is
+  -- order-independent (a raw double SUM OVER () differs in the last ULP
+  -- between engines). Scale 8, NOT higher: the quantized value must stay
+  -- within ~12 significant digits — at scale 12 the 16-digit boundary
+  -- exceeded double precision and the two engines' double->decimal
+  -- quantizers legitimately disagreed in the last place (measured).
+  SELECT seg, n_h, std_h,
+         CAST(CAST(n_h * std_h AS DECIMAL(24,8)) AS DOUBLE) AS weight,
+         CAST(SUM(CAST(n_h * std_h AS DECIMAL(24,8))) OVER () AS DOUBLE)
+           AS total_weight
+  FROM s
+),
+q AS (
+  SELECT seg, n_h, std_h,
+         {_NEYMAN_N} * (weight / total_weight) AS quota,
+         CAST(FLOOR({_NEYMAN_N} * (weight / total_weight)) AS BIGINT)
+           AS base_alloc
+  FROM w
+),
+r AS (
+  SELECT seg, n_h, std_h, quota, base_alloc,
+         ROW_NUMBER() OVER (
+           ORDER BY quota - FLOOR(quota) DESC, seg) AS frac_rank,
+         {_NEYMAN_N} - SUM(base_alloc) OVER () AS leftover
+  FROM q
+)
+SELECT seg, CAST(n_h AS BIGINT) AS n_h, std_h, quota,
+       CAST(base_alloc + CASE WHEN frac_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS n_alloc
+FROM r
+"""
+
+
+@query("sample_neyman_allocation", oracle=_NEYMAN_SQL)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: split a fixed budget
+    of {n} draws across the customer market segments proportionally to
+    N_h * S_h (stratum size x within-stratum std of order totals) — the
+    allocation that minimizes the stratified-mean variance — with the
+    fractional quotas settled by largest-remainder apportionment
+    (deterministic tie-break on segment name). This is the DESIGN step
+    in front of the existing samplers (`sample_stratified_documents`
+    materializes a design; `alloc_largest_remainder` is the apportionment
+    primitive); emitting it as a table is what a pipeline ships to its
+    sampling stage.
+
+    Exactness: stratum stds come from exact pre-scaled decimal moments
+    (the stats_corr_regression convention), the share arithmetic is the
+    identical IEEE op sequence in both engines, FLOOR lands on the same
+    integers, and the remainder ranking is a total order. SQL shared
+    verbatim with the oracle.
+
+    Scale: one shuffle join + a 5-row moment aggregate; the allocation
+    window functions run on 5 rows.
+    """.format(n=_NEYMAN_N)
+    register_views(spark, sf_dir)
+    return spark.sql(_NEYMAN_SQL)
