@@ -148,6 +148,7 @@ HEADLINE = [
     "ingest_parquet_footer_index",
     "stream_forecast_croston",
     "sample_neyman_allocation",
+    "multimodal_audio_adpcm_roundtrip",
 ]
 
 

@@ -2497,3 +2497,216 @@ def multimodal_audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         schema="media_id long, n_samples int, sum_code long, "
                "sum_abs_decoded long, max_abs_err int, n_clipped int",
     )
+
+
+# --- real audio codec #2: IMA ADPCM (DVI4) -----------------------------------
+#
+# The STATEFUL audio codec: 4:1 compression via a per-sample predictor +
+# adaptive step index. Unlike mu-law (memoryless), every output depends on
+# the entire prefix — the classic "can't oracle a stateful codec in SQL"
+# case. It CAN: the whole (predictor, step-index, running-sum) state packs
+# into one BIGINT, and DuckDB's list_reduce folds the exact integer
+# recurrence over the sample list, with let-bindings built from
+# single-element list comprehensions ([expr FOR v IN [e]][1]). The Spark
+# side produces the real 2-nibbles-per-byte wire stream between encode and
+# decode; both engines step identical integer ops, so the decoded-sum /
+# final-state columns hash-match.
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_encode(samples) -> bytes:
+    """IMA ADPCM encode: int16 samples -> nibble stream (low nibble
+    first), starting from state (pred=0, index=0)."""
+    pred, idx = 0, 0
+    nibbles = []
+    for x in samples:
+        x = int(x)
+        st = IMA_STEP_TABLE[idx]
+        d0 = x - pred
+        sg = 1 if d0 < 0 else 0
+        ad = -d0 if sg else d0
+        b4 = 1 if ad >= st else 0
+        r1 = ad - b4 * st
+        b2 = 1 if r1 >= st // 2 else 0
+        r2 = r1 - b2 * (st // 2)
+        b1 = 1 if r2 >= st // 4 else 0
+        vp = st // 8 + b4 * st + b2 * (st // 2) + b1 * (st // 4)
+        pred = pred - vp if sg else pred + vp
+        pred = max(-32768, min(32767, pred))
+        nib = sg * 8 + b4 * 4 + b2 * 2 + b1
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib]))
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)  # pad nibble (ignored by decode via count)
+    return bytes(nibbles[i] | (nibbles[i + 1] << 4)
+                 for i in range(0, len(nibbles), 2))
+
+
+def adpcm_decode(stream: bytes, n_samples: int):
+    """Inverse: nibble stream -> decoded sample list (exact mirror of the
+    encoder's reconstruction path)."""
+    pred, idx = 0, 0
+    out = []
+    for i in range(n_samples):
+        byte = stream[i // 2]
+        nib = (byte >> 4) if i % 2 else (byte & 0x0F)
+        st = IMA_STEP_TABLE[idx]
+        sg, b4, b2, b1 = nib >> 3, (nib >> 2) & 1, (nib >> 1) & 1, nib & 1
+        vp = st // 8 + b4 * st + b2 * (st // 2) + b1 * (st // 4)
+        pred = pred - vp if sg else pred + vp
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib]))
+        out.append(pred)
+    return out
+
+
+def _adpcm_fold_oracle() -> str:
+    """The ADPCM recurrence as a DuckDB list_reduce over packed-BIGINT
+    state: acc = (sum_decoded + 2^26) * 2^23 + (pred + 32768) * 128 + idx.
+    Let-bindings via single-element comprehensions keep each quantity
+    computed once."""
+    step_lit = "[" + ", ".join(str(v) for v in IMA_STEP_TABLE) + "]"
+    idx_lit = "[" + ", ".join(str(v) for v in IMA_INDEX_TABLE) + "]"
+    bindings = [
+        ("ix", "a % 128"),
+        ("pr", "(a // 128) % 65536 - 32768"),
+        ("sm", "a // 8388608"),
+        ("st", f"{step_lit}[ix + 1]"),
+        ("d0", "x - pr"),
+        ("sg", "CASE WHEN d0 < 0 THEN 1 ELSE 0 END"),
+        ("ad", "ABS(d0)"),
+        ("b4", "CASE WHEN ad >= st THEN 1 ELSE 0 END"),
+        ("r1", "ad - b4 * st"),
+        ("b2", "CASE WHEN r1 >= st // 2 THEN 1 ELSE 0 END"),
+        ("r2", "r1 - b2 * (st // 2)"),
+        ("b1", "CASE WHEN r2 >= st // 4 THEN 1 ELSE 0 END"),
+        ("vp", "st // 8 + b4 * st + b2 * (st // 2) + b1 * (st // 4)"),
+        ("np", "LEAST(GREATEST(pr + CASE WHEN sg = 1 THEN -vp ELSE vp END,"
+               " -32768), 32767)"),
+        ("ni", f"LEAST(GREATEST(ix + {idx_lit}[sg * 8 + b4 * 4 + b2 * 2"
+               " + b1 + 1], 0), 88)"),
+    ]
+    body = "(sm + np) * 8388608 + (np + 32768) * 128 + ni"
+    for name, expr in reversed(bindings):
+        body = f"[{body} FOR {name} IN [{expr}]][1]"
+    init = (1 << 26) * (1 << 23) + 32768 * 128 + 0  # sum=0, pred=0, idx=0
+    return f"""
+    WITH h AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id,
+             [ (instr('0123456789ABCDEF', hx[2*i+1]) - 1) * 16
+             + (instr('0123456789ABCDEF', hx[2*i+2]) - 1)
+               FOR i IN range(n_bytes)] AS bytes,
+             n_bytes // 2 AS n_samples
+      FROM h WHERE n_bytes >= 2
+    ),
+    s AS (
+      SELECT media_id, n_samples,
+             [ CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+               FOR v IN [bytes[2*i+1] + 256 * bytes[2*i+2]
+                         FOR i IN range(n_samples)]] AS smp
+      FROM b
+    ),
+    folded AS (
+      SELECT media_id, n_samples,
+             list_reduce([CAST({init} AS BIGINT)] || smp,
+                         (a, x) -> {body}) AS acc
+      FROM s
+    )
+    SELECT media_id,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(acc // 8388608 - {1 << 26} AS BIGINT) AS sum_decoded,
+           CAST((acc // 128) % 65536 - 32768 AS INTEGER) AS final_pred,
+           CAST(acc % 128 AS INTEGER) AS final_idx
+    FROM folded
+    """
+
+
+@query("multimodal_audio_adpcm_roundtrip", oracle=_adpcm_fold_oracle())
+def multimodal_audio_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL audio codec with a full hash oracle: IMA ADPCM (the DVI4
+    codec) compresses 16-bit PCM 4:1 through a per-sample adaptive
+    predictor — every output depends on the entire prefix, the case that
+    normally defeats SQL oracles. Here the whole per-file state
+    (predictor, step index, running decoded sum) packs into one BIGINT
+    and the oracle folds the exact integer recurrence with DuckDB's
+    ``list_reduce`` (let-bindings via single-element comprehensions), so
+    the decoded sum and the FINAL CODEC STATE hash-match the Spark side,
+    which produces and re-parses the real low-nibble-first wire stream
+    between its encode and decode stages. A one-step mistake anywhere —
+    step-table entry, clamp bound, index update — derails the predictor
+    for the rest of the file and breaks the hash.
+
+    Scale: one mapInPandas over the fan-out; the recurrence is O(samples)
+    per file and inherently sequential per file (codec state), parallel
+    across files — the same contract as every codec here.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.encode(F.col("text"), "UTF-8")
+    corpus = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            raw.alias("payload"),
+            F.octet_length(raw).alias("n_bytes"),
+        )
+        .filter(F.col("n_bytes") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b) // 2
+                smp = np.frombuffer(b[: 2 * n], dtype="<i2").astype(np.int64)
+                stream = adpcm_encode(smp)  # real 4-bit wire bytes
+                dec = adpcm_decode(stream, n)
+                # recompute the final index for the state column (decode
+                # tracks it internally; re-derive via a 1-sample replay)
+                pred, idx = 0, 0
+                for i in range(n):
+                    byte = stream[i // 2]
+                    nib = (byte >> 4) if i % 2 else (byte & 0x0F)
+                    st = IMA_STEP_TABLE[idx]
+                    vp = (st // 8 + ((nib >> 2) & 1) * st
+                          + ((nib >> 1) & 1) * (st // 2)
+                          + (nib & 1) * (st // 4))
+                    pred = pred - vp if nib >> 3 else pred + vp
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + IMA_INDEX_TABLE[nib]))
+                rows.append({
+                    "media_id": media_id,
+                    "n_samples": n,
+                    "sum_decoded": int(sum(dec)),
+                    "final_pred": pred,
+                    "final_idx": idx,
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sum_decoded",
+                         "final_pred", "final_idx"],
+            )
+
+    return corpus.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id long, n_samples int, sum_decoded long, "
+               "final_pred int, final_idx int",
+    )

@@ -50,7 +50,7 @@ ORACLE: dict[str, str] = {}
 # multimodal_gif_decode, multimodal_audio_mulaw_roundtrip,
 # graph_connected_components_star, pipeline_bpe_train,
 # ingest_parquet_footer_index, stream_forecast_croston,
-# sample_neyman_allocation, and
+# sample_neyman_allocation, multimodal_audio_adpcm_roundtrip, and
 # events_acf_battery — round-7 additions registered after the window
 # filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,

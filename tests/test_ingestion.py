@@ -690,3 +690,37 @@ def test_mulaw_known_vectors_and_properties():
     assert np.abs(dec - s).max() <= 1024
     # decode never exceeds the representable range
     assert np.abs(dec).max() <= 32635 + 132
+
+
+def test_adpcm_codec_properties():
+    """IMA ADPCM: encode/decode mirror each other's state walk; the codec
+    tracks slow signals closely (adaptive step), the wire stream is the
+    4:1 two-nibbles-per-byte format, and the decoded signal is bounded."""
+    import numpy as np
+
+    from oe_batch_processing_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    # smooth ramp: after the step adapts, tracking error is small
+    t = np.arange(2000)
+    sig = (1000 * np.sin(t / 50.0)).astype(np.int64)
+    stream = adpcm_encode(sig)
+    assert len(stream) == 1000  # 4:1 vs 16-bit input
+    dec = np.array(adpcm_decode(stream, len(sig)))
+    assert np.abs(dec[200:] - sig[200:]).max() <= 64  # post-adaptation
+    assert dec.max() <= 32767 and dec.min() >= -32768
+
+    # step response: predictor converges to a constant level
+    const = np.full(300, 12345, dtype=np.int64)
+    dec2 = np.array(adpcm_decode(adpcm_encode(const), 300))
+    assert abs(int(dec2[-1]) - 12345) <= 8
+
+    # white noise stays decodable and clamped (worst case for ADPCM)
+    rng = np.random.RandomState(31)
+    noise = rng.randint(-32768, 32768, 999).astype(np.int64)
+    s3 = adpcm_encode(noise)
+    assert len(s3) == 500  # odd count pads a nibble
+    dec3 = np.array(adpcm_decode(s3, 999))
+    assert dec3.max() <= 32767 and dec3.min() >= -32768  # int16 clamp

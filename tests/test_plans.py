@@ -436,6 +436,7 @@ def test_media_transcode_plans_shuffle_free(spark, sf_dir):
         "multimodal_jpeg420_decode",
         "multimodal_gif_decode",
         "multimodal_audio_mulaw_roundtrip",
+        "multimodal_audio_adpcm_roundtrip",
     ):
         plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
         exchanges = [l for l in plan.splitlines() if "Exchange" in l]
