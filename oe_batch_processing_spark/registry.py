@@ -50,9 +50,9 @@ ORACLE: dict[str, str] = {}
 # multimodal_gif_decode, multimodal_audio_mulaw_roundtrip,
 # graph_connected_components_star, pipeline_bpe_train,
 # ingest_parquet_footer_index, stream_forecast_croston,
-# sample_neyman_allocation, multimodal_audio_adpcm_roundtrip, and
-# events_acf_battery — round-7 additions registered after the window
-# filled — and
+# sample_neyman_allocation, multimodal_audio_adpcm_roundtrip,
+# events_acf_battery, multimodal_audio_flac_lite_roundtrip — round-7
+# additions registered after the window filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,
 # asof_nearest_click, intervals_coalesce_shipping,
 # arrow_user_value_stats, udtf_python_word_stats, stream_ewma_user, and
