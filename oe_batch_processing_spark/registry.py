@@ -51,7 +51,8 @@ ORACLE: dict[str, str] = {}
 # graph_connected_components_star, pipeline_bpe_train,
 # ingest_parquet_footer_index, stream_forecast_croston,
 # sample_neyman_allocation, multimodal_audio_adpcm_roundtrip,
-# events_acf_battery, multimodal_audio_flac_lite_roundtrip — round-7
+# events_acf_battery, multimodal_audio_flac_lite_roundtrip,
+# multimodal_video_mjpeg_avi_decode — round-7
 # additions registered after the window filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,
 # asof_nearest_click, intervals_coalesce_shipping,
