@@ -547,12 +547,12 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_K = 8  # merges to learn; each is one chained oracle stage
 
 
-def _bpe_oracle(k: int = _BPE_K) -> str:
-    """K chained CTE stages, each: count adjacent symbol pairs weighted by
-    word frequency, pick the argmax (freq DESC, then lexicographic — the
-    deterministic tie-break), apply the merge with a left-to-right
-    comprehension. Self-pairs (a == b) are excluded from candidates so
-    the merge step is order-free (see the operator docstring)."""
+def _bpe_cte_parts(k: int = _BPE_K) -> str:
+    """The WITH body replaying K training rounds: w0 (char-split vocab)
+    then per round a pair count, a deterministic argmax (freq DESC, then
+    lexicographic), and the merge comprehension. Shared by the train and
+    train+apply oracles. Self-pairs (a == b) are excluded so the merge
+    step is order-free (see pipeline_bpe_train's docstring)."""
     parts = ["""
     WITH w0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -581,12 +581,17 @@ def _bpe_oracle(k: int = _BPE_K) -> str:
                IF NOT (i > 1 AND s[i-1] = m.a AND s[i] = m.b) ] AS s
       FROM w{r-1}, m{r} m
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int = _BPE_K) -> str:
+    """Train oracle: the K replayed rounds, emitting the merge table."""
     arms = "\n    UNION ALL\n".join(
         f"    SELECT {r} AS rank, a AS left_sym, b AS right_sym, "
         f"a || b AS merged, CAST(cnt AS BIGINT) AS pair_freq FROM m{r}"
         for r in range(1, k + 1)
     )
-    return "".join(parts) + "\n" + arms
+    return _bpe_cte_parts(k) + "\n" + arms
 
 
 _SYM_OK = set("abcdefghijklmnopqrstuvwxyz0123456789</w>")
@@ -606,6 +611,61 @@ def _merge_expr(a: str, b: str) -> str:
         f"            AND element_at(s, i + 1) = '{b}'"
         f"       THEN concat('{a}', '{b}') ELSE element_at(s, i) END)"
     )
+
+
+def _bpe_train_vocab(
+    spark: SparkSession, sf_dir: str, k: int = _BPE_K
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the K-round BPE training loop; return (merge rules, persisted
+    final vocab frame (word, freq, s)). The caller owns the persist."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split("word", ""), lambda x: x != "")
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(chars, F.array(F.lit("</w>"))).alias("s"),
+    ).persist()
+    cur.count()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> array(element_at(s, i), element_at(s, i + 1)))"
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.select(
+                F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"), "freq"
+            )
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one merge rule
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        nxt = cur.select(
+            "word", "freq", F.expr(_merge_expr(a, b)).alias("s")
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    return merges, cur
 
 
 @query("pipeline_bpe_train", oracle=_bpe_oracle())
@@ -637,56 +697,80 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays all K rounds as chained CTEs with the identical
     argmax ordering.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    chars = F.filter(F.split("word", ""), lambda x: x != "")
-    cur = words.select(
-        "word",
-        "freq",
-        F.concat(chars, F.array(F.lit("</w>"))).alias("s"),
-    ).persist()
-    cur.count()
-
-    merges = []
-    for rank in range(1, _BPE_K + 1):
-        pairs = cur.select(
-            "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(s) - 1), "
-                    "i -> array(element_at(s, i), element_at(s, i + 1)))"
-                )
-            ).alias("pr"),
-        )
-        top = (
-            pairs.select(
-                F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"), "freq"
-            )
-            .filter(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()  # bounded: exactly one merge rule
-        )
-        if not top:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((rank, a, b, a + b, cnt))
-        nxt = cur.select(
-            "word", "freq", F.expr(_merge_expr(a, b)).alias("s")
-        ).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+    merges, cur = _bpe_train_vocab(spark, sf_dir)
     cur.unpersist()
     return spark.createDataFrame(
         merges,
         "rank int, left_sym string, right_sym string, merged string, "
         "pair_freq bigint",
+    )
+
+
+def _bpe_apply_oracle(k: int = _BPE_K) -> str:
+    """Train+apply oracle: replay the K rounds, then tokenize every doc
+    by joining its words to the final vocab's symbol count."""
+    return f"""
+    {_bpe_cte_parts(k)},
+    wt AS (SELECT word, len(s) AS n_tok FROM w{k}),
+    dw AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    j AS (
+      SELECT doc_id, n_tok FROM dw JOIN wt USING (word) WHERE word <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((1000000 * SUM(n_tok)) // COUNT(*) AS BIGINT)
+             AS fertility_ppm
+    FROM j GROUP BY doc_id
+    """
+
+
+@query("pipeline_bpe_train_apply", oracle=_bpe_apply_oracle())
+def pipeline_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END learned tokenization: train the BPE merge table on the
+    corpus (:func:`_bpe_train_vocab` — the pipeline_bpe_train loop), then
+    tokenize every document WITH THE LEARNED VOCAB and emit per-doc word
+    count, token count, and fertility (tokens/word, ppm) — the number
+    that prices a corpus slice in compute under the tokenizer you just
+    learned, closing the loop that ``text_bpe_apply_fertility`` (fixed
+    demo table) and ``pipeline_bpe_train`` (rules only) each cover half
+    of.
+
+    The apply side is deliberately NOT a per-occurrence re-tokenization:
+    after training, the final vocab table already holds each word's
+    symbol sequence, so tokenization is a join from the exploded word
+    stream to the Zipf-bounded ``(word, n_tok)`` table — broadcast
+    (a natural-language vocabulary is millions of rows at 100 TB; the
+    bounded-broadcast assumption is the same one the knn classifier
+    documents, and the fallback is a plain shuffled hash join on the
+    word key). Only the initial word count and this join ever touch the
+    corpus; all K training rounds run on the vocab table. The oracle
+    replays training as chained CTEs and applies the identical
+    vocab-join.
+    """
+    merges, vocab = _bpe_train_vocab(spark, sf_dir)
+    del merges  # the rules are implicit in the vocab's symbol lists
+    vocab_tok = vocab.select("word", F.size("s").alias("n_tok"))
+
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(F.broadcast(vocab_tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(1000000 * n_tokens) div n_words").alias("fertility_ppm"),
+        )
     )
