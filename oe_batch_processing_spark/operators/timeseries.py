@@ -1234,3 +1234,189 @@ def events_acf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(({_ACF_SCALE} * num + {_ACF_OFF} * den) div den) - {_ACF_OFF}"
         ).alias("r_micro"),
     )
+
+
+# --- AR(2) fit + forecast via Yule-Walker, in exact integer arithmetic ------
+
+_AR2_SCALE = 1_000_000      # ppm quantization for the AR coefficients
+_AR2_OFF = 10_000_000       # offset for floor-division of negative numerators
+_AR2_OFF2 = 10 ** 12        # offset for the 2-step forecast's ppm rescale
+
+_AR2_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority AS series,
+         CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) / 7) AS BIGINT) AS wk,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+stats AS (
+  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.series, b.wk, t.n, t.s // t.n AS m,
+         b.x - t.s // t.n AS e,
+         ROW_NUMBER() OVER (PARTITION BY b.series ORDER BY b.wk) AS rn
+  FROM base b JOIN stats t ON t.series = b.series
+),
+led AS (
+  SELECT series, n, m, e, rn,
+         LEAD(e, 1) OVER (PARTITION BY series ORDER BY rn) AS e1,
+         LEAD(e, 2) OVER (PARTITION BY series ORDER BY rn) AS e2
+  FROM dev
+),
+c AS (
+  SELECT series, ANY_VALUE(n) AS n, ANY_VALUE(m) AS m,
+         CAST(SUM(e * e) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END)
+              AS BIGINT) AS c2,
+         CAST(MAX(CASE WHEN rn = n THEN e END) AS BIGINT) AS e_last,
+         CAST(MAX(CASE WHEN rn = n - 1 THEN e END) AS BIGINT) AS e_prev
+  FROM led GROUP BY series
+),
+phi AS (
+  SELECT series, n, m, c0, c1, c2, e_last, e_prev,
+         c0 * c0 - c1 * c1 AS d,
+         c1 * (c0 - c2) AS a1,
+         c0 * c2 - c1 * c1 AS a2
+  FROM c WHERE n >= 8 AND c0 * c0 - c1 * c1 <> 0
+),
+q AS (
+  SELECT series, n, m, c0, c1, c2, e_last, e_prev,
+         (({_AR2_SCALE} * a1 + {_AR2_OFF} * d) // d) - {_AR2_OFF} AS phi1_ppm,
+         (({_AR2_SCALE} * a2 + {_AR2_OFF} * d) // d) - {_AR2_OFF} AS phi2_ppm
+  FROM phi
+),
+f AS (
+  SELECT series, n, m, c0, c1, c2, phi1_ppm, phi2_ppm, e_last, e_prev,
+         phi1_ppm * e_last + phi2_ppm * e_prev AS f1_dev
+  FROM q
+)
+SELECT series,
+       CAST(n AS BIGINT) AS n_weeks,
+       c0, c1, c2,
+       CAST(phi1_ppm AS BIGINT) AS phi1_ppm,
+       CAST(phi2_ppm AS BIGINT) AS phi2_ppm,
+       CAST({_AR2_SCALE} * m + f1_dev AS BIGINT) AS forecast1_ppm,
+       CAST({_AR2_SCALE} * m
+            + ((phi1_ppm * f1_dev + {_AR2_OFF2} * {_AR2_SCALE})
+               // {_AR2_SCALE}) - {_AR2_OFF2}
+            + phi2_ppm * e_last AS BIGINT) AS forecast2_ppm
+FROM f
+"""
+
+
+@query("orders_forecast_ar2_yule_walker", oracle=_AR2_ORACLE)
+def orders_forecast_ar2_yule_walker(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AR(2) autoregression fit by Yule-Walker plus 1- and 2-step
+    forecasts, entirely in exact integer arithmetic — the classical
+    Box-Jenkins baseline for the weekly order-count series per priority.
+    With floor-mean-centered deviations e_t = x_t - (S div n) (the
+    integer centering IS the estimator definition, as in
+    events_acf_battery) and raw autocovariance sums C0, C1, C2, the
+    Yule-Walker solution is the exact rational
+
+        phi1 = C1(C0 - C2) / (C0^2 - C1^2)
+        phi2 = (C0*C2 - C1^2) / (C0^2 - C1^2)
+
+    quantized to ppm with the offset-before-division trick (Spark `div`
+    truncates toward zero, DuckDB `//` floors; adding OFF*denominator
+    first makes the numerator non-negative where they agree). Forecasts
+    unroll the recurrence in ppm-deviation space, with one documented
+    offset-rescale for the 2-step term. Emits the moments themselves
+    (c0/c1/c2) so the oracle pins the estimator, not just the ratios.
+
+    Magnitude bound: products reach ~OFF * C0^2 ≈ 1e7 * (weeks * e^2)^2;
+    BIGINT-safe through ~sf0.3 of this corpus (documented bound, same
+    discipline as the 2^53 decimal notes in registry.py).
+
+    Scale: the fact table collapses to O(weeks) buckets per series in
+    one shuffle; the deviation/lead window and both aggregates run in
+    that same series partitioning (series count parallelizes the work;
+    each series is O(weeks)). The 5-row stats join broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.floor(F.unix_date(F.col("o_orderdate").cast("date")) / 7)
+        .cast("bigint")
+        .alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+
+    stats = base.groupBy("series").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("s"),
+    )
+    dev = (
+        base.join(F.broadcast(stats), "series")
+        .select(
+            "series",
+            "wk",
+            "n",
+            F.expr("s div n").alias("m"),
+            F.expr("x - s div n").alias("e"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("series").orderBy("wk")
+            ),
+        )
+    )
+    w = Window.partitionBy("series").orderBy("rn")
+    led = dev.select(
+        "series", "n", "m", "e", "rn",
+        F.lead("e", 1).over(w).alias("e1"),
+        F.lead("e", 2).over(w).alias("e2"),
+    )
+    c = led.groupBy("series").agg(
+        F.any_value("n").alias("n"),
+        F.any_value("m").alias("m"),
+        F.sum(F.expr("e * e")).alias("c0"),
+        F.sum(F.expr("CASE WHEN e1 IS NOT NULL THEN e * e1 ELSE 0 END"))
+        .alias("c1"),
+        F.sum(F.expr("CASE WHEN e2 IS NOT NULL THEN e * e2 ELSE 0 END"))
+        .alias("c2"),
+        F.max(F.expr("CASE WHEN rn = n THEN e END")).alias("e_last"),
+        F.max(F.expr("CASE WHEN rn = n - 1 THEN e END")).alias("e_prev"),
+    )
+    phi = c.filter(
+        (F.col("n") >= 8) & (F.expr("c0 * c0 - c1 * c1") != 0)
+    ).select(
+        "*",
+        F.expr("c0 * c0 - c1 * c1").alias("d"),
+        F.expr("c1 * (c0 - c2)").alias("a1"),
+        F.expr("c0 * c2 - c1 * c1").alias("a2"),
+    )
+    q = phi.select(
+        "series", "n", "m", "c0", "c1", "c2", "e_last", "e_prev",
+        F.expr(
+            f"(({_AR2_SCALE} * a1 + {_AR2_OFF} * d) div d) - {_AR2_OFF}"
+        ).alias("phi1_ppm"),
+        F.expr(
+            f"(({_AR2_SCALE} * a2 + {_AR2_OFF} * d) div d) - {_AR2_OFF}"
+        ).alias("phi2_ppm"),
+    ).withColumn(
+        "f1_dev", F.expr("phi1_ppm * e_last + phi2_ppm * e_prev")
+    )
+    return q.select(
+        "series",
+        F.col("n").alias("n_weeks"),
+        "c0", "c1", "c2",
+        F.col("phi1_ppm").cast("bigint").alias("phi1_ppm"),
+        F.col("phi2_ppm").cast("bigint").alias("phi2_ppm"),
+        F.expr(f"{_AR2_SCALE} * m + f1_dev").cast("bigint")
+        .alias("forecast1_ppm"),
+        F.expr(
+            f"{_AR2_SCALE} * m"
+            f" + ((phi1_ppm * f1_dev + {_AR2_OFF2} * {_AR2_SCALE})"
+            f"    div {_AR2_SCALE}) - {_AR2_OFF2}"
+            f" + phi2_ppm * e_last"
+        ).cast("bigint").alias("forecast2_ppm"),
+    )
