@@ -512,3 +512,87 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(n=_NEYMAN_N)
     register_views(spark, sf_dir)
     return spark.sql(_NEYMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Rank-correlation battery: Spearman (tie-averaged ranks) + Kendall tau-b
+# ---------------------------------------------------------------------------
+
+_RANKCORR_SQL = """
+WITH base AS (
+  SELECT o_orderpriority AS series,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mth,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(100 * SUM(o_totalprice) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT series, x, y,
+         2 * RANK() OVER (PARTITION BY series ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY series, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY series ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY series, y) - 1 AS ry
+  FROM base
+),
+sp AS (
+  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) * SUM(rx * ry) - SUM(rx) * SUM(ry) AS BIGINT)
+           AS spearman_num,
+         CAST(COUNT(*) * SUM(rx * rx) - SUM(rx) * SUM(rx) AS BIGINT)
+           AS spearman_denx,
+         CAST(COUNT(*) * SUM(ry * ry) - SUM(ry) * SUM(ry) AS BIGINT)
+           AS spearman_deny
+  FROM ranked GROUP BY series
+),
+kd AS (
+  SELECT a.series,
+         CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1
+                       WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN -1
+                       ELSE 0 END) AS BIGINT) AS s_kendall,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM base a JOIN base b ON a.series = b.series AND a.mth < b.mth
+  GROUP BY a.series
+)
+SELECT s.series, s.n, s.spearman_num, s.spearman_denx, s.spearman_deny,
+       CAST(s.spearman_num AS DOUBLE)
+         / (sqrt(CAST(s.spearman_denx AS DOUBLE))
+            * sqrt(CAST(s.spearman_deny AS DOUBLE))) AS spearman_rho,
+       k.n0, k.s_kendall, k.tx, k.ty,
+       CAST(k.s_kendall AS DOUBLE)
+         / (sqrt(CAST(k.n0 - k.tx AS DOUBLE))
+            * sqrt(CAST(k.n0 - k.ty AS DOUBLE))) AS kendall_tau_b
+FROM sp s JOIN kd k ON k.series = s.series
+WHERE s.spearman_denx > 0 AND s.spearman_deny > 0
+  AND k.n0 - k.tx > 0 AND k.n0 - k.ty > 0
+"""
+
+
+@query("stats_rank_correlation_battery", oracle=_RANKCORR_SQL)
+def stats_rank_correlation_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rho (textbook tie-averaged ranks) and Kendall tau-b
+    (with both tie corrections) between monthly order volume and monthly
+    revenue per priority — the robust are-these-monotonically-related
+    primitives that survive outliers and nonlinearity where Pearson
+    does not. Exactness: tie-averaged ranks are made integer by
+    doubling (2*avg_rank = 2*RANK() + |ties| - 1, the Mann-Whitney
+    idiom); all sufficient statistics (Pearson-on-ranks numerator and
+    denominators; concordant-minus-discordant S plus per-variable tie
+    pair counts) are exact BIGINTs emitted raw, and the final
+    irrational ratios are computed with the IDENTICAL IEEE op order in
+    both engines (cast, sqrt, sqrt, multiply, divide — each operation
+    correctly rounded, so identical inputs give bit-identical doubles;
+    the repo's established sqrt/divide idiom).
+
+    Scale: one fact-table collapse to the O(months * series) frame;
+    ranks are windows over that bounded frame, and the Kendall pair
+    join is O(months^2) per series over the COLLAPSED frame (bounded by
+    the calendar, not the data; for series long enough to matter, the
+    O(n log n) merge-sort inversion count is the drop-in replacement).
+    Shared-SQL verbatim on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RANKCORR_SQL)
