@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table
+from oe_batch_processing_spark.tables import load_table, register_views
 
 _MIN_SUPPORT = 3  # absolute basket count at sf<=0.1; a fraction at scale
 _PPM = 1_000_000
@@ -379,3 +379,83 @@ def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1000000.0)
         ).alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release via the (truncated) geometric
+# mechanism, with deterministic md5-seeded noise
+# ---------------------------------------------------------------------------
+
+_DP_B = 14          # truncation bound: noise support is [-B, B]
+_DP_SEED = "dp7"    # release seed; a new release uses a new seed
+
+# Two-sided geometric with alpha = 3/4 (epsilon = ln(4/3) ~ 0.2877 for
+# sensitivity-1 counts): exact integer weights w_k = 3^|k| * 4^(B-|k|)
+# over k in [-B, B] (common denominator 4^B), truncated and renormalized.
+_DP_ROWS: list[tuple[int, int, int]] = []
+_cum = 0
+for _k in range(-_DP_B, _DP_B + 1):
+    _w = 3 ** abs(_k) * 4 ** (_DP_B - abs(_k))
+    _DP_ROWS.append((_k, _cum, _cum + _w))
+    _cum += _w
+_DP_T = _cum  # total weight = the uniform's modulus
+
+_DP_VALUES = ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in _DP_ROWS)
+# 15 md5 nibbles -> a 60-bit uniform (modulo bias vs T < 2^30 is < 2^-30).
+# Each multiplier is CAST to BIGINT: small powers of 16 fit INT32, and
+# Spark then types the product INT32 too — nibble * 16^7 silently wraps
+# under non-ANSI semantics (measured: term 8 of the sum came back
+# negative). DuckDB is unaffected but parses the cast identically.
+_DP_U60 = " + ".join(
+    f"(instr('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+    f" * CAST({16 ** (15 - i)} AS BIGINT)"
+    for i in range(1, 16)
+)
+
+_DP_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_true,
+         md5(CAST(c_nationkey AS STRING) || ':' || c_mktsegment
+             || ':{_DP_SEED}') AS hx
+  FROM customer GROUP BY 1, 2
+),
+u AS (
+  SELECT nationkey, segment, n_true,
+         ({_DP_U60}) % {_DP_T} AS u
+  FROM g
+)
+SELECT u.nationkey, u.segment, u.n_true,
+       CAST(t.k AS BIGINT) AS noise,
+       CAST(u.n_true + t.k AS BIGINT) AS n_released
+FROM u JOIN (VALUES {_DP_VALUES}) AS t(k, lo, hi)
+  ON u.u >= t.lo AND u.u < t.hi
+"""
+
+
+@query("dq_dp_geometric_counts", oracle=_DP_SQL)
+def dq_dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the customer count per
+    (nation, market segment) via the geometric mechanism — the discrete
+    analogue of Laplace and the standard DP primitive for
+    sensitivity-1 counting queries (Ghosh-Roughgarden-Sundararajan's
+    utility-optimal mechanism). Noise follows the truncated two-sided
+    geometric with alpha = 3/4 (epsilon = ln(4/3)), realized EXACTLY in
+    integers: weights 3^|k| * 4^(B-|k|) over [-B, B] partition [0, T),
+    and a 60-bit uniform is derived from 15 md5 nibbles of the group
+    key + release seed, then mapped through the inverse CDF by a
+    29-row interval join. Deterministic seeding makes the release
+    reproducible and oracle-checkable; the documented deviations from a
+    production release are (a) the md5 stream stands in for a crypto
+    RNG, (b) the modulo bias (< 2^-30) and [-B, B] truncation
+    (tail mass ~ (3/4)^B) slightly perturb the distribution, and
+    (c) n_true is emitted here ONLY for the differential harness — a
+    real release ships n_released alone.
+
+    Scale: one map-side-combinable count per group, then a broadcast
+    interval join against the constant 29-row CDF table — noise
+    generation is O(groups), embarrassingly parallel, no extra shuffle.
+    Shared-SQL verbatim on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_DP_SQL)
