@@ -15,6 +15,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     mining,
     mlstats,
     multimodal,
+    multimodal_aiff,
     multimodal_avi,
     multimodal_flac,
     multimodal_gif,
