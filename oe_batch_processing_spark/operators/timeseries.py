@@ -1420,3 +1420,115 @@ def orders_forecast_ar2_yule_walker(
             f" + phi2_ppm * e_last"
         ).cast("bigint").alias("forecast2_ppm"),
     )
+
+
+# --- periodogram at fixed seasonal periods, via the Goertzel recurrence -----
+
+import math as _math
+
+_GOERTZEL_PERIODS = (3, 4, 6, 12)  # months
+# 2*cos(2*pi/P), computed ONCE here and embedded as a repr literal in
+# BOTH engine texts (the Benford shared-repr-literal rule): the engines'
+# own cos() need not agree to the last ULP — the constant is pinned.
+_GOERTZEL_C = {p: 2.0 * _math.cos(2.0 * _math.pi / p)
+               for p in _GOERTZEL_PERIODS}
+
+_GOERTZEL_FREQS = ", ".join(
+    f"({p}, CAST({_GOERTZEL_C[p]!r} AS DOUBLE))" for p in _GOERTZEL_PERIODS
+)
+
+_GOERTZEL_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT o_orderpriority AS series,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mth,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+),
+seq AS (
+  SELECT series, x,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY mth) AS rn
+  FROM base
+),
+cnt AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS np FROM base GROUP BY 1),
+freqs(period, c) AS (VALUES {_GOERTZEL_FREQS}),
+g AS (
+  SELECT s.series, f.period, f.c, s.rn,
+         CAST(s.x AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2
+  FROM seq s, freqs f WHERE s.rn = 1
+  UNION ALL
+  SELECT g.series, g.period, g.c, s.rn,
+         s.x + g.c * g.s1 - g.s2 AS s1,
+         g.s1 AS s2
+  FROM g JOIN seq s ON s.series = g.series AND s.rn = g.rn + 1
+)
+SELECT g.series, CAST(g.period AS INTEGER) AS period, cnt.np AS n_points,
+       g.s1, g.s2,
+       g.s1 * g.s1 + g.s2 * g.s2 - g.c * g.s1 * g.s2 AS power
+FROM g JOIN cnt ON cnt.series = g.series
+WHERE g.rn = cnt.np
+"""
+
+
+@query("orders_periodogram_goertzel", oracle=_GOERTZEL_ORACLE)
+def orders_periodogram_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral analysis, bit-exact across engines: the periodogram of
+    the monthly order-count series per priority at the seasonal periods
+    (3/4/6/12 months), computed with the Goertzel algorithm — the
+    single-frequency DFT as a second-order recurrence
+    s_t = x_t + c*s_(t-1) - s_(t-2) with c = 2cos(2*pi/P), and
+    |X(w)|^2 = s1^2 + s2^2 - c*s1*s2 at the end. This is the sequential
+    family (like Holt/Croston): the Spark shape is applyInPandas per
+    series (a plain float64 loop over the bounded, calendar-length
+    series), the oracle a recursive CTE stepping the IDENTICAL IEEE
+    expressions in the identical order, and the cosine constants are
+    computed once in Python and embedded as repr literals in both texts
+    (the shared-repr-literal rule) — so no engine ever calls its own
+    cos() and every double matches bit-for-bit.
+
+    Scale: the fact table collapses to O(months * series) in one
+    shuffle; each (series, period) recurrence is O(months) — a Goertzel
+    pass is how you scan 100 TB of per-key series for seasonality at a
+    known period without materializing an FFT per key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mth"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+
+    periods = list(_GOERTZEL_PERIODS)
+    consts = dict(_GOERTZEL_C)
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("mth").reset_index(drop=True)
+        x = [float(v) for v in pdf["x"]]
+        n = len(x)
+        rows = []
+        for p in periods:
+            c = consts[p]
+            s1 = x[0]
+            s2 = 0.0
+            for t in range(1, n):
+                s1, s2 = x[t] + c * s1 - s2, s1
+            rows.append({
+                "series": pdf["series"].iloc[0],
+                "period": p,
+                "n_points": n,
+                "s1": s1,
+                "s2": s2,
+                "power": s1 * s1 + s2 * s2 - c * s1 * s2,
+            })
+        return pd.DataFrame(
+            rows,
+            columns=["series", "period", "n_points", "s1", "s2", "power"],
+        )
+
+    return base.groupBy("series").applyInPandas(
+        fit,
+        "series string, period int, n_points bigint, s1 double, "
+        "s2 double, power double",
+    )
