@@ -893,3 +893,116 @@ def stream_forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         stateful_croston(orders_stream(spark, sf_dir)), "append"
     )
+
+
+# --- streaming twin #10: Goertzel periodogram --------------------------------
+
+GOERTZEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType(), False),
+        StructField("period", IntegerType(), False),
+        StructField("n_points", LongType(), False),
+        StructField("s1", DoubleType(), False),
+        StructField("s2", DoubleType(), False),
+        StructField("power", DoubleType(), False),
+    ]
+)
+
+GOERTZEL_STATE_SCHEMA = StructType(
+    [
+        StructField("mths", ArrayType(LongType()), False),
+        StructField("counts", ArrayType(LongType()), False),
+    ]
+)
+
+
+def _update_goertzel(
+    key: tuple, pdfs: Iterator, state: GroupState
+) -> Iterator[Any]:
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators.timeseries import (
+        _GOERTZEL_C,
+        _GOERTZEL_PERIODS,
+    )
+
+    if state.exists:
+        mths, counts = state.get
+        acc = dict(zip(list(mths), list(counts)))
+    else:
+        acc = {}
+    for pdf in pdfs:
+        for mth in pdf["mth"]:
+            acc[int(mth)] = acc.get(int(mth), 0) + 1
+    items = sorted(acc.items())
+    x = [float(c) for _, c in items]
+    n = len(x)
+    rows = []
+    for p in _GOERTZEL_PERIODS:
+        c = _GOERTZEL_C[p]
+        s1 = x[0] if n else 0.0
+        s2 = 0.0
+        for t in range(1, n):
+            s1, s2 = x[t] + c * s1 - s2, s1
+        rows.append({
+            "series": key[0],
+            "period": p,
+            "n_points": n,
+            "s1": s1,
+            "s2": s2,
+            "power": s1 * s1 + s2 * s2 - c * s1 * s2,
+        })
+    state.update((
+        [m for m, _ in items], [cnt for _, cnt in items],
+    ))
+    yield pd.DataFrame(
+        rows,
+        columns=["series", "period", "n_points", "s1", "s2", "power"],
+    )
+
+
+def stateful_goertzel(orders: DataFrame) -> DataFrame:
+    """Streaming Goertzel periodogram: state carries the per-series
+    month histogram (months + counts — bounded by the calendar, the
+    same boundedness the batch collapse exploits); each trigger re-runs
+    the recurrence over the refreshed histogram and re-emits the
+    per-period spectral powers. The recurrence itself cannot be carried
+    incrementally as (s1, s2) because a month's count keeps
+    accumulating until the stream ends — the histogram IS the minimal
+    sufficient state. Under the bounded single-pass replay the final
+    emission reproduces the batch fit bit-for-bit (same float loop, the
+    pinned repr-literal cosine constants), which the shared oracle
+    hash-checks."""
+    monthly = orders.select(
+        F.col("o_orderpriority").alias("series"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mth"),
+    )
+    return monthly.groupBy("series").applyInPandasWithState(
+        _update_goertzel,
+        outputStructType=GOERTZEL_OUTPUT_SCHEMA,
+        stateStructType=GOERTZEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _goertzel_oracle() -> str:
+    from oe_batch_processing_spark.operators.timeseries import (
+        _GOERTZEL_ORACLE,
+    )
+
+    return _GOERTZEL_ORACLE
+
+
+@query("stream_periodogram_goertzel", oracle=_goertzel_oracle())
+def stream_periodogram_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``orders_periodogram_goertzel`` — the tenth
+    batch/stream pair sharing one oracle: the Goertzel DFT recurrence
+    runs inside applyInPandasWithState with the per-series month
+    histogram as state, over a bounded stream of the orders table, and
+    the final emission reproduces the batch periodogram bit-for-bit."""
+    return run_available_now(
+        stateful_goertzel(orders_stream(spark, sf_dir)), "append"
+    )
