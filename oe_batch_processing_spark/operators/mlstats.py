@@ -596,3 +596,143 @@ def stats_rank_correlation_battery(
     """
     register_views(spark, sf_dir)
     return spark.sql(_RANKCORR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RANSAC robust line fit with deterministic seeded sampling
+# ---------------------------------------------------------------------------
+
+_RANSAC_K = 32      # candidate models per series
+_RANSAC_SEED = "rs7"
+
+
+def _u60(col: str) -> str:
+    """60-bit uniform from 15 md5 nibbles of column ``col`` (the
+    dq_dp_geometric_counts idiom; multipliers CAST to BIGINT — small
+    powers of 16 otherwise type the product INT32 on Spark and wrap)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
+        f" * CAST({16 ** (15 - i)} AS BIGINT)"
+        for i in range(1, 16)
+    )
+
+
+_RANSAC_KS = ", ".join(f"({k})" for k in range(1, _RANSAC_K + 1))
+
+_RANSAC_SQL = f"""
+WITH base AS (
+  SELECT o_orderpriority AS series,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS mth,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+pts AS (
+  SELECT series, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY mth)
+              AS BIGINT) AS t
+  FROM base
+),
+sstats AS (
+  SELECT series, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+  FROM pts GROUP BY 1
+),
+tolc AS (
+  SELECT series, n,
+         GREATEST(CAST(FLOOR(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 10.0)
+                       AS BIGINT), 1) AS tol
+  FROM sstats
+),
+ks(k) AS (VALUES {_RANSAC_KS}),
+cand0 AS (
+  SELECT t.series, t.n, t.tol, ks.k,
+         md5(t.series || ':' || CAST(ks.k AS STRING) || ':a:{_RANSAC_SEED}')
+           AS ha,
+         md5(t.series || ':' || CAST(ks.k AS STRING) || ':b:{_RANSAC_SEED}')
+           AS hb
+  FROM tolc t CROSS JOIN ks
+),
+cand1 AS (
+  SELECT series, n, tol, k,
+         1 + ({_u60('ha')}) % n AS i0,
+         1 + ({_u60('hb')}) % (n - 1) AS j0
+  FROM cand0
+),
+cand AS (
+  SELECT series, n, tol, k, i0 AS i,
+         j0 + CASE WHEN j0 >= i0 THEN 1 ELSE 0 END AS j
+  FROM cand1
+),
+lines AS (
+  SELECT c.series, c.k, c.tol,
+         pi.t AS t1, pi.y AS y1,
+         pj.t - pi.t AS dx, pj.y - pi.y AS dy
+  FROM cand c
+  JOIN pts pi ON pi.series = c.series AND pi.t = c.i
+  JOIN pts pj ON pj.series = c.series AND pj.t = c.j
+),
+scored AS (
+  SELECT l.series, l.k, l.tol, l.t1, l.y1, l.dx, l.dy,
+         CAST(SUM(CASE WHEN ABS(l.dx * (p.y - l.y1) - l.dy * (p.t - l.t1))
+                            <= l.tol * ABS(l.dx)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+  FROM lines l JOIN pts p ON p.series = l.series
+  GROUP BY l.series, l.k, l.tol, l.t1, l.y1, l.dx, l.dy
+),
+best AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY series
+                            ORDER BY n_in DESC, k) AS rk
+  FROM scored
+),
+refit AS (
+  SELECT b.series, b.k, b.n_in, b.tol,
+         CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(SUM(p.t) AS BIGINT) AS st,
+         CAST(SUM(p.y) AS BIGINT) AS syy,
+         CAST(SUM(p.t * p.y) AS BIGINT) AS sty,
+         CAST(SUM(p.t * p.t) AS BIGINT) AS stt
+  FROM best b
+  JOIN pts p ON p.series = b.series
+    AND ABS(b.dx * (p.y - b.y1) - b.dy * (p.t - b.t1))
+          <= b.tol * ABS(b.dx)
+  WHERE b.rk = 1
+  GROUP BY b.series, b.k, b.n_in, b.tol
+)
+SELECT series, CAST(k AS INTEGER) AS k_best, n_in, tol,
+       n2 AS n_refit, st, syy, sty, stt,
+       CAST(n2 * sty - st * syy AS DOUBLE)
+         / CAST(n2 * stt - st * st AS DOUBLE) AS slope,
+       (CAST(syy AS DOUBLE)
+        - (CAST(n2 * sty - st * syy AS DOUBLE)
+           / CAST(n2 * stt - st * st AS DOUBLE)) * CAST(st AS DOUBLE))
+         / CAST(n2 AS DOUBLE) AS intercept
+FROM refit
+"""
+
+
+@query("stats_ransac_line_fit", oracle=_RANSAC_SQL)
+def stats_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC — the classical robust regression: fit a trend line to the
+    monthly order-count series per priority by consensus rather than
+    least squares, so outlier months cannot drag the fit (the failure
+    mode Theil-Sen addresses by medians; RANSAC addresses it by random
+    sampling + inlier voting, and is THE standard in vision/robotics
+    pipelines). Made fully deterministic and hash-oracleable: the 32
+    candidate point-pairs are drawn by md5-seeded 60-bit uniforms
+    (distinct-index correction j -> j + [j >= i]), the inlier test is
+    EXACT integer arithmetic (|dx*(y-y1) - dy*(t-t1)| <= tol*|dx| — the
+    cross-multiplied point-to-line residual, no division anywhere), the
+    winner is argmax inliers with a deterministic low-k tie-break, and
+    the final least-squares REFIT on the consensus set emits exact
+    BIGINT moments plus slope/intercept doubles computed with identical
+    IEEE op order in both engines. The tolerance is data-adaptive
+    (10 percent of the mean count, floor-exact).
+
+    Scale: the fact table collapses once to the calendar-length series;
+    candidates x points is a K * months frame per series (bounded by
+    the calendar); one window picks winners; the refit is one more
+    bounded join. Shared-SQL verbatim on both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RANSAC_SQL)
+
