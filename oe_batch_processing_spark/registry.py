@@ -56,7 +56,8 @@ ORACLE: dict[str, str] = {}
 # orders_forecast_ar2_yule_walker, stats_rank_correlation_battery,
 # graph_kcore_trade, dq_dp_geometric_counts,
 # multimodal_audio_aiff_roundtrip, orders_periodogram_goertzel,
-# stream_periodogram_goertzel, stats_ransac_line_fit —
+# stream_periodogram_goertzel, stats_ransac_line_fit,
+# layout_hilbert_events —
 # round-7 additions registered after the window filled — and
 # events_ewma_user, win_rolling_distinct_users, events_gap_fill_locf,
 # asof_nearest_click, intervals_coalesce_shipping,
