@@ -149,6 +149,22 @@ HEADLINE = [
     "stream_forecast_croston",
     "sample_neyman_allocation",
     "multimodal_audio_adpcm_roundtrip",
+    # round-7 final wave (committed after the r7 protocol bench — added so
+    # every registered headline-worthy operator has a committed bench row):
+    "multimodal_audio_aiff_roundtrip",
+    "multimodal_audio_flac_lite_roundtrip",
+    "multimodal_video_mjpeg_avi_decode",
+    "orders_periodogram_goertzel",
+    "stream_periodogram_goertzel",
+    "stats_ransac_line_fit",
+    "layout_hilbert_events",
+    "dq_dp_geometric_counts",
+    "graph_kcore_trade",
+    "stats_rank_correlation_battery",
+    "orders_forecast_ar2_yule_walker",
+    "pipeline_bpe_train_apply",
+    "pipeline_split_leakage_report",
+    "dq_k_anonymity_report",
 ]
 
 
@@ -310,7 +326,9 @@ def main() -> None:
             r3 = json.load(f).get("parsed") or {}
         r3_keys = set(r3.get("queries", {}))
         vals = [float(timings[k]) for k in r3_keys if k in timings]
-        if vals and len(vals) == len(r3_keys & set(timings)):
+        # Guard against a partial sum: if ANY r3-shared query errored out
+        # (absent from timings), the label "shared_r3_total" would lie.
+        if vals and len(vals) == len(r3_keys):
             shared34 = round(sum(vals), 3)
     except Exception:  # noqa: BLE001 — summary extra, never sink the bench
         pass

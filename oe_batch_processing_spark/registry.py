@@ -43,7 +43,31 @@ ORACLE: dict[str, str] = {}
 # additions plus 13 of the older never-checked batch. Everything else is
 # local-sweep-verified at sf0.01 AND sf0.001 (CHECK_LOCAL_r06.md /
 # CHECK_LOCAL_SF0001_r06.md) plus the judge's independent samples.
-# Round-8 window note: rotate in the remaining 43 never-checked names
+# Round-8 window (live below): 50 of the 81 names that had never had a
+# driver row after rounds 1-7 (cumulative driver-green: 235/316) — the 29
+# round-7-continuation operators with the newest code first (RANSAC,
+# Hilbert, Goertzel batch+stream, k-core, star-CC, the four audio codecs,
+# MJPEG/AVI, JPEG/JPEG-420/GIF, BPE train+apply, Croston batch+stream,
+# AR(2), rank-correlation, ANOVA, Benford, DP counts, ACF, MATTR, Neyman,
+# parquet-footer, split-leakage, k-anonymity), then 21 older stragglers in
+# prior-comment order. The 31 still-never-checked names for the round-9
+# window: subquery_exists_projection, agg_ordered_set_percentiles,
+# alloc_largest_remainder, scalar_try_arith_battery,
+# events_pattern_sequence, join_range_pure_bucketized, stats_chi2_type_dow,
+# ab_test_conversion_lift, orders_open_backlog_daily,
+# subquery_not_in_null_trap, customer_rfm_scores,
+# lineitem_abc_classification, quality_control_pchart,
+# sql_udf_parameterized, scalar_collation_lcase,
+# events_funnel_staged_windows, join_salted_orders_segment,
+# events_gap_fill_locf, events_ewma_user, events_type_transitions,
+# events_resample_interp_linear, events_weekly_seasonality,
+# events_late_arrival_profile, events_anomaly_seasonal,
+# win_rolling_distinct_users, asof_nearest_click,
+# intervals_coalesce_shipping, arrow_user_value_stats,
+# udtf_python_word_stats, stream_ewma_user, agg_bitwise_mode — plus any
+# round-8 additions registered after this window was fixed.
+# (Historical round-8 note kept for provenance:) rotate in the remaining
+# 43 never-checked names
 # (plus pipeline_split_leakage_report, dq_k_anonymity_report,
 # multimodal_jpeg_decode, multimodal_jpeg420_decode, dq_benford_screen,
 # orders_forecast_croston, stats_anova_oneway, text_lexical_mattr,
@@ -85,56 +109,56 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    "multimodal_ppm_decode",
-    "multimodal_wav_riff_features",
-    "multimodal_tar_member_index",
-    "multimodal_zip_member_index",
-    "multimodal_gzip_decode",
-    "ingest_binaryfile_netpbm",
-    "pyds_writer_roundtrip",
-    "set_intersect_all_quantities",
-    "set_except_all_quantities",
-    "orders_trend_theil_sen",
-    "orders_trend_mann_kendall",
-    "orders_trend_seasonal_mk",
-    "orders_forecast_holt_winters",
-    "orders_cohort_retention",
-    "orders_runs_test_daily",
-    "customer_revenue_gini",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-    "stats_bootstrap_ci_weekly_orders",
-    "sample_pps_systematic",
-    "sample_reservoir_per_user",
-    "events_sessionize_capped",
-    "events_token_bucket_admission",
-    "events_burst_detection",
-    "pipeline_token_budget_epochs",
-    "pipeline_budget_mixture_greedy",
-    "sql_window_named_spec",
-    "sql_select_star_except",
-    "win_ignore_nulls_battery",
-    "udtf_table_arg_streaks",
-    "dedup_semdedup_clusters",
-    "dedup_incremental_bloom_prefilter",
-    "text_bigram_lm_kneser_ney",
-    "graph_label_propagation",
-    "stream_token_bucket_admission",
-    "stream_sessionize_capped",
-    "stream_burst_detection",
-    "multimodal_png_decode",
-    "dedup_minhash_error_profile",
-    "ingest_gzip_codec_scan",
-    "orders_stl_decompose_monthly",
-    "embedding_pca_power_iteration",
-    "pipeline_data_card",
-    "multimodal_bmp_decode",
-    "events_session_window_dynamic_gap",
-    "stream_session_window_dynamic_gap",
-    "recursive_cte_custkey_tree",
-    "events_session_window_native",
-    "stream_dedup_within_watermark",
-    "stream_foreachbatch_upsert",
+    "stats_ransac_line_fit",
+    "layout_hilbert_events",
+    "orders_periodogram_goertzel",
+    "stream_periodogram_goertzel",
+    "graph_kcore_trade",
+    "graph_connected_components_star",
+    "multimodal_audio_aiff_roundtrip",
+    "multimodal_audio_flac_lite_roundtrip",
+    "multimodal_audio_adpcm_roundtrip",
+    "multimodal_audio_mulaw_roundtrip",
+    "multimodal_video_mjpeg_avi_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_jpeg420_decode",
+    "multimodal_gif_decode",
+    "pipeline_bpe_train",
+    "pipeline_bpe_train_apply",
+    "orders_forecast_croston",
+    "stream_forecast_croston",
+    "orders_forecast_ar2_yule_walker",
+    "stats_rank_correlation_battery",
+    "stats_anova_oneway",
+    "dq_benford_screen",
+    "dq_dp_geometric_counts",
+    "events_acf_battery",
+    "text_lexical_mattr",
+    "sample_neyman_allocation",
+    "ingest_parquet_footer_index",
+    "pipeline_split_leakage_report",
+    "dq_k_anonymity_report",
+    "pyds_stream_synthetic",
+    "multimodal_audio_vad_segments",
+    "multimodal_video_shot_boundaries",
+    "users_churn_labels",
+    "pipeline_mix_temperature_sqrt",
+    "scalar_variant_events",
+    "lateral_recent_orders",
+    "set_union_by_name",
+    "scalar_interval_arith",
+    "stats_corr_regression",
+    "join_full_outer_nation_presence",
+    "stats_equidepth_bins",
+    "pareto_frontier_parts",
+    "mv_incremental_hourly",
+    "win_percent_of_total",
+    "sql_pipe_revenue_by_flag",
+    "agg_listagg_segment_nations",
+    "events_anomaly_mad",
+    "join_null_safe_halves",
+    "agg_group_by_all",
+    "scalar_url_parse_battery",
 )
 
 

@@ -68,3 +68,57 @@ def test_sweep_vacuous_passes_are_allowlisted():
         f"output non-empty at sf0.01, add a unit test of the non-empty "
         f"path, or justify an allowlist entry"
     )
+
+
+def _newest_sf0001_sweep() -> str:
+    paths = glob.glob(os.path.join(REPO, "CHECK_LOCAL_SF0001_r*.md"))
+    assert paths, "no CHECK_LOCAL_SF0001_r*.md sweep artifact committed"
+    return max(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+
+
+def test_sweep_header_counts_match_registry():
+    """VERDICT r7 item 2: the header counts drifted from the registry twice
+    (r6 and r7) because operators landed after the doc-sync commit. The
+    sweep-line guard above catches missing LINES; this catches stale
+    HEADERS: the `**N/M passed**` claim in the newest sweep artifacts must
+    say M == len(registry.QUERIES)."""
+    for path in (_newest_sweep(), _newest_sf0001_sweep()):
+        with open(path) as f:
+            head = f.read(2000)
+        m = re.search(r"\*\*(\d+)/(\d+) passed\*\*", head)
+        assert m, f"{os.path.basename(path)} header lacks a '**N/M passed**' claim"
+        claimed = int(m.group(2))
+        assert claimed == len(registry.QUERIES), (
+            f"{os.path.basename(path)} header claims {claimed} registered "
+            f"queries but the registry has {len(registry.QUERIES)} — "
+            f"regenerate the header from `cli counts`"
+        )
+
+
+def test_driver_window_names_are_registered():
+    """VERDICT r7 item 7: a rename would silently shrink the driver window.
+    Every DRIVER_CHECK_PRIORITY name must resolve in the registry, the
+    window must be exactly 50 unique names (the driver checks a 50-prefix),
+    and every name must also carry an oracle or be a declared rows-only
+    approximate (a window slot without at least a rows-only check row is
+    wasted)."""
+    w = registry.DRIVER_CHECK_PRIORITY
+    assert len(w) == 50 and len(set(w)) == 50, (
+        f"driver window must be 50 unique names, got {len(w)} "
+        f"({len(set(w))} unique)"
+    )
+    unknown = [n for n in w if n not in registry.QUERIES]
+    assert not unknown, f"driver-window names missing from registry: {unknown}"
+
+
+def test_bench_headline_names_are_registered():
+    """VERDICT r7 item 7 (second half): a rename would silently drop a
+    bench row. Parse bench.py's HEADLINE literal and resolve every name."""
+    with open(os.path.join(REPO, "bench.py")) as f:
+        src = f.read()
+    m = re.search(r"HEADLINE = \[(.*?)\]", src, re.S)
+    assert m, "bench.py HEADLINE literal not found"
+    names = re.findall(r'"([^"]+)"', m.group(1))
+    assert len(names) == len(set(names)), "duplicate names in bench HEADLINE"
+    unknown = [n for n in names if n not in registry.QUERIES]
+    assert not unknown, f"bench HEADLINE names missing from registry: {unknown}"
