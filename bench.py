@@ -165,6 +165,8 @@ HEADLINE = [
     "pipeline_bpe_train_apply",
     "pipeline_split_leakage_report",
     "dq_k_anonymity_report",
+    # round-9 additions:
+    "stream_tws_type_stats",  # transformWithState via pbshim protobuf walk
 ]
 
 

@@ -258,40 +258,75 @@ TWS_STATE_SCHEMA = StructType(
 )
 
 
-class TypeStatsProcessor(StatefulProcessor):
-    """Per-event-type running (count, sum, min, max) over exact integer
-    cents. Emits the updated stats once per key per micro-batch."""
+def make_type_stats_processor() -> StatefulProcessor:
+    """Build the per-type (count, sum, min, max) StatefulProcessor as a
+    LOCAL class so cloudpickle serializes it BY VALUE.
 
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self.stats = handle.getValueState("stats", TWS_STATE_SCHEMA)
+    Two worker fidelity constraints force this shape (the same class of bug
+    the Python DataSource / UDTF operators hit — see sources/py_datasource):
 
-    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-        import pandas as pd
+    * transformWithState's schema pre-init runs in a DRIVER-SIDE Python
+      worker (StreamingPythonRunner) that does NOT see addPyFile pyFiles —
+      a by-reference class dies there with ModuleNotFoundError whenever the
+      driver session wasn't launched from the repo root.
+    * That worker's first proto call (set_handle_state(PRE_INIT)) happens
+      BEFORE StatefulProcessor.init, so on protobuf-less containers the
+      pbshim must be installed during UNPICKLING: ``__setstate__`` execs
+      the pbshim source (carried as a closure string — self-contained,
+      stdlib-only) and runs ``ensure_state_message_module()``.
+    """
+    import inspect
 
-        if self.stats.exists():
-            n, cents, mn, mx = self.stats.get()
-        else:
-            n, cents, mn, mx = 0, 0, None, None
-        for pdf in rows:
-            c = pdf["y_cents"].astype("int64")
-            n += len(c)
-            cents += int(c.sum())
-            b_mn, b_mx = int(c.min()), int(c.max())
-            mn = b_mn if mn is None else min(mn, b_mn)
-            mx = b_mx if mx is None else max(mx, b_mx)
-        self.stats.update((n, cents, mn, mx))
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "n_events": [n],
-                "total_cents": [cents],
-                "min_cents": [mn],
-                "max_cents": [mx],
-            }
-        )
+    from oe_batch_processing_spark.streaming import pbshim
 
-    def close(self) -> None:
-        pass
+    pbshim_src = inspect.getsource(pbshim)
+    state_schema = TWS_STATE_SCHEMA
+
+    class TypeStatsProcessor(StatefulProcessor):
+        """Per-event-type running (count, sum, min, max) over exact integer
+        cents. Emits the updated stats once per key per micro-batch."""
+
+        def __init__(self) -> None:
+            self._pbshim_src = pbshim_src
+
+        def __setstate__(self, state):  # noqa: ANN001
+            self.__dict__.update(state)
+            ns: dict = {}
+            exec(compile(self._pbshim_src, "<pbshim_embedded>", "exec"), ns)
+            ns["ensure_state_message_module"]()
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.stats = handle.getValueState("stats", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            import pandas as pd
+
+            if self.stats.exists():
+                n, cents, mn, mx = self.stats.get()
+            else:
+                n, cents, mn, mx = 0, 0, None, None
+            for pdf in rows:
+                c = pdf["y_cents"].astype("int64")
+                n += len(c)
+                cents += int(c.sum())
+                b_mn, b_mx = int(c.min()), int(c.max())
+                mn = b_mn if mn is None else min(mn, b_mn)
+                mx = b_mx if mx is None else max(mx, b_mx)
+            self.stats.update((n, cents, mn, mx))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "min_cents": [mn],
+                    "max_cents": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TypeStatsProcessor()
 
 
 def tws_type_stats(events: DataFrame) -> DataFrame:
@@ -301,7 +336,7 @@ def tws_type_stats(events: DataFrame) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("y_cents"),
     )
     return prepped.groupBy("event_type").transformWithStateInPandas(
-        statefulProcessor=TypeStatsProcessor(),
+        statefulProcessor=make_type_stats_processor(),
         outputStructType=TWS_OUTPUT_SCHEMA,
         outputMode="Update",
         timeMode="None",
@@ -351,19 +386,20 @@ def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Environment gate, not a stub: the transformWithState Python state client
-# speaks protobuf to the JVM state server; without google.protobuf the
-# stream fails at runner init (verified). The operator and its plan
-# construction are real and tested either way (tests/test_streaming.py);
-# the driver-visible query registers only where it can actually run.
-import importlib.util as _ilu  # noqa: E402
+# Round 9: no environment gate anymore. The transformWithState Python state
+# client speaks protobuf to the JVM state server through the generated
+# StateMessage_pb2 module; where google.protobuf is missing (this
+# container), pbshim installs a hand-rolled wire-format-compatible module
+# under the same name (varint walk + dynamic classes built from the
+# serialized descriptor Spark ships — see pbshim.py). The install happens
+# at import time of THIS module, which the worker triggers when it
+# unpickles TypeStatsProcessor — before the first lazy pb2 import.
+from oe_batch_processing_spark.streaming.pbshim import (  # noqa: E402
+    ensure_state_message_module,
+)
 
-try:
-    HAS_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:  # no `google` namespace package at all
-    HAS_PROTOBUF = False
-if HAS_PROTOBUF:  # pragma: no cover — container has no protobuf
-    query("stream_tws_type_stats", oracle=TWS_ORACLE)(stream_tws_type_stats)
+ensure_state_message_module()
+query("stream_tws_type_stats", oracle=TWS_ORACLE)(stream_tws_type_stats)
 
 
 # --- stateful operator #4: streaming CUSUM changepoint carry -----------------

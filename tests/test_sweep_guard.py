@@ -95,6 +95,33 @@ def test_sweep_header_counts_match_registry():
         )
 
 
+# The declared irreducible approximates (COVERAGE.md): registered without an
+# oracle BY DESIGN, each carrying a pytest accuracy gate instead. Any other
+# window name without an oracle is a wasted slot and fails the guard below.
+ROWS_ONLY: frozenset[str] = frozenset(
+    {
+        "agg_approx_count_distinct",
+        "sample_stratified_documents",
+        "similarity_topk_ivf",
+        "similarity_topk_ivfpq",
+        "similarity_topk_lsh",
+        "sketch_hll_user_rollup",
+        "sketch_theta_segment_overlap",
+    }
+)
+
+
+def test_rows_only_set_matches_registry():
+    """The declared rows-only approximates must be exactly the registry's
+    oracle-less names — a new oracle-less query must either gain an oracle
+    or be argued into this declared set."""
+    actual = set(registry.QUERIES) - set(registry.ORACLE)
+    assert actual == set(ROWS_ONLY), (
+        f"undeclared rows-only queries: {sorted(actual - ROWS_ONLY)}; "
+        f"stale declarations: {sorted(ROWS_ONLY - actual)}"
+    )
+
+
 def test_driver_window_names_are_registered():
     """VERDICT r7 item 7: a rename would silently shrink the driver window.
     Every DRIVER_CHECK_PRIORITY name must resolve in the registry, the
@@ -109,6 +136,12 @@ def test_driver_window_names_are_registered():
     )
     unknown = [n for n in w if n not in registry.QUERIES]
     assert not unknown, f"driver-window names missing from registry: {unknown}"
+    # ADVICE r8: the docstring promised this but the body never checked it.
+    unchecked = [n for n in w if n not in registry.ORACLE and n not in ROWS_ONLY]
+    assert not unchecked, (
+        f"driver-window names with neither an oracle nor a declared "
+        f"rows-only approximate status: {unchecked}"
+    )
 
 
 def test_bench_headline_names_are_registered():
