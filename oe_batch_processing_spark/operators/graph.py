@@ -782,6 +782,40 @@ def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
     return "".join(parts)
 
 
+def _kcore_threshold(deg: DataFrame) -> DataFrame:
+    """The data-adaptive k threshold (60th-percentile initial degree) as a
+    single-row frame, WITHOUT a global sort.
+
+    Round-8 verdict fix: the old ROW_NUMBER() OVER (ORDER BY d) funneled
+    the whole |V|-sized degree table through one task. Same
+    tie-straddle-invariant rank statistic, restated over the tiny
+    distinct-degree domain: the value at ascending rank
+    r = floor(pct*n/10) equals MIN(d) among degrees whose cumulative count
+    reaches r; equal-d ties can't straddle the answer because cum() jumps
+    over the whole tie group at once. cum() itself is a broadcast non-equi
+    self-join on distinct degrees (|D| <= max-degree rows, so |D|^2 pairs
+    are trivial at any scale) — the plan has no window and no
+    single-partition exchange; the |V|-sized aggregate shuffles normally.
+    Matches the oracle's ROW_NUMBER formulation exactly (tests pin both the
+    plan shape and the rank semantics against a brute-force ranking).
+    """
+    dcnt = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    cum = (
+        dcnt.alias("a")
+        .join(F.broadcast(dcnt.select(F.col("d").alias("d2"),
+                                      F.col("cnt").alias("cnt2"))),
+              F.col("d2") <= F.col("a.d"))
+        .groupBy("a.d")
+        .agg(F.sum("cnt2").alias("cum"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(deg.agg(F.count("*").alias("n"))))
+        .filter(F.expr(f"cum >= ({_KCORE_PCT} * n) div 10 "
+                       f"AND {_KCORE_PCT} * n >= 10"))
+        .agg(F.coalesce(F.min("d"), F.lit(1)).alias("kthr"))
+    )
+
+
 @query("graph_kcore_trade", oracle=_kcore_oracle())
 def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The k-core of the bipartite customer-supplier trade graph
@@ -834,15 +868,7 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
 
-    w = Window.orderBy("d")
-    ranked = deg.select("d", F.row_number().over(w).alias("rn")).crossJoin(
-        F.broadcast(deg.agg(F.count("*").alias("n")))
-    )
-    row = (
-        ranked.filter(F.expr(f"10 * rn <= {_KCORE_PCT} * n"))
-        .agg(F.coalesce(F.max("d"), F.lit(1)).alias("kthr"))
-        .collect()  # bounded: one scalar, the adaptive threshold
-    )
+    row = _kcore_threshold(deg).collect()  # bounded: one scalar
     kthr = int(row[0]["kthr"])
 
     for _ in range(_KCORE_ROUNDS):
