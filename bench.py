@@ -167,6 +167,7 @@ HEADLINE = [
     "dq_k_anonymity_report",
     # round-9 additions:
     "stream_tws_type_stats",  # transformWithState via pbshim protobuf walk
+    "multimodal_h264_ipcm_decode",  # Annex-B I-PCM decode
 ]
 
 

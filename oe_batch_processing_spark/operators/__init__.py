@@ -17,6 +17,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     multimodal,
     multimodal_aiff,
     multimodal_avi,
+    multimodal_h264,
     multimodal_flac,
     multimodal_gif,
     multimodal_jpeg,

@@ -2,10 +2,13 @@
 ``binary`` columns with typed metadata, plus decode / feature-extract plumbing
 as Arrow-batched Pandas UDFs.
 
-The container has no image/audio codec libraries, so H.264 decode is
-stubbed behind ``NotImplementedError`` with a deterministic fake (byte-level
-feature extraction) — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested (tests/test_ingestion.py).
+The container has no image/audio codec libraries; every format whose
+grammar is implementable from spec without one is decoded for real — since
+round 9 that includes H.264 (I-PCM baseline Annex-B, multimodal_h264.py),
+leaving WebP/TIFF decode and true pixel resize as the only declared
+capability stubs (``NotImplementedError`` below, with the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — real and
+tested, tests/test_ingestion.py).
 Formats that need no external codec are decoded FOR REAL by hand-written
 grammars: netpbm, RIFF/WAVE, USTAR tar, ZIP, gzip/DEFLATE, PNG
 (chunk walk + zlib inflate + all five scanline unfilters), BMP,
@@ -470,10 +473,10 @@ def multimodal_raster_gradients(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy path: zero-copy ``np.frombuffer`` → reshape(rows, {RASTER_W}) →
     vectorized `np.abs(np.diff(...))` along each axis. Fully hash-checked —
     DuckDB rebuilds every pixel from hex nibbles and computes identical
-    integer sums. H.264 remains the only declared stub (PNG and baseline
-    JPEG decode for real — multimodal_png_decode / multimodal_jpeg_decode);
-    this shows the identical pipeline on the format class that needs no
-    codec at all.
+    integer sums. PNG, baseline JPEG and H.264 I-PCM all decode for real
+    (multimodal_png_decode / multimodal_jpeg_decode /
+    multimodal_h264_ipcm_decode); this shows the identical pipeline on the
+    format class that needs no codec at all.
     """
     docs = load_table(spark, sf_dir, "documents")
     imgs = media_frame(docs).filter(F.col("media_type") == "image")
@@ -1559,7 +1562,7 @@ def ingest_binaryfile_netpbm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- real COMPRESSED-format decode: gzip (RFC 1952 container + DEFLATE) -----
 #
-# The H.264 stub stays stubbed (no codec libs), but DEFLATE is in
+# DEFLATE is in
 # the standard library — so gzip gives a genuine compressed-format decode:
 # stage 1 produces real .gz bytes (zlib, fixed level, FNAME header on every
 # 3rd file), stage 2 walks the RFC 1952 grammar by hand — magic, CM, FLG
@@ -1864,8 +1867,8 @@ def multimodal_zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputes the statistics (and the filter-type bitmask) from the
 # generation rule, so any defect anywhere in encode OR decode — filter
 # math, CRC coverage, chunk ordering, IDAT reassembly — breaks the hash.
-# H.264 remains the only declared codec stub (baseline JPEG decodes for
-# real — multimodal_jpeg.py).
+# Baseline JPEG (multimodal_jpeg.py) and H.264 I-PCM (multimodal_h264.py)
+# decode for real too; no codec stubs remain.
 
 
 def _paeth(a: int, b: int, c: int) -> int:

@@ -1,7 +1,7 @@
 """Motion-JPEG video in an AVI container — the video pipeline, for real.
 
-H.264 remains the declared inter-frame codec stub (no entropy/DSP stack
-for it in-container), but MJPEG — every frame an independent baseline
+H.264 decodes for real as of round 9 (I-PCM baseline Annex-B,
+multimodal_h264.py), and MJPEG — every frame an independent baseline
 JPEG inside a RIFF/AVI container — is a genuine production video format
 (capture cards, webcams, DV proxies), and BOTH halves are hand-written
 here from the public specs: a muxer emitting the real RIFF grammar

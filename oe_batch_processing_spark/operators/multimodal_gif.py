@@ -24,8 +24,9 @@ Grammar implemented for real:
   order of JPEG's entropy stream), 255-byte sub-block framing.
 
 Reference scope note: the reference engine (SURVEY.md §2.1) has no media
-path; this extends the §2.2 multimodal family. H.264 remains the only
-declared codec stub.
+path; this extends the §2.2 multimodal family. Since round 9 no codec
+stub remains (H.264 I-PCM decodes for real, multimodal_h264.py); WebP/TIFF
+decode are the only declared capability stubs.
 
 Scale: identical shape to the PNG/BMP/JPEG transcodes — two chained
 mapInPandas stages over a bounded fan-out of raw rows; per-file work is

@@ -43,7 +43,8 @@ for fidelity.
 Reference scope note: the reference engine (SURVEY.md §2.1,
 /root/reference/lib/batchProcessing.js) has no media path at all; this
 operator extends the §2.2 multimodal family the harness demands. After
-this, H.264 is the only remaining declared codec stub.
+this, and round 9 retired the H.264 stub too (I-PCM baseline Annex-B,
+multimodal_h264.py) — no codec stubs remain.
 
 Scale: two chained mapInPandas stages, embarrassingly parallel across
 files; per-file work is O(pixels) + O(blocks) Huffman bits. The only

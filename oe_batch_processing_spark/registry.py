@@ -112,6 +112,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- round-9 additions land first (newest code gets a driver row the
     # --- same round it ships); appended as they register this round.
     "stream_tws_type_stats",  # r9: unconditional via pbshim protobuf walk
+    "multimodal_h264_ipcm_decode",  # r9: last codec stub retired
     # --- then the final 31 names that never had a driver row after r1-r8
     # --- (exactly the never-checked remainder; the judge's r8 session ran
     # --- all 31 green at sf0.01 via tools/check.py, this gives them the
@@ -169,7 +170,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "orders_forecast_croston",
     "events_acf_battery",
-    "ingest_parquet_footer_index",
 )
 
 
