@@ -168,6 +168,7 @@ HEADLINE = [
     # round-9 additions:
     "stream_tws_type_stats",  # transformWithState via pbshim protobuf walk
     "multimodal_h264_ipcm_decode",  # Annex-B I-PCM decode
+    "stream_split_leakage_gate",  # incremental leakage audit twin
 ]
 
 

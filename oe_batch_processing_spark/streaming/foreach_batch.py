@@ -145,3 +145,188 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = final.collect()
     shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, final.schema)
+
+
+# --- streaming split-leakage gate (the batch audit, incrementally) -----------
+
+_GATE_BLOOM_K = 3        # md5 16-bit slices reduced mod m, as in dedup bloom
+_GATE_BLOOM_M = 1 << 16  # sized UP vs the dedup demo: shingle domain is big
+
+
+from oe_batch_processing_spark import registry as _registry  # noqa: E402
+
+
+@query(
+    "stream_split_leakage_gate",
+    # SHARES the batch audit's oracle verbatim: the incremental gate must
+    # produce the identical report (same cross-validating-pair pattern as
+    # star-CC/LPA sharing one transitive-closure oracle).
+    oracle=_registry.ORACLE["pipeline_split_leakage_report"],
+)
+def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eleventh batch/stream twin: ``pipeline_split_leakage_report`` as
+    an INCREMENTAL foreachBatch gate — how a production pipeline actually
+    runs the leakage audit: held-out docs arrive in micro-batches and are
+    checked against the frozen train corpus at ingest time, not in a
+    one-shot scan after the fact.
+
+    Per micro-batch (four real ones, maxFilesPerTrigger=1 over range-split
+    files): shingle the arriving docs, screen each distinct shingle
+    against a Bloom bit-table of the TRAIN shingle universe (k=3 md5
+    slices mod m — <= k*m rows to broadcast REGARDLESS of history size,
+    and no false negatives, so the screen is exactness-preserving), join
+    survivors to the static train inverted index, exact-Jaccard verify
+    (>= 0.8), and append the confirmed leak pairs. Pairs from different
+    batches are disjoint (each held doc lives in exactly one batch), so
+    append-only accumulation IS the merge. The final report aggregates
+    the accumulated pairs — hash-identical to the one-shot batch audit.
+
+    Scale: the train-side structures are the streaming state of a real
+    deployment — the inverted index partitioned by shingle (shuffled
+    once, reused every batch) and the broadcast Bloom table; each batch
+    shuffles only its own shingles. At 100 TB swap the exact index join
+    for MinHash band candidates + exact verify, same as the batch op's
+    documented path; the gate contract is unchanged.
+    """
+    from oe_batch_processing_spark.operators.dedup import word_shingles
+    from oe_batch_processing_spark.operators.pipeline import _SPLIT_BYTE
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    tagged = docs.select(
+        "doc_id",
+        "text",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train = tagged.filter(F.col("split") == "train")
+    held = tagged.filter(F.col("split") != "train")
+
+    # frozen history structures, built once and persisted across batches
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tsh = (
+        word_shingles(train, 3)
+        .withColumnRenamed("doc_id", "train_doc")
+        # pre-partitioned on the join key BEFORE caching: the in-memory
+        # scan then reports hashpartitioning(sh) and every micro-batch's
+        # index join shuffles only the batch side — the history never
+        # moves again (the streaming-state property a real gate needs)
+        .repartition(n_part, "sh")
+        .persist()
+    )
+    tcounts = tsh.groupBy("train_doc").agg(F.count(F.lit(1)).alias("nt")).persist()
+    pos16 = (
+        f"cast(conv(substr(md5(sh), j * 4 + 1, 4), 16, 10) as int) "
+        f"% {_GATE_BLOOM_M}"
+    )
+    bloom_bits = (
+        tsh.select("sh").distinct()
+        .select(F.explode(F.expr(f"sequence(0, {_GATE_BLOOM_K - 1})")).alias("j"), "sh")
+        .select(F.col("j").alias("k_idx"), F.expr(pos16).alias("pos"))
+        .distinct()
+        .persist()
+    )
+    bloom_bits.count()  # materialize history state before the stream starts
+
+    root = tempfile.mkdtemp(prefix="oebp-leakgate-")
+    src = os.path.join(root, "held")
+    held.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+    pairs_path = os.path.join(root, "leak_pairs")
+    empty = spark.createDataFrame(
+        [], "train_doc long, held_doc long, held_split string"
+    )
+    empty.write.mode("overwrite").parquet(pairs_path)  # schema anchor
+
+    screened = {"shingles": 0, "survivors": 0, "batches": 0}
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        bsh = word_shingles(batch_df, 3).join(
+            batch_df.select("doc_id", "split"), "doc_id"
+        )
+        nh = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nh"))
+        hits = (
+            bsh.select("sh").distinct()
+            .select(
+                "sh",
+                F.explode(F.expr(f"sequence(0, {_GATE_BLOOM_K - 1})")).alias("j"),
+            )
+            .select("sh", F.col("j").alias("k_idx"), F.expr(pos16).alias("pos"))
+            .join(
+                F.broadcast(bloom_bits.withColumn("hit", F.lit(1))),
+                ["k_idx", "pos"],
+                "left",
+            )
+            .groupBy("sh")
+            .agg(F.sum("hit").alias("nhit"))
+        )
+        # audit metrics ride the write action itself (zero extra jobs):
+        # an Observation on the hits stage fires when the leaks write runs
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        hits = hits.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("nhit") == _GATE_BLOOM_K).cast("long")).alias("n_surv"),
+        )
+        survivors = hits.filter(F.col("nhit") == _GATE_BLOOM_K).select("sh")
+        cross = (
+            bsh.join(survivors, "sh")
+            .join(tsh, "sh")
+            .groupBy(
+                "train_doc",
+                F.col("doc_id").alias("held_doc"),
+                F.col("split").alias("held_split"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = F.col("n_common").cast("double") / (
+            F.col("nt") + F.col("nh") - F.col("n_common")
+        )
+        leaks = (
+            cross.join(tcounts, "train_doc")
+            .join(nh.withColumnRenamed("doc_id", "held_doc"), "held_doc")
+            .filter(jac >= 0.8)
+            .select("train_doc", "held_doc", "held_split")
+        )
+        leaks.write.mode("append").parquet(pairs_path)
+        m = obs.get
+        screened["shingles"] += int(m["n_sh"])
+        screened["survivors"] += int(m["n_surv"] or 0)
+        screened["batches"] += 1
+
+    stream = (
+        spark.readStream.schema(held.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert screened["batches"] >= 4, "expected at least four micro-batches"
+    # the Bloom screen must have done real work (non-vacuous prefilter):
+    # shingles unique to the held splits get dropped before the index join
+    assert screened["survivors"] < screened["shingles"], (
+        "bloom screen passed every shingle — prefilter is vacuous"
+    )
+
+    final = (
+        spark.read.parquet(pairs_path)
+        .groupBy("held_split")
+        .agg(
+            F.count_distinct("held_doc").alias("n_leaked_docs"),
+            F.count(F.lit(1)).alias("n_leak_pairs"),
+            F.min("held_doc").alias("first_leaked_doc"),
+        )
+    )
+    rows = final.collect()
+    for frame in (tsh, tcounts, bloom_bits):
+        frame.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, final.schema)

@@ -242,3 +242,23 @@ def test_tws_matches_batch_oracle(spark):
         .collect()
     )
     assert {tuple(r) for r in out} == {tuple(r) for r in batch}
+
+
+def test_split_leakage_gate_shares_batch_oracle():
+    """The streaming gate must be the batch audit's literal twin: same
+    oracle text (one source of truth for the expected report), registered,
+    and carrying the in-operator >=4-micro-batch and non-vacuous-bloom
+    assertions (grep-level pin so a refactor can't silently drop them)."""
+    import inspect
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.streaming import foreach_batch
+
+    assert "stream_split_leakage_gate" in registry.QUERIES
+    assert (
+        registry.ORACLE["stream_split_leakage_gate"]
+        == registry.ORACLE["pipeline_split_leakage_report"]
+    )
+    src = inspect.getsource(foreach_batch.stream_split_leakage_gate)
+    assert 'screened["batches"] >= 4' in src
+    assert 'screened["survivors"] < screened["shingles"]' in src
