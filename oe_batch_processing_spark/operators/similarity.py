@@ -365,8 +365,79 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CELLS_MOD = 37  # centroid set: vec_id % 37 == 1 (deterministic, ~N/37 cells)
-N_PROBE = 16  # 16/~54 cells at sf0.1: recall@5 0.69 vs 0.45 at 8 probes, same wall time (uniform-random worst case; clustered corpora prune far harder)
+# Round-9 geometry (tools/recall.py sweep, sf0.1, total budget = centroid
+# dots + candidate dots per query): the r5 config (mod 37 -> ~54 cells,
+# nprobe 16, subset centroids) cost ~635 dots/query for recall@5 0.69.
+# Two deterministic Lloyd rounds + finer cells dominate it: mod 17 ->
+# ~118 cells, nprobe 30 = ~624 dots/query, recall@5 0.77 (and 0.92 at
+# mod 7/nprobe 70 if you pay 1.22x budget). Lloyd is the big lever —
+# subset "centroids" of a uniform-ish corpus are just random vectors;
+# two mean-refinement rounds give them real Voronoi structure.
+N_CELLS_MOD = 17  # centroid INIT: vec_id % 17 == 1 (deterministic, ~N/17 cells)
+N_PROBE = 30      # 30/~118 cells at sf0.1: recall@5 0.77 at the r5 budget
+_IVF_LLOYD = 2    # deterministic Lloyd refinement rounds (exact integer means)
+
+
+def _lloyd_refine(vecs: DataFrame, cents: DataFrame, rounds: int) -> DataFrame:
+    """Deterministic distributed Lloyd refinement of the IVF centroids:
+    assign every vector to its nearest centroid (broadcast argmax — no
+    shuffle on the corpus side), recompute each cell's mean on the unit
+    sphere, repeat. Means are exact BIGINT micro-unit sums per (cell,
+    component) — order-independent, so the refined centroids (and hence
+    cell membership and recall) are bit-identical across runs and cluster
+    sizes; a plain AVG(double) here would make the index nondeterministic.
+    Cost per round: one |N|x|C| broadcast score + one 64|N|-row explode
+    shuffle into |C|x64 partial sums — the textbook distributed k-means
+    round, linear in the corpus at any scale. Cells that lose all members
+    drop out (slightly shrinking ncells), matching the numpy prototype in
+    tools/recall.py's sweep."""
+    unit = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    )
+    for _ in range(rounds):
+        dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
+        cs = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
+        # top-1 assignment as a hash aggregate (max over a lexicographic
+        # struct; -cell_id makes ties resolve to the LOWEST cell id, same
+        # as the search path's row_number ordering) — no sort window
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", unit.alias("u"), cs.alias("cs"), "cell_id")
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct("cs", (-F.col("cell_id")).alias("nc"))).alias("b"),
+                F.first("u").alias("u"),
+            )
+            .select((-F.col("b.nc")).alias("cell_id"), "u")
+        )
+        comp = assigned.select(
+            "cell_id", F.posexplode("u").alias("pos", "x")
+        ).select(
+            "cell_id",
+            "pos",
+            F.expr("CAST(ROUND(x * 1e9) AS BIGINT)").alias("xm"),
+        )
+        cents = (
+            comp.groupBy("cell_id", "pos")
+            .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: t["s"].cast("double") / t["n"] / F.lit(1e9),
+                ).alias("c_emb")
+            )
+            .select(
+                "cell_id",
+                "c_emb",
+                F.sqrt(
+                    F.expr(_DOT_SCALED_SQL.format(a="c_emb", b="c_emb"))
+                    / F.lit(1e9)
+                ).alias("c_nrm"),
+            )
+            .localCheckpoint(eager=True)  # keep the per-round plan flat
+        )
+    return cents
 
 
 @query("similarity_topk_ivf")  # approximate candidate gen => rows-only
@@ -385,12 +456,20 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.sqrt(F.expr(_DOT_SCALED_SQL.format(a="embedding", b="embedding")) / F.lit(1e9))
-    vecs = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    # the tiny test parquet is ONE scan split; every broadcast-scoring
+    # below (interpreted HOF dots) would run in a single task without this
+    # bounded round-robin fan-out (same fix as the codec pipelines)
+    vecs = (
+        emb.select("vec_id", "embedding", norm.alias("nrm"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     cents = vecs.filter(F.col("vec_id") % N_CELLS_MOD == 1).select(
         F.col("vec_id").alias("cell_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
+    cents = _lloyd_refine(vecs, cents, _IVF_LLOYD)
     dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
     sim_to_cent = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(

@@ -202,16 +202,70 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF + PQ hybrid ---------------------------------------------------------
 
-IVFPQ_NPROBE = 16  # cells probed per query (matches similarity_topk_ivf)
+# Round-9 coarse-quantizer geometry (tools/recall.py numpy sweep at sf0.1,
+# budget = centroid dots + candidates per query): the old subset quantizer
+# (mod 37 / 16 probes) had a PROBE CEILING of 0.69 — rerank 240 already
+# recovered everything it admitted (r6 sweep), so residual-PQ codebooks
+# could not have helped; the binding constraint was the coarse quantizer.
+# Two deterministic L2 Lloyd rounds + finer cells (mod 17 -> ~118 cells,
+# 30 probes) raise the ceiling to 0.77 at the same ~640-dot budget; the
+# unchanged rerank depth still reaches it (verified via tools/recall.py).
+IVFPQ_CELLS_MOD = 17  # coarse INIT: vec_id % 17 == 1, then Lloyd-refined
+IVFPQ_LLOYD = 2       # deterministic L2 Lloyd rounds (exact integer means)
+IVFPQ_NPROBE = 30     # 30/~118 cells (same budget as the old 16/~54)
 IVFPQ_RERANK = 240  # ADC shortlist rescored exactly per query (uniform-random
 # test vectors are PQ's worst case — ADC ordering is noisy, so the shortlist
-# must be deep to reach the IVF probe ceiling; clustered real corpora get the
-# same recall at ~1/4 the depth). tools/recall.py depth sweep at sf0.1 (r6):
-# rerank 60 -> recall@5 0.51, 120 -> 0.60, 240 -> 0.69 == the IVF 16-probe
-# ceiling — so 240 recovers EVERYTHING the coarse quantizer admits, at the
-# cost of exactly 240 raw-vector rescores per query (vs the corpus scan
-# brute force needs).
+# must be deep; clustered real corpora get the same recall at ~1/4 the
+# depth). r6 sweep: 60 -> 0.51, 120 -> 0.60, 240 -> 0.69 == the OLD probe
+# ceiling. r9 sweep against the Lloyd-refined quantizer (ceiling 0.77):
+# 120 -> 0.65, 240 -> 0.76, 360 -> 0.77 — 240 is still the knee; the last
+# +0.01 costs 50% more raw-vector rescores, not taken.
 IVFPQ_TOP_K = 5
+
+
+# L2 distance between an integer-quantized vector and a double centroid
+# (left fold in array order — deterministic)
+_L2D = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _lloyd_refine_l2(vecs: DataFrame, coarse: DataFrame, rounds: int) -> DataFrame:
+    """Deterministic distributed Lloyd refinement of the IVFPQ coarse
+    quantizer in L2 space over the integer-quantized vectors — the same
+    shape (and rationale) as similarity._lloyd_refine: broadcast argmin
+    assignment, exact BIGINT component sums per cell (order-independent
+    means -> bit-identical centroids across runs/cluster sizes), cells that
+    lose every member drop out. Centroids come out as double arrays;
+    distances against them use _L2D."""
+    for _ in range(rounds):
+        l2 = F.expr(_L2D.format(a="qe", b="ce"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(coarse))
+            .select("vec_id", "qe", l2.alias("l2c"), "cell_id")
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("l2c", "cell_id")).alias("b"),
+                F.first("qe").alias("qe"),
+            )
+            .select(F.col("b.cell_id").alias("cell_id"), "qe")
+        )
+        coarse = (
+            assigned.select("cell_id", F.posexplode("qe").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: t["s"].cast("double") / t["n"],
+                ).alias("ce")
+            )
+            .localCheckpoint(eager=True)  # keep the per-round plan flat
+        )
+    return coarse
 
 
 @query("similarity_topk_ivfpq")  # approximate candidate gen => rows-only
@@ -233,16 +287,24 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     COVERAGE.md (rows-only: candidate generation is approximate by design).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    # single-split test parquet -> bounded round-robin fan-out before the
+    # interpreted HOF scoring stages (same fix as the codec pipelines)
+    vecs = (
+        emb.select("vec_id", F.expr(_QE).alias("qe"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     nrm = F.sqrt(
         F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)
     )
 
-    # coarse quantizer: same deterministic centroid subset as IVF/kmeans
-    coarse = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
-        F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
+    # coarse quantizer: deterministic subset init, then Lloyd-refined
+    coarse = vecs.filter(F.col("vec_id") % IVFPQ_CELLS_MOD == 1).select(
+        F.col("vec_id").alias("cell_id"),
+        F.expr("transform(qe, x -> CAST(x AS DOUBLE))").alias("ce"),
     )
-    cell_l2 = F.expr(_L2.format(a="qe", b="ce")).alias("l2c")
+    coarse = _lloyd_refine_l2(vecs, coarse, IVFPQ_LLOYD)
+    cell_l2 = F.expr(_L2D.format(a="qe", b="ce")).alias("l2c")
     cell_scored = vecs.join(F.broadcast(coarse)).select(
         "vec_id", "cell_id", cell_l2
     )
