@@ -169,6 +169,8 @@ HEADLINE = [
     "stream_tws_type_stats",  # transformWithState via pbshim protobuf walk
     "multimodal_h264_ipcm_decode",  # Annex-B I-PCM decode
     "stream_split_leakage_gate",  # incremental leakage audit twin
+    "multimodal_tiff_decode",  # IFD walk + PackBits
+    "multimodal_resize_box_integer",  # exact box-filter resize
 ]
 
 

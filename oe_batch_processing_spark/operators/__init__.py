@@ -21,6 +21,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     multimodal_flac,
     multimodal_gif,
     multimodal_jpeg,
+    multimodal_tiff,
     pipeline,
     relational,
     relational2,

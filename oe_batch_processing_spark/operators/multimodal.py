@@ -5,10 +5,12 @@ as Arrow-batched Pandas UDFs.
 The container has no image/audio codec libraries; every format whose
 grammar is implementable from spec without one is decoded for real — since
 round 9 that includes H.264 (I-PCM baseline Annex-B, multimodal_h264.py),
-leaving WebP/TIFF decode and true pixel resize as the only declared
-capability stubs (``NotImplementedError`` below, with the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — real and
-tested, tests/test_ingestion.py).
+TIFF (multimodal_tiff.py: IFD walk + PackBits) and exact box-filter
+resize (``resize_box`` below) also landed in round 9, leaving WebP decode
+as the single declared capability stub (VP8 entropy coding needs a DSP
+stack this container lacks; the ``NotImplementedError`` path keeps the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+real and tested, tests/test_ingestion.py).
 Formats that need no external codec are decoded FOR REAL by hand-written
 grammars: netpbm, RIFF/WAVE, USTAR tar, ZIP, gzip/DEFLATE, PNG
 (chunk walk + zlib inflate + all five scanline unfilters), BMP,
@@ -79,10 +81,16 @@ def decode_image(payload: bytes) -> object:
         return parse_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return parse_netpbm(payload)
+    if payload[:2] == b"II":
+        from oe_batch_processing_spark.operators.multimodal_tiff import (
+            parse_tiff,
+        )
+
+        return parse_tiff(payload)
     raise NotImplementedError(
-        "WebP/TIFF/... decode requires an imaging library (e.g. Pillow); "
-        "JPEG/PNG/BMP/netpbm decode for real (parse_jpeg/parse_png/"
-        "parse_bmp/parse_netpbm); "
+        "WebP decode requires an imaging library (e.g. Pillow); "
+        "JPEG/PNG/BMP/netpbm/TIFF decode for real (parse_jpeg/parse_png/"
+        "parse_bmp/parse_netpbm/parse_tiff); "
         "use extract_features (deterministic byte-level fake) otherwise"
     )
 
@@ -224,12 +232,133 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real image resize — requires decode (see ``decode_image``). Swap in a
-    Pillow-backed implementation on a cluster with codecs; the mapInPandas
-    plumbing in ``thumbnail_frame`` is what carries over unchanged."""
+def resize_box(raster: bytes, w: int, h: int, f: int) -> tuple[bytes, int, int]:
+    """REAL resize (round 9 — the declared stub retired): exact integer
+    box-filter downsample by factor ``f``. Each output pixel is the floor
+    mean of its f x f input block — pure integer arithmetic, so the result
+    is bit-identical across engines and the oracled operator below can
+    hash-check it. Requires f | w and f | h (production pads or crops;
+    the corpus query guarantees divisibility by construction)."""
+    if w % f or h % f:
+        raise ValueError(f"box resize needs f|w and f|h, got {w}x{h} / {f}")
+    import numpy as np
+
+    a = np.frombuffer(raster, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    out = a.reshape(h // f, f, w // f, f).sum(axis=(1, 3)) // (f * f)
+    return out.astype(np.uint8).tobytes(), w // f, h // f
+
+
+def resize_image(payload: bytes, f: int) -> bytes:
+    """Encoded-format resize, end to end for the formats whose grammars are
+    hand-written here: currently P5 netpbm (decode -> exact box resize ->
+    re-encode). Other encodings: decode via their parsers and use
+    :func:`resize_box` on the raster; WebP stays undecodable in this
+    container (no imaging codecs)."""
+    if payload[:2] == b"P5":
+        _fmt, w, h, maxval, raster = parse_netpbm(payload)
+        out, ow, oh = resize_box(raster, w, h, f)
+        return b"P5 %d %d %d\n" % (ow, oh, maxval) + out
     raise NotImplementedError(
-        "image resize requires decode; this container has no imaging codecs"
+        "encoded resize implemented for P5 netpbm; decode other formats "
+        "with their hand-written parsers and call resize_box on the "
+        "raster; WebP needs imaging codecs this container lacks"
+    )
+
+
+_RESIZE_W = 12  # corpus raster side; divisible by both factors below
+_RESIZE_PIX = """[
+      (instr('0123456789abcdef',
+             md5(CAST(doc_id AS VARCHAR) || ':r:' || (j // 16))
+             [2 * (j % 16) + 1]) - 1) * 16
+    + (instr('0123456789abcdef',
+             md5(CAST(doc_id AS VARCHAR) || ':r:' || (j // 16))
+             [2 * (j % 16) + 2]) - 1)
+    FOR j IN range({npix})]"""
+
+
+@query(
+    "multimodal_resize_box_integer",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, 2 + doc_id % 2 AS f FROM documents
+    ),
+    px AS (
+      SELECT doc_id, f, {_RESIZE_W} // f AS ow,
+             {_RESIZE_PIX.format(npix=_RESIZE_W * _RESIZE_W)} AS pv
+      FROM g
+    ),
+    o AS (
+      SELECT doc_id, f, ow,
+             [ LIST_SUM([
+                 pv[(((i // ow) * f + a // f) * {_RESIZE_W}
+                     + (i % ow) * f + (a % f)) + 1]
+                 FOR a IN range(f * f)]) // (f * f)
+               FOR i IN range(ow * ow)] AS ov
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS f,
+           CAST(ow AS INTEGER) AS out_w,
+           CAST(LIST_SUM(ov) AS BIGINT) AS sum_out,
+           CAST(LIST_SUM([(i + 1) * ov[i + 1] FOR i IN range(ow * ow)])
+                AS BIGINT) AS pos_checksum
+    FROM o
+    """,
+)
+def multimodal_resize_box_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize with a full hash oracle: per document, a 12x12 md5-keyed
+    grayscale raster is box-downsampled by a per-doc factor (2 or 3) with
+    :func:`resize_box` — exact integer floor-means, so DuckDB recomputes
+    every output pixel from the generation rule and the position-weighted
+    checksum pins orientation (a transposed or flipped resize breaks the
+    hash even when the pixel multiset survives). The raster additionally
+    round-trips through the real P5 netpbm encode -> :func:`resize_image`
+    path, so the encoded-format resize is exercised on every row.
+
+    Scale: embarrassingly parallel O(pixels) mapInPandas work after the
+    standard bounded round-robin fan-out; the factor/geometry contract is
+    the only per-row state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frames = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    W = _RESIZE_W
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                f = 2 + doc_id % 2
+                n_blocks = (W * W + 15) // 16
+                raster = b"".join(
+                    hashlib.md5(f"{doc_id}:r:{k}".encode()).digest()
+                    for k in range(n_blocks)
+                )[: W * W]
+                out, ow, oh = resize_box(raster, W, W, f)
+                # encoded-format path must agree with the raster path
+                p5 = b"P5 %d %d 255\n" % (W, W) + raster
+                if resize_image(p5, f) != b"P5 %d %d 255\n" % (ow, oh) + out:
+                    raise ValueError("P5 resize path disagrees with raster path")
+                rows.append({
+                    "doc_id": doc_id,
+                    "f": f,
+                    "out_w": ow,
+                    "sum_out": sum(out),
+                    "pos_checksum": sum((i + 1) * out[i] for i in range(len(out))),
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "f", "out_w", "sum_out", "pos_checksum"]
+            )
+
+    return frames.mapInPandas(
+        run,
+        schema="doc_id long, f int, out_w int, sum_out long, pos_checksum long",
     )
 
 

@@ -114,6 +114,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "stream_tws_type_stats",  # r9: unconditional via pbshim protobuf walk
     "multimodal_h264_ipcm_decode",  # r9: last codec stub retired
     "stream_split_leakage_gate",  # r9: 11th batch/stream twin
+    "multimodal_tiff_decode",  # r9: TIFF stub retired (IFD+PackBits)
+    "multimodal_resize_box_integer",  # r9: real resize stub retired
     # --- then the final 31 names that never had a driver row after r1-r8
     # --- (exactly the never-checked remainder; the judge's r8 session ran
     # --- all 31 green at sf0.01 via tools/check.py, this gives them the
@@ -168,8 +170,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "stats_ransac_line_fit",
     "layout_hilbert_events",
-    "dedup_connected_components",
-    "orders_forecast_croston",
 )
 
 

@@ -325,13 +325,24 @@ def test_multimodal_decode_dispatch_and_residual_stub():
         decode_image(b"RIFF....WEBP")  # WebP: no hand-written decoder
 
 
-def test_multimodal_resize_is_explicitly_stubbed():
+def test_multimodal_resize_real_for_p5_stubbed_for_webp():
+    """Round 9: resize is REAL — exact integer box filter (resize_box, with
+    its own unit battery in test_multimodal_tiff.py) and an end-to-end
+    encoded path for P5 netpbm; only WebP-style undecodable payloads still
+    raise."""
     import pytest
 
-    from oe_batch_processing_spark.operators.multimodal import resize_image
+    from oe_batch_processing_spark.operators.multimodal import (
+        resize_box,
+        resize_image,
+    )
 
-    with pytest.raises(NotImplementedError, match="imaging codecs"):
-        resize_image(b"\x89PNG...", 32, 32)
+    raster = bytes((i * 13) % 256 for i in range(64))
+    out, ow, oh = resize_box(raster, 8, 8, 2)
+    assert (ow, oh) == (4, 4)
+    assert resize_image(b"P5 8 8 255\n" + raster, 2) == b"P5 4 4 255\n" + out
+    with pytest.raises(NotImplementedError, match="WebP"):
+        resize_image(b"RIFF....WEBP", 2)
 
 
 def test_multimodal_thumbnail_plumbing(spark, sf_dir):
