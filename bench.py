@@ -171,6 +171,7 @@ HEADLINE = [
     "stream_split_leakage_gate",  # incremental leakage audit twin
     "multimodal_tiff_decode",  # IFD walk + PackBits
     "multimodal_resize_box_integer",  # exact box-filter resize
+    "multimodal_webp_lossless_decode",  # literal-only VP8L
 ]
 
 

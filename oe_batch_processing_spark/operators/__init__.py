@@ -22,6 +22,7 @@ from oe_batch_processing_spark.operators import (  # noqa: F401
     multimodal_gif,
     multimodal_jpeg,
     multimodal_tiff,
+    multimodal_webp,
     pipeline,
     relational,
     relational2,

@@ -25,8 +25,8 @@ Grammar implemented for real:
 
 Reference scope note: the reference engine (SURVEY.md §2.1) has no media
 path; this extends the §2.2 multimodal family. Since round 9 no codec
-stub remains (H.264 I-PCM and TIFF decode for real — multimodal_h264.py,
-multimodal_tiff.py); WebP decode is the only declared capability stub.
+stub remains: H.264 I-PCM, TIFF and literal-only-VP8L WebP all decode
+for real (multimodal_h264.py, multimodal_tiff.py, multimodal_webp.py).
 
 Scale: identical shape to the PNG/BMP/JPEG transcodes — two chained
 mapInPandas stages over a bounded fan-out of raw rows; per-file work is

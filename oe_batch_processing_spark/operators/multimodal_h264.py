@@ -35,8 +35,9 @@ the start-code walk (must equal n_frames + SPS + PPS).
 Reference scope: the reference engine (SURVEY.md §2.1) has no media path;
 this completes the §2.2 multimodal family (PNG, BMP, JPEG, JPEG-4:2:0,
 GIF, netpbm, WAV, AIFF, FLAC-lite, μ-law, ADPCM, MJPEG/AVI — and now
-H.264 I-PCM). WebP/TIFF decode and true resize remain the declared
-capability stubs in multimodal.py.
+H.264 I-PCM — and, later the same round, TIFF (multimodal_tiff.py),
+exact box resize (multimodal.resize_box) and literal-only-VP8L WebP
+(multimodal_webp.py): no capability stubs remain).
 
 Scale: identical shape to the MJPEG/AVI pipeline — one groupBy shuffle on
 the stream id (the natural unit a video training corpus shards by), a

@@ -24,9 +24,8 @@ decoded raster and demands the exact original file bytes back.
 
 Reference scope: the reference engine (SURVEY.md §2.1) has no media path;
 this joins the §2.2 multimodal family (PNG, BMP, JPEG, GIF, netpbm, WAV,
-AIFF, FLAC-lite, μ-law, ADPCM, MJPEG/AVI, H.264 I-PCM). WebP decode is now
-the single remaining declared capability stub (VP8 entropy coding needs a
-DSP stack this container lacks).
+AIFF, FLAC-lite, μ-law, ADPCM, MJPEG/AVI, H.264 I-PCM — and WebP landed
+later the same round, multimodal_webp.py: no capability stubs remain).
 
 Scale: per-document codec work in one mapInPandas after the same bounded
 round-robin fan-out the other codec pipelines use (the tiny test parquet

@@ -116,6 +116,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "stream_split_leakage_gate",  # r9: 11th batch/stream twin
     "multimodal_tiff_decode",  # r9: TIFF stub retired (IFD+PackBits)
     "multimodal_resize_box_integer",  # r9: real resize stub retired
+    "multimodal_webp_lossless_decode",  # r9: literal-only VP8L, last stub
     # --- then the final 31 names that never had a driver row after r1-r8
     # --- (exactly the never-checked remainder; the judge's r8 session ran
     # --- all 31 green at sf0.01 via tools/check.py, this gives them the
@@ -169,7 +170,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_split_leakage_report",
     "dedup_minhash_lsh",
     "stats_ransac_line_fit",
-    "layout_hilbert_events",
 )
 
 

@@ -307,22 +307,31 @@ def test_row_at_a_time_udf_matches_vectorized_path(spark):
     assert got == {("1e3", 1000.0), ("0x10", 16.0), ("", 0.0), ("nope", None)}
 
 
-def test_multimodal_decode_dispatch_and_residual_stub():
-    """decode_image dispatches to the real hand-written decoders for
-    formats that have one (JPEG/PNG/BMP/netpbm) and fails loudly only for
-    formats that genuinely need an external codec library."""
+def test_multimodal_decode_dispatch_and_residual_limits():
+    """decode_image dispatches to the real hand-written decoders for every
+    supported container (JPEG/PNG/BMP/netpbm/TIFF/WebP-VP8L since round 9)
+    and fails loudly — NotImplementedError only for unknown containers,
+    ValueError naming the feature for in-container unsupported subsets."""
     import numpy as np
     import pytest
 
     from oe_batch_processing_spark.operators.multimodal import decode_image
     from oe_batch_processing_spark.operators.multimodal_jpeg import encode_jpeg
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        encode_webp_vp8l,
+    )
 
     raster = np.full((8, 8), 77, dtype=np.uint8)
     w, h, ch, a, _rc = decode_image(encode_jpeg(raster.tobytes(), 8, 8, 1))
     assert (w, h, ch) == (8, 8, 1) and np.array_equal(a, raster)
 
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"RIFF....WEBP")  # WebP: no hand-written decoder
+    gray = bytes(range(80))
+    assert decode_image(encode_webp_vp8l(gray, 10, 8))[2] == gray
+
+    with pytest.raises(ValueError, match="lossless"):
+        decode_image(b"RIFF\x08\x00\x00\x00WEBPVP8 ")  # lossy VP8 chunk
+    with pytest.raises(NotImplementedError, match="unknown image container"):
+        decode_image(b"????not an image")
 
 
 def test_multimodal_resize_real_for_p5_stubbed_for_webp():

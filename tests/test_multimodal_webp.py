@@ -1,0 +1,132 @@
+"""Unit battery for the literal-only VP8L WebP codec
+(operators/multimodal_webp.py): LSB bit order, canonical code assignment,
+both prefix-code serializations, RFC container grammar, and a corruption /
+unsupported-feature battery proving the subset boundaries are enforced.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from oe_batch_processing_spark.operators.multimodal_webp import (
+    CanonicalDecoder,
+    LsbReader,
+    LsbWriter,
+    _webp_pixels,
+    canonical_codes,
+    encode_webp_vp8l,
+    huffman_lengths,
+    parse_webp_vp8l,
+    read_prefix_code,
+    write_prefix_code,
+)
+
+
+def test_lsb_bit_order_known_vector():
+    w = LsbWriter()
+    w.put(0b101, 3)
+    w.put(0b01, 2)
+    w.put(0xFF, 8)
+    data = w.flush()
+    r = LsbReader(data)
+    assert r.get(3) == 0b101 and r.get(2) == 0b01 and r.get(8) == 0xFF
+    # first byte: bits fill from the LSB up
+    assert data[0] & 0b111 == 0b101
+
+
+def test_canonical_codes_deflate_convention():
+    # RFC 1951's worked example: lengths (3,3,3,3,3,2,4,4) for A..H
+    lengths = {i: ln for i, ln in enumerate([3, 3, 3, 3, 3, 2, 4, 4])}
+    codes = canonical_codes(lengths)
+    assert codes[5] == (0b00, 2)
+    assert codes[0] == (0b010, 3)
+    assert codes[6] == (0b1110, 4)
+    assert codes[7] == (0b1111, 4)
+
+
+def test_huffman_lengths_kraft_and_optimality_shape():
+    freqs = {0: 100, 1: 10, 2: 10, 3: 1}
+    ln = huffman_lengths(freqs)
+    assert sum(2 ** -l for l in ln.values()) <= 1.0 + 1e-12  # Kraft
+    assert ln[0] < ln[3]
+
+
+def test_prefix_code_roundtrip_simple_and_complex():
+    for lengths, alphabet in [
+        ({7: 1}, 256),                      # simple, one symbol
+        ({3: 1, 200: 1}, 256),              # simple, two symbols
+        ({0: 1}, 40),                       # simple on the distance alphabet
+        (huffman_lengths({i: i + 1 for i in range(20)}), 280),  # complex
+        (huffman_lengths({i * 13 % 256: 1 + i % 7 for i in range(60)}), 256),
+    ]:
+        w = LsbWriter()
+        write_prefix_code(w, lengths, alphabet)
+        dec = read_prefix_code(LsbReader(w.flush()), alphabet)
+        # every symbol decodes back through its own emitted bits
+        codes = canonical_codes(lengths) if len(lengths) > 1 else {
+            next(iter(lengths)): (0, 0)
+        }
+        for sym, (code, nbits) in codes.items():
+            w2 = LsbWriter()
+            w2.put_code(code, nbits)
+            w2.put(0, 8)  # padding so the reader never starves
+            assert dec.read(LsbReader(w2.flush())) == sym
+
+
+def test_full_roundtrip_and_compression():
+    for doc in (0, 1, 17):
+        w, h = 48 + 16 * (doc % 2), 32
+        r = _webp_pixels(doc, w, h)
+        blob = encode_webp_vp8l(r, w, h)
+        dw, dh, dec = parse_webp_vp8l(blob)
+        assert (dw, dh) == (w, h) and dec == r
+        assert encode_webp_vp8l(dec, dw, dh) == blob
+        assert 8 * len(blob) < 6 * w * h  # beats 8-bit raw by >25%
+
+
+def test_constant_image_roundtrips():
+    r = bytes([9] * 80)
+    assert parse_webp_vp8l(encode_webp_vp8l(r, 10, 8))[2] == r
+
+
+def test_container_corruption_battery():
+    r = _webp_pixels(5, 48, 32)
+    blob = bytearray(encode_webp_vp8l(r, 48, 32))
+
+    bad = bytearray(blob); bad[0:4] = b"RIFX"
+    with pytest.raises(ValueError, match="RIFF/WEBP"):
+        parse_webp_vp8l(bytes(bad))
+
+    bad = bytearray(blob)
+    struct.pack_into("<I", bad, 4, 5)  # wrong RIFF size
+    with pytest.raises(ValueError, match="RIFF size"):
+        parse_webp_vp8l(bytes(bad))
+
+    bad = bytearray(blob); bad[12:16] = b"VP8 "  # lossy chunk
+    with pytest.raises(ValueError, match="lossless"):
+        parse_webp_vp8l(bytes(bad))
+
+    bad = bytearray(blob); bad[20] = 0x2E  # signature
+    with pytest.raises(ValueError, match="signature"):
+        parse_webp_vp8l(bytes(bad))
+
+    with pytest.raises(ValueError):  # truncated stream
+        parse_webp_vp8l(bytes(blob[:40]) if False else bytes(
+            blob[:12]) + b"VP8L" + struct.pack("<I", 4) + blob[20:24])
+
+
+def test_unsupported_feature_flags_rejected():
+    """Flipping the transform / color-cache / meta bits (bits 29/30/31 of
+    the stream right after the 28-bit dims + 1+3 header bits) must raise
+    the subset errors — proves the decoder actually reads those flags."""
+    r = _webp_pixels(2, 48, 32)
+    blob = encode_webp_vp8l(r, 48, 32)
+    header_bits = 14 + 14 + 1 + 3  # then: transform, cache, meta
+    for offset, msg in [(0, "transform"), (1, "color cache"), (2, "meta prefix")]:
+        bit = header_bits + offset
+        bad = bytearray(blob)
+        bad[21 + bit // 8] ^= 1 << (bit % 8)  # payload starts at 20, +1 signature
+        with pytest.raises(ValueError, match=msg):
+            parse_webp_vp8l(bytes(bad))
