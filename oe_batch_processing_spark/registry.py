@@ -50,8 +50,22 @@ ORACLE: dict[str, str] = {}
 # MJPEG/AVI, JPEG/JPEG-420/GIF, BPE train+apply, Croston batch+stream,
 # AR(2), rank-correlation, ANOVA, Benford, DP counts, ACF, MATTR, Neyman,
 # parquet-footer, split-leakage, k-anonymity), then 21 older stragglers in
-# prior-comment order. The 31 still-never-checked names for the round-9
-# window: subquery_exists_projection, agg_ordered_set_percentiles,
+# prior-comment order.
+# Round-9 window (live below): the six round-9 additions first
+# (stream_tws_type_stats, multimodal_h264_ipcm_decode,
+# stream_split_leakage_gate, multimodal_tiff_decode,
+# multimodal_resize_box_integer, multimodal_webp_lossless_decode), then
+# ALL 31 names that had never had a driver row after r1-r8 (cumulative
+# driver coverage goes 285 -> every query ever registered), then 13
+# deliberate re-checks of this round's changed code (k-core threshold,
+# Lloyd-refined IVF/IVFPQ) and the most intricate codecs. Round-10
+# rotation guidance: with zero never-checked names left, fill the window
+# with (1) any round-10 additions, (2) re-checks of whatever code
+# changes, (3) the operators with the OLDEST driver rows (r1-r2 era:
+# the q* TPC-H batch, dedup_exact_documents, events_hourly_rollup, ...)
+# so rows stay fresh on a rolling basis.
+# (Historical round-9 planning note:) the 31 never-checked names were:
+# subquery_exists_projection, agg_ordered_set_percentiles,
 # alloc_largest_remainder, scalar_try_arith_battery,
 # events_pattern_sequence, join_range_pure_bucketized, stats_chi2_type_dow,
 # ab_test_conversion_lift, orders_open_backlog_daily,

@@ -155,3 +155,30 @@ def test_bench_headline_names_are_registered():
     assert len(names) == len(set(names)), "duplicate names in bench HEADLINE"
     unknown = [n for n in names if n not in registry.QUERIES]
     assert not unknown, f"bench HEADLINE names missing from registry: {unknown}"
+
+
+def _newest_protocol_bench() -> str:
+    paths = glob.glob(os.path.join(REPO, "BENCH_PROTOCOL_r*.json"))
+    assert paths, "no BENCH_PROTOCOL_r*.json artifact committed"
+    return max(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+
+
+def test_bench_headline_has_committed_protocol_rows():
+    """VERDICT r8 item 1 (and the r7 'operators landed after the final
+    protocol bench' drift): every bench HEADLINE name must have a
+    repeat-median row in the NEWEST committed protocol bench artifact, so
+    a query can no longer ship without a committed clean-room number."""
+    import json
+
+    with open(os.path.join(REPO, "bench.py")) as f:
+        src = f.read()
+    names = re.findall(r'"([^"]+)"', re.search(r"HEADLINE = \[(.*?)\]", src, re.S).group(1))
+    with open(_newest_protocol_bench()) as f:
+        bench = json.load(f)
+    rows = bench.get("queries", {})
+    missing = [n for n in names if n not in rows]
+    assert not missing, (
+        f"{os.path.basename(_newest_protocol_bench())} lacks bench rows for "
+        f"{missing} — re-run `python bench.py --repeat 3` (uncontended) and "
+        f"commit the artifact"
+    )
