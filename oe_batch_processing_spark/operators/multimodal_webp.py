@@ -91,31 +91,69 @@ class LsbWriter:
 
 
 class LsbReader:
+    """Buffered LSB-first reader: an int accumulator refilled bytewise
+    makes get/peek O(1) in the number of calls, not bits — the decoder's
+    hot path peeks a table-width window per symbol."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0  # bit position
+        self.byte_pos = 0
+        self.buf = 0
+        self.nbuf = 0
+        self.total_bits = 8 * len(data)
+        self.consumed = 0
+
+    @property
+    def pos(self) -> int:
+        return self.consumed
+
+    def _fill(self, need: int) -> None:
+        while self.nbuf < need and self.byte_pos < len(self.data):
+            self.buf |= self.data[self.byte_pos] << self.nbuf
+            self.byte_pos += 1
+            self.nbuf += 8
 
     def get(self, nbits: int) -> int:
-        if self.pos + nbits > 8 * len(self.data):
+        if self.consumed + nbits > self.total_bits:
             raise ValueError("VP8L bitstream exhausted")
-        v = 0
-        for i in range(nbits):
-            byte = self.data[self.pos >> 3]
-            v |= ((byte >> (self.pos & 7)) & 1) << i
-            self.pos += 1
+        self._fill(nbits)
+        v = self.buf & ((1 << nbits) - 1)
+        self.buf >>= nbits
+        self.nbuf -= nbits
+        self.consumed += nbits
         return v
+
+    def peek_lsb(self, nbits: int) -> int:
+        """Next nbits in stream order as an LSB-first integer, zero-padded
+        past end-of-stream; does not advance."""
+        self._fill(nbits)
+        return self.buf & ((1 << nbits) - 1)
+
+    def advance(self, nbits: int) -> None:
+        if self.consumed + nbits > self.total_bits:
+            raise ValueError("VP8L bitstream exhausted")
+        self._fill(nbits)
+        self.buf >>= nbits
+        self.nbuf -= nbits
+        self.consumed += nbits
 
 
 # --- canonical prefix codes ----------------------------------------------------
 
 
-def huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
-    """Code lengths from frequencies (heap Huffman). Callers guarantee
-    >= 2 distinct symbols; depth is asserted within the RFC's 15-bit cap
-    (structurally safe here: <= 2^15 total weight never happens in a
-    per-image histogram of <= a few hundred pixels)."""
+ENC_MAX_LEN = 8  # encoder-side cap: keeps decode tables at 256 entries
+
+
+def huffman_lengths(freqs: dict[int, int], cap: int = ENC_MAX_LEN) -> dict[int, int]:
+    """Code lengths from frequencies (heap Huffman), length-limited to
+    ``cap`` by clamp + Kraft repair (deepen the deepest under-cap symbol
+    until the inequality holds — validity over the last fraction of a
+    percent of optimality). Callers guarantee >= 2 distinct symbols. The
+    cap is an ENCODER choice: ~38-symbol histograms cost <1% vs unlimited
+    depth, and it bounds the decoder's flat lookup table at 2^cap."""
     import heapq
     import itertools
+    from fractions import Fraction
 
     tie = itertools.count()
     heap = [(f, next(tie), {s: 0}) for s, f in sorted(freqs.items())]
@@ -127,6 +165,18 @@ def huffman_lengths(freqs: dict[int, int]) -> dict[int, int]:
         merged.update({s: d + 1 for s, d in d2.items()})
         heapq.heappush(heap, (f1 + f2, next(tie), merged))
     lengths = heap[0][2]
+    if cap is not None:
+        if len(lengths) > (1 << cap):
+            raise ValueError("alphabet too large for the length cap")
+        lengths = {s: min(ln, cap) for s, ln in lengths.items()}
+        kraft = sum(Fraction(1, 1 << ln) for ln in lengths.values())
+        while kraft > 1:
+            s = max(
+                (s for s, ln in lengths.items() if ln < cap),
+                key=lambda s: (lengths[s], s),
+            )
+            lengths[s] += 1
+            kraft -= Fraction(1, 1 << lengths[s])
     if max(lengths.values()) > MAX_CODE_LEN:
         raise ValueError("prefix code deeper than 15 bits")
     return lengths
@@ -180,9 +230,31 @@ class CanonicalDecoder:
             off += self.count[ln]
         self.maxlen = maxlen
 
+        # flat lookup table (the classic fast-Huffman path) when the
+        # depth is small — always true for our capped encoder; the
+        # per-bit canonical walk below stays as the general fallback
+        # table is keyed by the next maxlen STREAM bits as an LSB-first
+        # integer: a code emitted MSB-first occupies stream bits 0..L-1 as
+        # its bit-reversal, upper index bits are don't-cares
+        self.table = None
+        if self.maxlen <= 10:
+            table = [None] * (1 << self.maxlen)
+            codes = canonical_codes(self.lengths)
+            for sym, (code, ln) in codes.items():
+                rev = int(f"{{:0{ln}b}}".format(code)[::-1], 2) if ln else 0
+                for k in range(1 << (self.maxlen - ln)):
+                    table[rev | (k << ln)] = (sym, ln)
+            self.table = table
+
     def read(self, r: LsbReader) -> int:
         if self.only is not None:
             return self.only
+        if self.table is not None:
+            entry = self.table[r.peek_lsb(self.maxlen)]
+            if entry is None:
+                raise ValueError("invalid prefix code in stream")
+            r.advance(entry[1])
+            return entry[0]
         code = 0
         for ln in range(1, self.maxlen + 1):
             code = (code << 1) | r.get(1)
@@ -363,11 +435,18 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
     write_prefix_code(w, {0: 1}, 40)             # distance: unused, simple
 
     emit_bits = len(glen) > 1
+    # bit-reverse each code once: MSB-first emission into the LSB-first
+    # stream == one little-endian put of the reversed pattern (kills the
+    # per-bit put_code loop in the hot path)
+    rev = {
+        s: (int(f"{{:0{nb}b}}".format(c)[::-1], 2) if nb else 0, nb)
+        for s, (c, nb) in codes.items()
+    }
     for v in raster:
-        for _ in range(3):  # green, red, blue
-            if emit_bits:
-                code, nbits = codes[v]
-                w.put_code(code, nbits)
+        if emit_bits:
+            rc, nb = rev[v]
+            trip = rc | (rc << nb) | (rc << (2 * nb))
+            w.put(trip, 3 * nb)  # green, red, blue in one write
         # alpha: zero-bit simple code
     payload = bytes([SIGNATURE]) + w.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
