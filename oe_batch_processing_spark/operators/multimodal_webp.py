@@ -3,7 +3,7 @@ the H.264 I-PCM precedent: a spec-subset closed under our own encoder, with
 the substantive machinery (the canonical double-Huffman entropy layer and
 the RIFF/VP8L container grammar) fully real.
 
-Subset contract — LITERAL-ONLY VP8L:
+Subset contract — LZ77 + literals VP8L (no transforms / cache / meta):
 * RIFF container: ``RIFF <size> WEBP VP8L <size> <payload>`` with exact
   size validation and odd-length padding.
 * VP8L header: 0x2F signature, 14-bit width-1 / height-1, alpha hint,
@@ -22,11 +22,19 @@ Subset contract — LITERAL-ONLY VP8L:
   and per-bit canonical decoding on the read side. Green/red/blue codes
   are built from the actual per-image histograms, so code lengths VARY
   with the data and the entropy layer genuinely compresses (asserted:
-  the corpus is skew-distributed, ~3.6 bits of entropy per 8-bit pixel).
-* Pixels decode in scan order, literal path only: green symbol < 256,
-  then red, blue, alpha through their own codes. Length symbols
-  (256..279, the LZ77 path) and cache indices are rejected — the encoder
-  never emits them.
+  the corpus is skew-distributed and its zero runs feed the LZ77 layer:
+  ~3 coded bits/pixel vs 8 raw, asserted per image).
+* Pixels decode in scan order with REAL LZ77 backreferences: literal
+  green symbols < 256 carry red/blue/alpha through their own codes;
+  green symbols 256..279 are length prefix codes (the RFC scheme — codes
+  0..3 direct, then (2 + (code&1)) << extra_bits ranges with extra
+  bits), followed by a distance prefix code under the same scheme.
+  Backrefs copy whole pixels from the reconstructed output with
+  overlap-correct semantics (dist 1 + long length = RLE). The encoder is
+  a deterministic greedy last-occurrence parser (determinism feeds the
+  re-encode-roundtrip assertion); plain distances are emitted as
+  dist + 120, and the one remaining un-emitted corner — the RFC's <=120
+  pixel-NEIGHBORHOOD distance-map codes — is rejected by name.
 
 Lossless means the WHOLE corpus hash-oracles (the GIF precedent): pixels
 are md5-keyed skewed bytes both engines regenerate identically, DuckDB
@@ -399,9 +407,75 @@ def read_prefix_code(r: LsbReader, alphabet: int) -> CanonicalDecoder:
 # --- encoder --------------------------------------------------------------------
 
 
+MIN_MATCH = 3  # minimum backreference length the encoder emits
+
+
+def prefix_encode_value(v: int) -> tuple[int, int, int]:
+    """RFC 9649 LZ77 prefix scheme, inverse of :func:`prefix_decode_value`:
+    value -> (prefix_code, extra, extra_bits). Codes 0..3 carry 1..4
+    directly; beyond that, code 2*hb+b for x = v-1 with high bit hb and
+    second bit b, extra = the remaining low bits."""
+    if v < 1:
+        raise ValueError("LZ77 value must be >= 1")
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    hb = x.bit_length() - 1
+    b = (x >> (hb - 1)) & 1
+    return 2 * hb + b, x - ((2 + b) << (hb - 1)), hb - 1
+
+
+def prefix_decode_value(code: int, r: LsbReader) -> int:
+    """RFC 9649: codes 0..3 -> 1..4; else extra_bits = (code-2)>>1,
+    offset = (2 + (code&1)) << extra_bits, value = offset + extra + 1."""
+    if code < 4:
+        return code + 1
+    extra_bits = (code - 2) >> 1
+    return ((2 + (code & 1)) << extra_bits) + r.get(extra_bits) + 1
+
+
+def lz77_parse(raster: bytes) -> list[tuple[int, int, int]]:
+    """Deterministic greedy parse: (literal, value, 0) | (backref, length,
+    distance) ops. Single last-occurrence hash on 3-grams, greedy extend —
+    O(n), pure function of the raster (the re-encode roundtrip assertion
+    depends on determinism)."""
+    n = len(raster)
+    ops: list[tuple[int, int, int]] = []
+    last: dict[bytes, int] = {}
+    i = 0
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if i + MIN_MATCH <= n:
+            key = raster[i:i + MIN_MATCH]
+            j = last.get(key, -1)
+            if j >= 0:
+                # overlap-safe: position j+length always precedes i+length,
+                # so comparing against the original raster IS comparing
+                # against the decoder's already-reconstructed prefix
+                length = MIN_MATCH
+                while i + length < n and raster[j + length] == raster[i + length]:
+                    length += 1
+                match_len, match_dist = length, i - j
+        if match_len >= MIN_MATCH:
+            ops.append((1, match_len, match_dist))
+            for k in range(i, min(i + match_len, n - MIN_MATCH + 1)):
+                last[raster[k:k + MIN_MATCH]] = k
+            i += match_len
+        else:
+            ops.append((0, raster[i], 0))
+            if i + MIN_MATCH <= n:
+                last[raster[i:i + MIN_MATCH]] = i
+            i += 1
+    return ops
+
+
 def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
-    """Grayscale raster -> literal-only lossless WebP (r = g = b = pixel,
-    alpha = 255)."""
+    """Grayscale raster -> lossless WebP (r = g = b = pixel, alpha = 255):
+    greedy LZ77 parse, then literals and 256+length codes through the
+    green prefix code and plain distances (dist + 120) through the
+    distance code — real VP8L backreferences, minus only the <=120
+    pixel-neighborhood distance map."""
     if len(raster) != w_px * h_px:
         raise ValueError("raster size mismatch")
     if not (0 < w_px <= 1 << 14 and 0 < h_px <= 1 << 14):
@@ -415,39 +489,67 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
     w.put(0, 1)  # no color cache
     w.put(0, 1)  # no meta prefix image
 
-    freq: dict[int, int] = {}
-    for v in raster:
-        freq[v] = freq.get(v, 0) + 1
-    if len(freq) < 2:
-        freq = dict(freq)
-        freq[(next(iter(freq)) + 1) % 256] = 0  # degenerate-image guard
-        freq = {s: f for s, f in freq.items() if f}
-        glen = {next(iter(freq)): 1}
-    else:
-        glen = huffman_lengths(freq)
-    codes = canonical_codes(glen) if len(glen) > 1 else {next(iter(glen)): (0, 0)}
+    # greedy LZ77 parse, then histograms over what will actually be
+    # emitted: literal values AND 256+length-prefix codes share the green
+    # code (RFC design); distances get their own code over plain-distance
+    # symbols (dist + 120 -> prefix code of the 40-symbol alphabet)
+    ops = lz77_parse(raster)
+    gfreq: dict[int, int] = {}
+    lit_freq: dict[int, int] = {}
+    dfreq: dict[int, int] = {}
+    for kind, a, b_ in ops:
+        if kind == 0:
+            gfreq[a] = gfreq.get(a, 0) + 1
+            lit_freq[a] = lit_freq.get(a, 0) + 1
+        else:
+            lcode, _, _ = prefix_encode_value(a)
+            gfreq[256 + lcode] = gfreq.get(256 + lcode, 0) + 1
+            dcode, _, _ = prefix_encode_value(b_ + 120)
+            dfreq[dcode] = dfreq.get(dcode, 0) + 1
+
+    def lengths_of(freq: dict[int, int]) -> dict[int, int]:
+        return huffman_lengths(freq) if len(freq) > 1 else {next(iter(freq)): 1}
+
+    glen = lengths_of(gfreq)
+    # red/blue carry only the LITERAL pixels (backrefs copy whole pixels)
+    rblen = lengths_of(lit_freq) if lit_freq else {0: 1}
+    dlen = lengths_of(dfreq) if dfreq else {0: 1}
 
     # five prefix codes: green(+lengths), red, blue, alpha, distance
-    write_prefix_code(w, glen, GREEN_ALPHABET)   # green (+length symbols)
-    write_prefix_code(w, glen, 256)              # red (same histogram: r == g)
-    write_prefix_code(w, glen, 256)              # blue
+    write_prefix_code(w, glen, GREEN_ALPHABET)
+    write_prefix_code(w, rblen, 256)
+    write_prefix_code(w, rblen, 256)
     write_prefix_code(w, {255: 1}, 256)          # alpha: constant, simple
-    write_prefix_code(w, {0: 1}, 40)             # distance: unused, simple
+    write_prefix_code(w, dlen, 40)
 
-    emit_bits = len(glen) > 1
-    # bit-reverse each code once: MSB-first emission into the LSB-first
-    # stream == one little-endian put of the reversed pattern (kills the
-    # per-bit put_code loop in the hot path)
-    rev = {
-        s: (int(f"{{:0{nb}b}}".format(c)[::-1], 2) if nb else 0, nb)
-        for s, (c, nb) in codes.items()
-    }
-    for v in raster:
-        if emit_bits:
-            rc, nb = rev[v]
-            trip = rc | (rc << nb) | (rc << (2 * nb))
-            w.put(trip, 3 * nb)  # green, red, blue in one write
-        # alpha: zero-bit simple code
+    def emitter(lengths: dict[int, int]):
+        """symbol -> one LSB put of the bit-reversed canonical code (a
+        1-symbol code costs zero bits)."""
+        if len(lengths) < 2:
+            only = next(iter(lengths))
+            return {only: (0, 0)}
+        return {
+            s: (int(f"{{:0{nb}b}}".format(c)[::-1], 2) if nb else 0, nb)
+            for s, (c, nb) in canonical_codes(lengths).items()
+        }
+
+    grev, rbrev, drev = emitter(glen), emitter(rblen), emitter(dlen)
+    for kind, a, b_ in ops:
+        if kind == 0:
+            rc, nb = grev[a]
+            w.put(rc, nb)
+            rc2, nb2 = rbrev[a]
+            w.put(rc2 | (rc2 << nb2), 2 * nb2)  # red + blue
+            # alpha: zero-bit simple code
+        else:
+            lcode, lextra, lebits = prefix_encode_value(a)
+            rc, nb = grev[256 + lcode]
+            w.put(rc, nb)
+            w.put(lextra, lebits)
+            dcode, dextra, debits = prefix_encode_value(b_ + 120)
+            rc, nb = drev[dcode]
+            w.put(rc, nb)
+            w.put(dextra, debits)
     payload = bytes([SIGNATURE]) + w.flush()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:
@@ -492,18 +594,35 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
     red = read_prefix_code(r, 256)
     blue = read_prefix_code(r, 256)
     alpha = read_prefix_code(r, 256)
-    read_prefix_code(r, 40)  # distance (never consulted on literals)
+    distance = read_prefix_code(r, 40)
 
+    n_px = w_px * h_px
     out = bytearray()
-    for _ in range(w_px * h_px):
+    while len(out) < n_px:
         g = green.read(r)
-        if g >= 256:
-            raise ValueError("LZ77 backreference unsupported in this subset")
-        if red.read(r) != g or blue.read(r) != g:
-            raise ValueError("non-grayscale pixel in grayscale subset")
-        if alpha.read(r) != 255:
-            raise ValueError("non-opaque pixel")
-        out.append(g)
+        if g < 256:
+            if red.read(r) != g or blue.read(r) != g:
+                raise ValueError("non-grayscale pixel in grayscale subset")
+            if alpha.read(r) != 255:
+                raise ValueError("non-opaque pixel")
+            out.append(g)
+            continue
+        # LZ77 backreference: length via green code 256+k, then distance
+        length = prefix_decode_value(g - 256, r)
+        dist_code = prefix_decode_value(distance.read(r), r)
+        if dist_code <= 120:
+            raise ValueError(
+                "pixel-neighborhood distance codes (<=120) unsupported in "
+                "this subset"
+            )
+        dist = dist_code - 120
+        if dist > len(out):
+            raise ValueError("backreference before start of image")
+        if len(out) + length > n_px:
+            raise ValueError("backreference overruns the image")
+        start = len(out) - dist
+        for k in range(length):  # overlap-correct byte-at-a-time copy
+            out.append(out[start + k])
     if (len(payload) - 1) * 8 - r.pos >= 8:
         raise ValueError("trailing bytes after last pixel")
     return w_px, h_px, bytes(out)
@@ -511,13 +630,12 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
 
 # --- the oracled corpus query ----------------------------------------------------
 
-# Skewed pixel rule: 7/8 zeros, the rest uniform over 1..37 (~1.2 bits of
-# entropy per channel). Literal-only VP8L sends green+red+blue per pixel
-# (no subtract-green transform in this subset), so per-channel entropy
-# must sit well under 8/3 bits for the stream to beat raw grayscale —
-# this rule lands at ~5 coded bits/pixel vs 8 raw. Images are 48/64 x 32
-# so the five prefix-code headers amortize. The md5 is hoisted per
-# 16-byte block (hx CTE) — one call per block, not two per pixel.
+# Skewed pixel rule: 7/8 zeros, the rest uniform over 1..37. The zero
+# RUNS feed the LZ77 layer (dist-1 backrefs = RLE) and the skew feeds the
+# entropy layer: ~3 coded bits/pixel vs 8 raw, both asserted per image.
+# Images are 48/64 x 32 so the five prefix-code headers amortize. The md5
+# is hoisted per 16-byte block (hx CTE) — one call per block, not two per
+# pixel.
 _WEBP_ORACLE = """
     WITH g AS (
       SELECT doc_id, 48 + 16 * (doc_id % 2) AS w, 32 AS h FROM documents
@@ -566,8 +684,9 @@ def _webp_pixels(doc_id: int, w: int, h: int) -> bytes:
 def multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WebP-lossless pipeline with a full hash oracle: per document, a
     skew-distributed md5-keyed grayscale raster is encoded as a genuine
-    literal-only VP8L WebP (:func:`encode_webp_vp8l` — RIFF container,
-    VP8L header, data-driven canonical double-Huffman prefix codes), then
+    VP8L WebP (:func:`encode_webp_vp8l` — RIFF container, VP8L header,
+    greedy LZ77 backreferences, data-driven canonical double-Huffman
+    prefix codes), then
     the decode side re-walks everything (:func:`parse_webp_vp8l`) and
     emits per-image integer statistics over the DECODED pixels. The
     position-weighted checksum pins scan order; the operator additionally
@@ -597,6 +716,8 @@ def multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
                     raise ValueError("lossless roundtrip mismatch")
                 if encode_webp_vp8l(dec, dw, dh) != blob:
                     raise ValueError("re-encode roundtrip mismatch")
+                if not any(op[0] == 1 for op in lz77_parse(raster)):
+                    raise ValueError("LZ77 layer unused on a runs corpus")
                 # entropy layer does real work: container+codes overhead
                 # included, still far under raw 8 bits/pixel
                 if 8 * len(blob) >= 6 * w * h:

@@ -130,3 +130,75 @@ def test_unsupported_feature_flags_rejected():
         bad[21 + bit // 8] ^= 1 << (bit % 8)  # payload starts at 20, +1 signature
         with pytest.raises(ValueError, match=msg):
             parse_webp_vp8l(bytes(bad))
+
+
+def test_lz77_prefix_scheme_continuity():
+    """RFC scheme: codes 0..3 carry 1..4, then contiguous power-of-two
+    ranges — every value 1..5000 must roundtrip through its (code, extra,
+    extra_bits) triple, and codes must be monotone in value."""
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        prefix_decode_value,
+        prefix_encode_value,
+    )
+
+    prev_code = -1
+    for v in range(1, 5001):
+        code, extra, ebits = prefix_encode_value(v)
+        assert code >= prev_code or v <= 4
+        prev_code = max(prev_code, code)
+        w = LsbWriter()
+        w.put(extra, ebits)
+        w.put(0, 8)
+        assert prefix_decode_value(code, LsbReader(w.flush())) == v
+
+
+def test_lz77_backrefs_roundtrip_including_overlap():
+    from oe_batch_processing_spark.operators.multimodal_webp import lz77_parse
+
+    cases = [
+        bytes(200),              # one giant dist-1 overlap run
+        b"abcabcabc" * 20,       # periodic, dist-3 overlaps
+        bytes(range(240)),       # incompressible: literals only
+        b"xy" + bytes(50) + b"xy" + bytes(52) + b"zzzz",  # long-range match, 110 B
+    ]
+    for r in cases:
+        w, h = len(r) // 10, 10
+        blob = encode_webp_vp8l(r, w, h)
+        assert parse_webp_vp8l(blob)[2] == r
+    # runs corpora must actually use the backref path
+    assert any(op[0] == 1 for op in lz77_parse(bytes(200)))
+    assert all(op[0] == 0 for op in lz77_parse(bytes(range(240))))
+
+
+def test_lz77_bad_backrefs_rejected():
+    """Craft streams with a backref before start / past end: take a valid
+    all-zero image (starts with a literal then one big dist-1 backref) and
+    shrink/grow the declared dimensions so the same ops become invalid."""
+    r = bytes(100)
+    blob = bytearray(encode_webp_vp8l(r, 10, 10))
+    # dims live in payload bits 0..27 (after the signature byte at 20)
+    # shrink the image so the backref overruns: width-1 = 4, height-1 = 9
+    import struct as _s
+
+    def with_dims(wm1, hm1):
+        bad = bytearray(blob)
+        bits = wm1 | (hm1 << 14)
+        bad[21] = bits & 0xFF
+        bad[22] = (bits >> 8) & 0xFF
+        bad[23] = (bad[23] & 0xF0) | ((bits >> 16) & 0x0F)
+        return bytes(bad)
+
+    with pytest.raises(ValueError, match="overruns"):
+        parse_webp_vp8l(with_dims(4, 9))
+
+
+def test_compression_beats_literal_only():
+    """The LZ77 layer must do real work on the runs corpus: ~3 bits/pixel
+    (it measured 5.17 literal-only)."""
+    total_bits = total_px = 0
+    for doc in range(8):
+        w, h = 48 + 16 * (doc % 2), 32
+        r = _webp_pixels(doc, w, h)
+        total_bits += 8 * len(encode_webp_vp8l(r, w, h))
+        total_px += w * h
+    assert total_bits / total_px < 4.0
