@@ -5,6 +5,10 @@ and sweeps the IVFPQ rerank depth to chart the recall/cost curve.
 Usage:
     python tools/recall.py [sf_dir]                  # recall@5 of lsh/ivf/ivfpq
     python tools/recall.py [sf_dir] --rerank 30,60,120,240   # IVFPQ depth sweep
+    python tools/recall.py [sf_dir] --ivf-geometry 37x16x0,17x30x2
+        # IVF cells_mod x nprobe x lloyd-rounds sweep with total-budget
+        # accounting (centroid dots + candidate dots per query) — the
+        # round-9 protocol behind the Lloyd-refinement finding
 
 This is the committed protocol behind COVERAGE.md's recall table — the
 numbers there must come from this tool, same discipline as
@@ -74,6 +78,46 @@ def main() -> None:
                 print(f"ivfpq rerank={depth}: recall@5={r:.3f} ({dt:.1f}s)")
         finally:
             similarity2.IVFPQ_RERANK = base
+        return
+
+    if "--ivf-geometry" in args:
+        from oe_batch_processing_spark.operators import similarity as _sim
+
+        geoms = [
+            tuple(int(v) for v in g.split("x"))
+            for g in args[args.index("--ivf-geometry") + 1].split(",")
+        ]
+        base = (_sim.N_CELLS_MOD, _sim.N_PROBE, _sim._IVF_LLOYD)
+        try:
+            for cells_mod, nprobe, lloyd in geoms:
+                _sim.N_CELLS_MOD, _sim.N_PROBE, _sim._IVF_LLOYD = (
+                    cells_mod, nprobe, lloyd,
+                )
+                t0 = time.time()
+                approx = topk_sets(
+                    registry.QUERIES["similarity_topk_ivf"](spark, sf_dir)
+                )
+                dt = time.time() - t0
+                hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+                total = sum(len(v) for v in exact.values())
+                # budget accounting: every query scores all centroids, then
+                # rescored candidates ~ N * nprobe / ncells on average
+                emb = registry.QUERIES["similarity_topk_cosine"]  # noqa: F841
+                from oe_batch_processing_spark.tables import load_table
+
+                n_vec = load_table(spark, sf_dir, "embeddings").count()
+                ncells = sum(
+                    1 for v in range(n_vec) if v % cells_mod == 1
+                )  # init count; Lloyd may drop empty cells
+                budget = ncells + n_vec * min(nprobe, ncells) / max(ncells, 1)
+                print(
+                    f"ivf cells_mod={cells_mod} (~{ncells} cells) "
+                    f"nprobe={nprobe} lloyd={lloyd}: "
+                    f"recall@5={hits / total:.3f} "
+                    f"(~{budget:.0f} dots/query, {dt:.1f}s)"
+                )
+        finally:
+            _sim.N_CELLS_MOD, _sim.N_PROBE, _sim._IVF_LLOYD = base
         return
 
     if lsh_geoms:
