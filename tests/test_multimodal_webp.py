@@ -1,4 +1,4 @@
-"""Unit battery for the literal-only VP8L WebP codec
+"""Unit battery for the VP8L WebP codec (LZ77 + literals subset)
 (operators/multimodal_webp.py): LSB bit order, canonical code assignment,
 both prefix-code serializations, RFC container grammar, and a corruption /
 unsupported-feature battery proving the subset boundaries are enforced.
