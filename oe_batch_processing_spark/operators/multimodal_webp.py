@@ -3,15 +3,20 @@ the H.264 I-PCM precedent: a spec-subset closed under our own encoder, with
 the substantive machinery (the canonical double-Huffman entropy layer and
 the RIFF/VP8L container grammar) fully real.
 
-Subset contract — LZ77 + literals VP8L (no transforms / cache / meta):
+Subset contract — LZ77 + literals + subtract-green VP8L (no cache/meta):
 * RIFF container: ``RIFF <size> WEBP VP8L <size> <payload>`` with exact
   size validation and odd-length padding.
 * VP8L header: 0x2F signature, 14-bit width-1 / height-1, alpha hint,
   3-bit version (must be 0) — all in VP8L's LSB-first bit order.
-* No transforms, no color cache, no meta prefix image: the decoder reads
-  each of those flag bits for real and REJECTS a set flag with a clear
-  error (the general paths need an encoder that exercises them; emitting
-  untested decoder code would be worse than an honest subset).
+* The SUBTRACT-GREEN transform is real on both sides: the encoder walks
+  the RFC transform-signaling loop (present bit, 2-bit type, terminator)
+  and codes r' = (r-g) & 255 / b' = (b-g) & 255 — identically zero for
+  grayscale, collapsing red/blue to zero-bit simple codes; the decoder
+  replays the loop, applies the inverse, and rejects the OTHER transform
+  types (predictor / color / color-indexing), double-signaling, color
+  cache, and the meta prefix image by name (those paths need an encoder
+  that exercises them; emitting untested decoder code would be worse
+  than an honest subset).
 * The five prefix codes (green+length, red, blue, alpha, distance) are
   REAL RFC 9649 prefix codes, both serializations: the simple two-symbol
   form (used for the constant alpha plane and the unused distance code —
@@ -485,14 +490,22 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
     w.put(h_px - 1, 14)
     w.put(0, 1)  # alpha hint: fully opaque
     w.put(0, 3)  # version
-    w.put(0, 1)  # no transform
+    # SUBTRACT_GREEN transform (type 2, no payload): in the transform
+    # domain r' = (r-g) & 255, b' = (b-g) & 255 — identically ZERO for
+    # grayscale, so the red/blue codes collapse to 1-symbol simple codes
+    # costing zero bits per literal. This exercises the real transform
+    # signaling loop (1-bit present, 2-bit type, loop-terminator bit).
+    w.put(1, 1)  # transform present
+    w.put(2, 2)  # transform type: subtract green
+    w.put(0, 1)  # no further transforms
     w.put(0, 1)  # no color cache
     w.put(0, 1)  # no meta prefix image
 
     # greedy LZ77 parse, then histograms over what will actually be
     # emitted: literal values AND 256+length-prefix codes share the green
     # code (RFC design); distances get their own code over plain-distance
-    # symbols (dist + 120 -> prefix code of the 40-symbol alphabet)
+    # symbols (dist + 120 -> prefix code of the 40-symbol alphabet).
+    # Under subtract-green, every literal's r'/b' channel value is 0.
     ops = lz77_parse(raster)
     gfreq: dict[int, int] = {}
     lit_freq: dict[int, int] = {}
@@ -511,8 +524,8 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
         return huffman_lengths(freq) if len(freq) > 1 else {next(iter(freq)): 1}
 
     glen = lengths_of(gfreq)
-    # red/blue carry only the LITERAL pixels (backrefs copy whole pixels)
-    rblen = lengths_of(lit_freq) if lit_freq else {0: 1}
+    # red/blue in the subtract-green domain: constant 0 -> 1-symbol code
+    rblen = {0: 1}
     dlen = lengths_of(dfreq) if dfreq else {0: 1}
 
     # five prefix codes: green(+lengths), red, blue, alpha, distance
@@ -538,8 +551,7 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
         if kind == 0:
             rc, nb = grev[a]
             w.put(rc, nb)
-            rc2, nb2 = rbrev[a]
-            w.put(rc2 | (rc2 << nb2), 2 * nb2)  # red + blue
+            # red/blue: zero-bit 1-symbol codes (subtract-green domain);
             # alpha: zero-bit simple code
         else:
             lcode, lextra, lebits = prefix_encode_value(a)
@@ -583,8 +595,18 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
     r.get(1)  # alpha hint
     if r.get(3) != 0:
         raise ValueError("unknown VP8L version")
-    if r.get(1):
-        raise ValueError("VP8L transforms unsupported in this subset")
+    subtract_green = False
+    while r.get(1):  # transform signaling loop
+        ttype = r.get(2)
+        if ttype != 2:
+            names = {0: "predictor", 1: "color", 3: "color-indexing"}
+            raise ValueError(
+                f"VP8L {names.get(ttype, ttype)} transform unsupported in "
+                f"this subset"
+            )
+        if subtract_green:
+            raise ValueError("subtract-green transform signaled twice")
+        subtract_green = True  # no payload for this transform type
     if r.get(1):
         raise ValueError("color cache unsupported in this subset")
     if r.get(1):
@@ -601,7 +623,10 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
     while len(out) < n_px:
         g = green.read(r)
         if g < 256:
-            if red.read(r) != g or blue.read(r) != g:
+            # in the subtract-green domain a grayscale pixel has r'=b'=0;
+            # untransformed streams carry r=b=g directly
+            want_rb = 0 if subtract_green else g
+            if red.read(r) != want_rb or blue.read(r) != want_rb:
                 raise ValueError("non-grayscale pixel in grayscale subset")
             if alpha.read(r) != 255:
                 raise ValueError("non-opaque pixel")

@@ -118,18 +118,33 @@ def test_container_corruption_battery():
 
 
 def test_unsupported_feature_flags_rejected():
-    """Flipping the transform / color-cache / meta bits (bits 29/30/31 of
-    the stream right after the 28-bit dims + 1+3 header bits) must raise
-    the subset errors — proves the decoder actually reads those flags."""
+    """Bit-surgery on the header: the stream layout after the 28-bit dims +
+    alpha + version is transform-present(32), type(33-34, LSB-first),
+    loop-terminator(35), cache(36), meta(37). Rewriting the type bits or
+    raising the other flags must produce the by-name subset errors —
+    proves the decoder actually walks the signaling loop."""
     r = _webp_pixels(2, 48, 32)
     blob = encode_webp_vp8l(r, 48, 32)
-    header_bits = 14 + 14 + 1 + 3  # then: transform, cache, meta
-    for offset, msg in [(0, "transform"), (1, "color cache"), (2, "meta prefix")]:
-        bit = header_bits + offset
+
+    def flip(bits):
         bad = bytearray(blob)
-        bad[21 + bit // 8] ^= 1 << (bit % 8)  # payload starts at 20, +1 signature
-        with pytest.raises(ValueError, match=msg):
-            parse_webp_vp8l(bytes(bad))
+        for bit in bits:
+            bad[21 + bit // 8] ^= 1 << (bit % 8)  # payload starts at 20+sig
+        return bytes(bad)
+
+    # type 2 is encoded as bits (0, 1) at positions 33, 34 (LSB first)
+    with pytest.raises(ValueError, match="predictor"):
+        parse_webp_vp8l(flip([34]))            # type 2 -> 0
+    with pytest.raises(ValueError, match="color transform"):
+        parse_webp_vp8l(flip([33, 34]))        # type 2 -> 1
+    with pytest.raises(ValueError, match="color-indexing"):
+        parse_webp_vp8l(flip([33]))            # type 2 -> 3
+    with pytest.raises(ValueError, match="signaled twice"):
+        parse_webp_vp8l(flip([35, 37]))        # loop again, type 2 again
+    with pytest.raises(ValueError, match="color cache"):
+        parse_webp_vp8l(flip([36]))
+    with pytest.raises(ValueError, match="meta prefix"):
+        parse_webp_vp8l(flip([37]))
 
 
 def test_lz77_prefix_scheme_continuity():
@@ -193,12 +208,12 @@ def test_lz77_bad_backrefs_rejected():
 
 
 def test_compression_beats_literal_only():
-    """The LZ77 layer must do real work on the runs corpus: ~3 bits/pixel
-    (it measured 5.17 literal-only)."""
+    """LZ77 + subtract-green must do real work on the runs corpus: ~2.3
+    bits/pixel (5.17 literal-only, 2.98 before the transform)."""
     total_bits = total_px = 0
     for doc in range(8):
         w, h = 48 + 16 * (doc % 2), 32
         r = _webp_pixels(doc, w, h)
         total_bits += 8 * len(encode_webp_vp8l(r, w, h))
         total_px += w * h
-    assert total_bits / total_px < 4.0
+    assert total_bits / total_px < 3.0

@@ -489,3 +489,26 @@ def test_kcore_threshold_no_global_sort_window(spark):
     # partition crosses the wire, never the |V|-sized degree table
     assert plan.count("SinglePartition") == 2
     assert "partial_count" in plan and "partial_min" in plan
+
+
+def test_round9_codec_pipelines_round_robin_fanout(spark, sf_dir):
+    """Every round-9 per-document codec pipeline must show the standard
+    single-split fix: exactly one round-robin exchange fanning the rows
+    out before the Python codec stage (tiff/resize/webp are per-doc maps;
+    h264's groupBy adds its own hash exchange and is covered by its own
+    test)."""
+    for name in (
+        "multimodal_tiff_decode",
+        "multimodal_resize_box_integer",
+        "multimodal_webp_lossless_decode",
+    ):
+        df = registry.QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        rr = [ln for ln in final.splitlines() if "RoundRobinPartitioning" in ln]
+        assert len(rr) == 1, f"{name}: {final}"
+        assert not any(
+            "hashpartitioning" in ln for ln in final.splitlines()
+            if "Exchange" in ln
+        ), f"{name} plans a keyed shuffle"
