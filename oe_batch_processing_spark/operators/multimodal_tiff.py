@@ -213,6 +213,8 @@ def _parse_tiff(b: bytes) -> tuple[int, int, int, list[bytes]]:
         return raw if ty == TY_LONG else raw & 0xFFFF
 
     def array(tag: int) -> list[int]:
+        if tag not in tags:
+            raise ValueError(f"missing required tag {tag}")
         ty, cnt, raw = tags[tag]
         if cnt == 1:
             return [raw if ty == TY_LONG else raw & 0xFFFF]

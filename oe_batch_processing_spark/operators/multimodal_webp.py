@@ -154,7 +154,10 @@ class LsbReader:
 # --- canonical prefix codes ----------------------------------------------------
 
 
-ENC_MAX_LEN = 8  # encoder-side cap: keeps decode tables at 256 entries
+ENC_MAX_LEN = 9  # encoder-side cap: keeps decode tables at 512 entries (<=10
+# stays on the flat-table decode path) while admitting a complete code over
+# the full 280-symbol green alphabet (2^8 = 256 was one histogram away from
+# "alphabet too large" on full-range grayscale input)
 
 
 def huffman_lengths(freqs: dict[int, int], cap: int = ENC_MAX_LEN) -> dict[int, int]:
@@ -337,7 +340,11 @@ def write_prefix_code(w: LsbWriter, lengths: dict[int, int], alphabet: int) -> N
         # burn one real bit per emission (simplest valid serialization)
         clc_len = {next(iter(clc_freq)): 1}
     else:
-        clc_len = huffman_lengths(clc_freq)
+        # the serialized length field is 3 bits, so the code-length code
+        # must be length-limited to 7 (a Fibonacci-skewed histogram takes
+        # plain Huffman to depth 8) — the Kraft repair inside
+        # huffman_lengths guarantees the cap
+        clc_len = huffman_lengths(clc_freq, cap=7)
         if max(clc_len.values()) > 7:
             raise ValueError("code-length code deeper than 3-bit field")
     # emit lengths of the code-length code in the fixed 19-symbol order

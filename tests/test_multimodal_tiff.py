@@ -122,3 +122,22 @@ def test_resize_image_p5_roundtrip_and_webp_raises():
     assert resize_image(p5, 3) == b"P5 %d %d 255\n" % (ow, oh) + out
     with pytest.raises(NotImplementedError, match="WebP"):
         resize_image(b"RIFF....WEBP", 2)
+
+
+def test_tiff_missing_strip_tags_raise_value_error():
+    """ADVICE r9 (low): a TIFF whose IFD omits StripOffsets (273) or
+    StripByteCounts (279) must surface as the documented ValueError, not a
+    KeyError — array() now mirrors scalar()'s membership check."""
+    raster = _tiff_pixels(5, 12, 9)
+    t = bytearray(encode_tiff(raster, 12, 9, COMP_NONE))
+    ifd_off = struct.unpack_from("<I", t, 4)[0]
+    n = struct.unpack_from("<H", t, ifd_off)[0]
+    for drop in (273, 279):
+        bad = bytearray(t)
+        for e in range(n):
+            base = ifd_off + 2 + 12 * e
+            if struct.unpack_from("<H", bad, base)[0] == drop:
+                # retag the entry as a private tag the parser ignores
+                struct.pack_into("<H", bad, base, 65000)
+        with pytest.raises(ValueError, match=f"missing required tag {drop}"):
+            parse_tiff(bytes(bad))

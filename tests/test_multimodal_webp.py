@@ -217,3 +217,56 @@ def test_compression_beats_literal_only():
         total_bits += 8 * len(encode_webp_vp8l(r, w, h))
         total_px += w * h
     assert total_bits / total_px < 3.0
+
+
+def test_full_range_grayscale_noise_roundtrips():
+    """ADVICE r9 (medium): a raster whose green histogram exceeds 256
+    distinct symbols (256 literals + length codes = up to 280) used to hit
+    'alphabet too large for the length cap' with ENC_MAX_LEN=8. The cap is
+    now 9 (512-entry table, still on the flat-decode path), so full-range
+    grayscale noise must encode and roundtrip losslessly."""
+    import hashlib
+
+    # deterministic full-range noise: every byte value 0..255 appears,
+    # plus enough runs to engage a few length codes -> >256 green symbols
+    w, h = 41, 57
+    stream = b"".join(
+        hashlib.md5(f"noise:{k}".encode()).digest() for k in range(256)
+    )
+    raster = bytearray(stream[: w * h])
+    raster[0:256] = bytes(range(256))       # guarantee all 256 literals
+    raster[300:340] = bytes([7]) * 40       # guarantee LZ77 length codes
+    raster = bytes(raster)
+    blob = encode_webp_vp8l(raster, w, h)
+    dw, dh, dec = parse_webp_vp8l(blob)
+    assert (dw, dh, dec) == (w, h, raster)
+
+
+def test_clc_code_length_limited_to_three_bit_field():
+    """ADVICE r9 (low): the code-length code's own lengths are serialized
+    in a 3-bit field, so huffman_lengths must be called with cap=7 — a
+    Fibonacci-skewed histogram takes plain Huffman to depth 8."""
+    fib = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233]
+    freqs = {s: f for s, f in enumerate(fib)}
+    # the hazard: the default (ENC_MAX_LEN) cap admits depths > 7
+    assert max(huffman_lengths(dict(freqs)).values()) > 7
+    capped = huffman_lengths(dict(freqs), cap=7)
+    assert max(capped.values()) <= 7
+    # still a valid (Kraft-satisfying) prefix code
+    from fractions import Fraction
+
+    assert sum(Fraction(1, 1 << ln) for ln in capped.values()) <= 1
+    # end-to-end: serialize a code whose *length histogram* is
+    # Fibonacci-skewed (lengths 1..7 with Fibonacci multiplicities would
+    # violate Kraft, so use the capped code itself spread over a wider
+    # alphabet) and prove write_prefix_code no longer raises and every
+    # symbol decodes through its own bits
+    lengths = capped
+    wtr = LsbWriter()
+    write_prefix_code(wtr, lengths, 256)
+    dec = read_prefix_code(LsbReader(wtr.flush()), 256)
+    for sym, (code, nbits) in canonical_codes(lengths).items():
+        w2 = LsbWriter()
+        w2.put_code(code, nbits)
+        w2.put(0, 8)
+        assert dec.read(LsbReader(w2.flush())) == sym
