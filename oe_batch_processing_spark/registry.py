@@ -123,67 +123,74 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- round-9 additions land first (newest code gets a driver row the
-    # --- same round it ships); appended as they register this round.
-    "stream_tws_type_stats",  # r9: unconditional via pbshim protobuf walk
-    "multimodal_h264_ipcm_decode",  # r9: last codec stub retired
-    "stream_split_leakage_gate",  # r9: 11th batch/stream twin
-    "multimodal_tiff_decode",  # r9: TIFF stub retired (IFD+PackBits)
-    "multimodal_resize_box_integer",  # r9: real resize stub retired
-    "multimodal_webp_lossless_decode",  # r9: literal-only VP8L, last stub
-    # --- then the final 31 names that never had a driver row after r1-r8
-    # --- (exactly the never-checked remainder; the judge's r8 session ran
-    # --- all 31 green at sf0.01 via tools/check.py, this gives them the
-    # --- face-value driver rows): cumulative coverage goes 285 -> 316/316.
-    "subquery_exists_projection",
-    "agg_ordered_set_percentiles",
-    "alloc_largest_remainder",
-    "scalar_try_arith_battery",
-    "events_pattern_sequence",
-    "join_range_pure_bucketized",
-    "stats_chi2_type_dow",
-    "ab_test_conversion_lift",
-    "orders_open_backlog_daily",
-    "subquery_not_in_null_trap",
-    "customer_rfm_scores",
-    "lineitem_abc_classification",
-    "quality_control_pchart",
-    "sql_udf_parameterized",
-    "scalar_collation_lcase",
-    "events_funnel_staged_windows",
-    "join_salted_orders_segment",
-    "events_gap_fill_locf",
-    "events_ewma_user",
-    "events_type_transitions",
-    "events_resample_interp_linear",
-    "events_weekly_seasonality",
-    "events_late_arrival_profile",
-    "events_anomaly_seasonal",
-    "win_rolling_distinct_users",
-    "asof_nearest_click",
-    "intervals_coalesce_shipping",
-    "arrow_user_value_stats",
-    "udtf_python_word_stats",
-    "stream_ewma_user",
-    "agg_bitwise_mode",
-    # --- fill to the 50-slot window with deliberate RE-checks: first the
-    # --- operators whose code changes this round (k-core threshold fix,
-    # --- IVF/IVFPQ recall work — fresh rows validate the changed code),
-    # --- then the most intricate codecs/pipelines for re-validation.
-    # --- These yield their slots to round-9 additions as they register.
-    "graph_kcore_trade",
-    "similarity_topk_ivf",
-    "similarity_topk_ivfpq",
-    "multimodal_jpeg420_decode",
-    "multimodal_png_decode",
-    "multimodal_video_mjpeg_avi_decode",
-    "multimodal_audio_flac_lite_roundtrip",
-    "graph_label_propagation",
-    "graph_connected_components_star",
-    "pipeline_bpe_train_apply",
-    "pipeline_split_leakage_report",
-    "dedup_minhash_lsh",
-    "stats_ransac_line_fit",
+    # --- Round-10 window. Zero never-checked names remain (cumulative
+    # --- driver coverage 322/322 after r9), so per the rotation guidance
+    # --- this window is: (1) re-checks of code touched this round (webp
+    # --- length-cap fix; TIFF accessor fix; IVF/IVFPQ recall work;
+    # --- split-leakage overhead trim), then (2) the 38 queries whose only
+    # --- driver rows are r1/r2-era (8+ rounds stale), then (3) the oldest
+    # --- r4-era rows to fill the 50 slots. Round-11 guidance: continue the
+    # --- oldest-row rotation (remaining r4-era names: embedding_kmeans_
+    # --- assign, events_approx_quantile_stats, events_histogram_2d,
+    # --- events_retention_cohorts, flagship_revenue_by_nation,
+    # --- join_bucketed_orders_customer, join_fuzzy_customer_names,
+    # --- json_parse_roundtrip, multimodal_byte_features, pipeline_mix_
+    # --- weighted, pipeline_pack_sequences, pipeline_shard_pack, q11...),
+    # --- always placing any round-11 additions and changed-code re-checks
+    # --- first.
+    "multimodal_webp_lossless_decode",  # r10: ENC_MAX_LEN 9 + clc cap fix
+    "multimodal_tiff_decode",           # r10: array() accessor fix
+    "similarity_topk_ivf",              # r10: recall push (rows-only ANN)
+    "similarity_topk_ivfpq",            # r10: recall push (rows-only ANN)
+    "stream_split_leakage_gate",        # r10: fixed-overhead trim
+    # --- (2) the seven r1-era rows...
+    "agg_approx_count_distinct",
+    "agg_cube_status_priority",
+    "join_shuffle_supplier_part",
+    "sample_stratified_documents",
+    "set_except_customers",
+    "set_intersect_customers",
+    "win_rank_dense_ntile",
+    # --- ...and the thirty-one r2-era rows
+    "agg_collect_sorted",
+    "agg_minby_maxby",
+    "array_hof_ops",
+    "array_ops_advanced",
+    "dedup_simhash",
+    "docs_length_histogram",
+    "join_theta_region_pairs",
+    "multimodal_frame_sample",
+    "q10_returned_items",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_order_priority_checking",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "scalar_bitwise",
+    "scalar_string_extended",
+    "similarity_pairs_above",
+    "similarity_topk_lsh",
+    "text_clean_normalize",
+    "text_fingerprint_dedup",
+    "text_language_id",
+    "text_ngram_bigrams",
+    "text_pii_redact",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_top_tokens",
+    "udtf_explode_words",
+    "unpivot_status_counts",
+    # --- (3) the oldest r4-era rows fill the window
+    "agg_grouping_id",
+    "agg_salted_user_totals",
+    "dedup_embedding_cosine",
+    "docs_inverse_index",
+    "docs_paragraph_dedup",
+    "docs_train_val_test_split",
+    "docs_url_extract",
 )
 
 
