@@ -482,12 +482,274 @@ def lz77_parse(raster: bytes) -> list[tuple[int, int, int]]:
     return ops
 
 
-def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
+# --- predictor transform (RFC 9649 §4.4.1) -------------------------------------
+
+PRED_BLOCK_BITS = 3  # encoder choice: 8x8 blocks (stored as size_bits - 2)
+N_PRED_MODES = 14
+
+
+def _div2_trunc(v):
+    """C-style (v / 2): truncation toward zero, also on negatives —
+    numpy- and int-compatible (RFC 9649 ClampAddSubtractHalf)."""
+    import numpy as np
+
+    if isinstance(v, int):
+        return v // 2 if v >= 0 else -((-v) // 2)
+    return np.where(v >= 0, v >> 1, -((-v) >> 1))
+
+
+def _pred_green(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """Scalar green-channel predictor for one interior pixel (decode side).
+    Alpha/red/blue never need prediction in the grayscale+subtract-green
+    subset: their residuals are structurally zero under every mode."""
+    if mode == 0:
+        return 0  # ARGB black: green component 0
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return (((L + TR) >> 1) + T) >> 1
+    if mode == 6:
+        return (L + TL) >> 1
+    if mode == 7:
+        return (L + T) >> 1
+    if mode == 8:
+        return (TL + T) >> 1
+    if mode == 9:
+        return (T + TR) >> 1
+    if mode == 10:
+        return (((L + TL) >> 1) + ((T + TR) >> 1)) >> 1
+    if mode == 11:
+        # Select: alpha/red/blue contribute zero to both distances in this
+        # subset, so only the green terms decide
+        p = L + T - TL
+        return L if abs(p - L) <= abs(p - T) else T
+    if mode == 12:
+        return min(255, max(0, L + T - TL))
+    if mode == 13:
+        ave = (L + T) >> 1
+        return min(255, max(0, ave + _div2_trunc(ave - TL)))
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _neighbor_planes(g):
+    """Encoder-side L/T/TL/TR planes from the original green plane (the
+    transform is computed against actual values, so prediction needs no
+    sequential reconstruction on the encode side). Row 0 / column 0 use
+    fixed edge rules and are excluded from mode costs; TR on the rightmost
+    column is the leftmost pixel of the SAME row (RFC 9649's exceptional
+    addressing — contiguous-memory wraparound made normative)."""
+    import numpy as np
+
+    gi = g.astype(np.int32)
+    L = np.zeros_like(gi)
+    T = np.zeros_like(gi)
+    TL = np.zeros_like(gi)
+    TR = np.zeros_like(gi)
+    L[:, 1:] = gi[:, :-1]
+    T[1:, :] = gi[:-1, :]
+    TL[1:, 1:] = gi[:-1, :-1]
+    TR[1:, :-1] = gi[:-1, 1:]
+    TR[1:, -1] = gi[1:, 0]
+    return gi, L, T, TL, TR
+
+
+def _mode_pred_plane(mode: int, L, T, TL, TR):
+    import numpy as np
+
+    a2 = lambda a, b: (a + b) >> 1  # noqa: E731
+    if mode == 0:
+        return np.zeros_like(L)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return a2(a2(L, TR), T)
+    if mode == 6:
+        return a2(L, TL)
+    if mode == 7:
+        return a2(L, T)
+    if mode == 8:
+        return a2(TL, T)
+    if mode == 9:
+        return a2(T, TR)
+    if mode == 10:
+        return a2(a2(L, TL), a2(T, TR))
+    if mode == 11:
+        p = L + T - TL
+        return np.where(np.abs(p - L) <= np.abs(p - T), L, T)
+    if mode == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:
+        ave = a2(L, T)
+        return np.clip(ave + _div2_trunc(ave - TL), 0, 255)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def choose_predictor_modes(g, w_px: int, h_px: int):
+    """Deterministic per-block mode selection: minimize the summed
+    wrap-distance min(res, 256-res) of green residuals over the block's
+    interior pixels (row 0 / col 0 predictions are mode-independent edge
+    rules, so they cannot discriminate); ties break to the LOWEST mode.
+    Returns (modes[bh, bw], residual_plane[h, w])."""
+    import numpy as np
+
+    bw = (w_px + (1 << PRED_BLOCK_BITS) - 1) >> PRED_BLOCK_BITS
+    bh = (h_px + (1 << PRED_BLOCK_BITS) - 1) >> PRED_BLOCK_BITS
+    gi, L, T, TL, TR = _neighbor_planes(g)
+    interior = np.ones((h_px, w_px), dtype=bool)
+    interior[0, :] = False
+    interior[:, 0] = False
+
+    costs = np.zeros((N_PRED_MODES, bh, bw), dtype=np.int64)
+    preds = []
+    for m in range(N_PRED_MODES):
+        pm = _mode_pred_plane(m, L, T, TL, TR)
+        preds.append(pm)
+        res = (gi - pm) & 255
+        c = np.where(interior, np.minimum(res, 256 - res), 0)
+        # per-block sums via padded reshape
+        pad_h = bh << PRED_BLOCK_BITS
+        pad_w = bw << PRED_BLOCK_BITS
+        cp = np.zeros((pad_h, pad_w), dtype=np.int64)
+        cp[:h_px, :w_px] = c
+        costs[m] = cp.reshape(
+            bh, 1 << PRED_BLOCK_BITS, bw, 1 << PRED_BLOCK_BITS
+        ).sum(axis=(1, 3))
+    modes = costs.argmin(axis=0).astype(np.int64)  # first min = lowest mode
+
+    # assemble the residual plane: per-pixel block mode, then edge rules
+    mode_px = np.repeat(
+        np.repeat(modes, 1 << PRED_BLOCK_BITS, axis=0),
+        1 << PRED_BLOCK_BITS,
+        axis=1,
+    )[:h_px, :w_px]
+    pred = np.choose(mode_px, preds)
+    pred[0, 0] = 0
+    pred[0, 1:] = L[0, 1:]
+    pred[1:, 0] = T[1:, 0]
+    residual = ((gi - pred) & 255).astype(np.uint8)
+    return modes, residual
+
+
+def inverse_predict(
+    res: bytes, w_px: int, h_px: int, modes, size_bits: int = PRED_BLOCK_BITS
+) -> bytes:
+    """Decode-side sequential reconstruction of the green plane from the
+    residual plane + per-block modes (reconstructed neighbors == original
+    values, so this inverts choose_predictor_modes exactly). Fast paths
+    for the run-dominant modes 0 (pred 0) and 2 (pred = row above)."""
+    out = bytearray(w_px * h_px)
+    for y in range(h_px):
+        row0 = y * w_px
+        brow = modes[y >> size_bits]
+        if y == 0:
+            acc = 0
+            for x in range(w_px):
+                acc = res[x] if x == 0 else (res[x] + acc) & 255
+                out[x] = acc
+            continue
+        out[row0] = (res[row0] + out[row0 - w_px]) & 255
+        x = 1
+        while x < w_px:
+            mode = brow[x >> size_bits]
+            run_end = min(((x >> size_bits) + 1) << size_bits, w_px)
+            if mode == 0:
+                out[row0 + x:row0 + run_end] = res[row0 + x:row0 + run_end]
+                x = run_end
+            elif mode == 2:
+                for i in range(row0 + x, row0 + run_end):
+                    out[i] = (res[i] + out[i - w_px]) & 255
+                x = run_end
+            else:
+                for i in range(row0 + x, row0 + run_end):
+                    xx = i - row0
+                    tr = out[i - w_px + 1] if xx < w_px - 1 else out[row0]
+                    p = _pred_green(
+                        mode, out[i - 1], out[i - w_px], out[i - w_px - 1], tr
+                    )
+                    out[i] = (res[i] + p) & 255
+                x = run_end
+    return bytes(out)
+
+
+def _write_mode_subimage(w: LsbWriter, modes) -> None:
+    """Serialize the predictor mode image as a real entropy-coded VP8L
+    subimage (libwebp's DecodeImageStream with is_level0=False): a
+    color-cache bit, the five prefix codes, then the block modes as
+    literal pixels ARGB=(255, 0, mode, 0) — mode in the green channel."""
+    flat = [int(m) for row in modes for m in row]
+    w.put(0, 1)  # no color cache in the subimage
+    freq: dict[int, int] = {}
+    for m in flat:
+        freq[m] = freq.get(m, 0) + 1
+    glen = huffman_lengths(freq) if len(freq) > 1 else {flat[0]: 1}
+    write_prefix_code(w, glen, GREEN_ALPHABET)
+    write_prefix_code(w, {0: 1}, 256)    # red: constant 0
+    write_prefix_code(w, {0: 1}, 256)    # blue: constant 0
+    write_prefix_code(w, {255: 1}, 256)  # alpha: constant 255
+    write_prefix_code(w, {0: 1}, 40)     # distance: unused
+    if len(glen) > 1:
+        emit = {
+            s: (int(f"{{:0{nb}b}}".format(c)[::-1], 2) if nb else 0, nb)
+            for s, (c, nb) in canonical_codes(glen).items()
+        }
+        for m in flat:
+            rc, nb = emit[m]
+            w.put(rc, nb)
+    # a 1-symbol green code costs zero bits per pixel
+
+
+def _read_mode_subimage(r: LsbReader, bw: int, bh: int):
+    """Decode the predictor mode image; validates the subset invariants
+    (r=b=0, alpha=255, literal-only, modes < 14)."""
+    if r.get(1):
+        raise ValueError("color cache unsupported in this subset (subimage)")
+    green = read_prefix_code(r, GREEN_ALPHABET)
+    red = read_prefix_code(r, 256)
+    blue = read_prefix_code(r, 256)
+    alpha = read_prefix_code(r, 256)
+    read_prefix_code(r, 40)  # distance code: present, unused
+    modes = []
+    for _ in range(bh):
+        row = []
+        for _ in range(bw):
+            m = green.read(r)
+            if m >= 256:
+                raise ValueError(
+                    "backreferences in the mode subimage unsupported in "
+                    "this subset"
+                )
+            if m >= N_PRED_MODES:
+                raise ValueError(f"invalid predictor mode {m}")
+            if red.read(r) != 0 or blue.read(r) != 0:
+                raise ValueError("non-zero red/blue in the mode subimage")
+            if alpha.read(r) != 255:
+                raise ValueError("non-opaque mode-subimage pixel")
+            row.append(m)
+        modes.append(row)
+    return modes
+
+
+def encode_webp_vp8l(
+    raster: bytes, w_px: int, h_px: int, use_predictor: bool = True
+) -> bytes:
     """Grayscale raster -> lossless WebP (r = g = b = pixel, alpha = 255):
-    greedy LZ77 parse, then literals and 256+length codes through the
-    green prefix code and plain distances (dist + 120) through the
-    distance code — real VP8L backreferences, minus only the <=120
-    pixel-neighborhood distance map."""
+    subtract-green, then (by default) the REAL RFC 9649 predictor
+    transform — per-8x8-block best of the 14 modes, signaled through an
+    embedded entropy-coded mode subimage — then a greedy LZ77 parse of the
+    residual plane, literals and 256+length codes through the green prefix
+    code and plain distances (dist + 120) through the distance code."""
     if len(raster) != w_px * h_px:
         raise ValueError("raster size mismatch")
     if not (0 < w_px <= 1 << 14 and 0 < h_px <= 1 << 14):
@@ -504,6 +766,21 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
     # signaling loop (1-bit present, 2-bit type, loop-terminator bit).
     w.put(1, 1)  # transform present
     w.put(2, 2)  # transform type: subtract green
+    plane = raster
+    if use_predictor:
+        # PREDICTOR transform (type 0): the bitstream signals it AFTER
+        # subtract-green, so the decoder's reverse-order inverse walk
+        # undoes prediction first, then subtract-green — i.e. encode
+        # order is SG then predictor, matching libwebp.
+        import numpy as np
+
+        g = np.frombuffer(raster, dtype=np.uint8).reshape(h_px, w_px)
+        modes, residual = choose_predictor_modes(g, w_px, h_px)
+        w.put(1, 1)  # another transform
+        w.put(0, 2)  # transform type: predictor
+        w.put(PRED_BLOCK_BITS - 2, 3)
+        _write_mode_subimage(w, modes)
+        plane = residual.tobytes()
     w.put(0, 1)  # no further transforms
     w.put(0, 1)  # no color cache
     w.put(0, 1)  # no meta prefix image
@@ -512,8 +789,9 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
     # emitted: literal values AND 256+length-prefix codes share the green
     # code (RFC design); distances get their own code over plain-distance
     # symbols (dist + 120 -> prefix code of the 40-symbol alphabet).
-    # Under subtract-green, every literal's r'/b' channel value is 0.
-    ops = lz77_parse(raster)
+    # Under subtract-green, every literal's r'/b' channel value is 0;
+    # under the predictor every channel's residual except green is 0.
+    ops = lz77_parse(plane)
     gfreq: dict[int, int] = {}
     lit_freq: dict[int, int] = {}
     dfreq: dict[int, int] = {}
@@ -535,11 +813,13 @@ def encode_webp_vp8l(raster: bytes, w_px: int, h_px: int) -> bytes:
     rblen = {0: 1}
     dlen = lengths_of(dfreq) if dfreq else {0: 1}
 
-    # five prefix codes: green(+lengths), red, blue, alpha, distance
+    # five prefix codes: green(+lengths), red, blue, alpha, distance.
+    # Alpha: constant 255 raw, but under the predictor the coded plane is
+    # the RESIDUAL domain where every alpha residual is (255-255)&255 = 0.
     write_prefix_code(w, glen, GREEN_ALPHABET)
     write_prefix_code(w, rblen, 256)
     write_prefix_code(w, rblen, 256)
-    write_prefix_code(w, {255: 1}, 256)          # alpha: constant, simple
+    write_prefix_code(w, {0 if use_predictor else 255: 1}, 256)
     write_prefix_code(w, dlen, 40)
 
     def emitter(lengths: dict[int, int]):
@@ -603,17 +883,32 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
     if r.get(3) != 0:
         raise ValueError("unknown VP8L version")
     subtract_green = False
+    pred_modes = None
     while r.get(1):  # transform signaling loop
         ttype = r.get(2)
-        if ttype != 2:
-            names = {0: "predictor", 1: "color", 3: "color-indexing"}
+        if ttype == 2:
+            if subtract_green:
+                raise ValueError("subtract-green transform signaled twice")
+            subtract_green = True  # no payload for this transform type
+        elif ttype == 0:
+            if pred_modes is not None:
+                raise ValueError("predictor transform signaled twice")
+            # size-generic decode (our encoder always emits 8x8 blocks)
+            size_bits = r.get(3) + 2
+            bw = (w_px + (1 << size_bits) - 1) >> size_bits
+            bh = (h_px + (1 << size_bits) - 1) >> size_bits
+            pred_modes = (_read_mode_subimage(r, bw, bh), size_bits)
+        else:
+            names = {1: "color", 3: "color-indexing"}
             raise ValueError(
                 f"VP8L {names.get(ttype, ttype)} transform unsupported in "
                 f"this subset"
             )
-        if subtract_green:
-            raise ValueError("subtract-green transform signaled twice")
-        subtract_green = True  # no payload for this transform type
+    if pred_modes is not None and not subtract_green:
+        raise ValueError(
+            "predictor without subtract-green unsupported in this subset "
+            "(red/blue residuals would be non-zero for grayscale)"
+        )
     if r.get(1):
         raise ValueError("color cache unsupported in this subset")
     if r.get(1):
@@ -626,16 +921,21 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
     distance = read_prefix_code(r, 40)
 
     n_px = w_px * h_px
+    want_alpha = 0 if pred_modes is not None else 255
     out = bytearray()
     while len(out) < n_px:
         g = green.read(r)
         if g < 256:
-            # in the subtract-green domain a grayscale pixel has r'=b'=0;
+            # in the subtract-green domain a grayscale pixel has r'=b'=0
+            # (and the predictor residual of a zero plane is zero);
             # untransformed streams carry r=b=g directly
             want_rb = 0 if subtract_green else g
             if red.read(r) != want_rb or blue.read(r) != want_rb:
                 raise ValueError("non-grayscale pixel in grayscale subset")
-            if alpha.read(r) != 255:
+            # under the predictor the coded plane is the residual domain:
+            # alpha 255 predicts 255 everywhere (mode 0's black is opaque
+            # too), so every coded alpha residual must be 0
+            if alpha.read(r) != want_alpha:
                 raise ValueError("non-opaque pixel")
             out.append(g)
             continue
@@ -657,6 +957,14 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             out.append(out[start + k])
     if (len(payload) - 1) * 8 - r.pos >= 8:
         raise ValueError("trailing bytes after last pixel")
+    if pred_modes is not None:
+        # inverse transforms run in reverse bitstream order: predictor
+        # inverse first (residuals -> subtract-green-domain greens), then
+        # subtract-green inverse (identity on the green channel)
+        modes, size_bits = pred_modes
+        return w_px, h_px, inverse_predict(
+            bytes(out), w_px, h_px, modes, size_bits
+        )
     return w_px, h_px, bytes(out)
 
 

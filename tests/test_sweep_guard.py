@@ -182,3 +182,47 @@ def test_bench_headline_has_committed_protocol_rows():
         f"{missing} — re-run `python bench.py --repeat 3` (uncontended) and "
         f"commit the artifact"
     )
+
+
+def test_documented_counts_match_registry():
+    """VERDICT r9 item 5 (the recurring r6/r7/r8/r9 prose-drift class):
+    every registered/oracled/rows_only count stated in COVERAGE.md and
+    README.md must equal the live registry — `cli counts` is the source of
+    truth, and docs now fail the suite when they lag it."""
+    live_reg = len(registry.QUERIES)
+    live_orc = sum(1 for n in registry.QUERIES if n in registry.ORACLE)
+    live_ro = live_reg - live_orc
+    for doc in ("COVERAGE.md", "README.md"):
+        body = open(os.path.join(REPO, doc)).read()
+        for m in re.finditer(
+            r"registered=(\d+) oracled=(\d+) rows_only=(\d+)", body
+        ):
+            assert tuple(map(int, m.groups())) == (live_reg, live_orc, live_ro), (
+                f"{doc}: stale count line {m.group(0)!r} — live is "
+                f"registered={live_reg} oracled={live_orc} rows_only={live_ro}"
+            )
+        for m in re.finditer(r"(\d+) registered, (\d+) oracled", body):
+            assert tuple(map(int, m.groups())) == (live_reg, live_orc), (
+                f"{doc}: stale count phrase {m.group(0)!r} — live is "
+                f"{live_reg} registered, {live_orc} oracled"
+            )
+
+
+def test_documented_pytest_count_matches_collection(request):
+    """The 'pytest N passed' lines in COVERAGE.md lagged HEAD in four
+    straight rounds (r6-r9). On any FULL-suite run (the committed claim is
+    about the full suite), the documented N must equal the number of
+    collected tests. Partial runs (pytest tests/test_x.py) can't see the
+    full collection and pass trivially."""
+    items = request.session.items
+    files = {str(getattr(i, "fspath", "")) for i in items}
+    if len(files) < 15:  # partial invocation, not the full suite
+        return
+    body = open(os.path.join(REPO, "COVERAGE.md")).read()
+    claims = [int(m) for m in re.findall(r"pytest[* ]+(\d+) passed", body)]
+    assert claims, "COVERAGE.md lost its 'pytest N passed' line"
+    for n in claims:
+        assert n == len(items), (
+            f"COVERAGE.md claims 'pytest {n} passed' but the full suite "
+            f"collects {len(items)} tests — regenerate the doc line"
+        )
