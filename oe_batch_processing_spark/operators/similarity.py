@@ -377,6 +377,37 @@ N_CELLS_MOD = 17  # centroid INIT: vec_id % 17 == 1 (deterministic, ~N/17 cells)
 N_PROBE = 30      # 30/~118 cells at sf0.1: recall@5 0.77 at the r5 budget
 _IVF_LLOYD = 2    # deterministic Lloyd refinement rounds (exact integer means)
 
+# sqrt(2000) reference: the sf0.1 corpus all committed geometry sweeps ran
+# on. Below/at that size the adaptive stride is a NO-OP (mod == base, so
+# every committed recall/bench number is untouched); beyond it the stride
+# grows ~sqrt(n), keeping ncells ~ sqrt(n) — the FAISS nlist heuristic.
+_REF_SQRT = 44  # floor(sqrt(2000))
+
+
+def adaptive_cells_mod(base: int, n: int) -> int:
+    """Centroid-subset stride for an n-vector corpus: ``max(base,
+    floor(sqrt(n)) * base // 44)``. With a FIXED stride the centroid count
+    n/mod grows LINEARLY, so the n x ncells assignment stage goes
+    quadratic — the round-10 scale probe measured similarity_topk_ivf at
+    29.3x and dedup_semdedup_clusters at 71.8x for 10x input. A sqrt(n)
+    stride bounds both the assignment and the within-cell pair stage at
+    ~n^1.5 (the flat-index optimum; going below that needs a hierarchy).
+    Integer-exact and engine-reproducible: floor(sqrt(double)) agrees with
+    exact isqrt for n far below 2^52, and the oracle SQL computes the
+    identical expression (adaptive_cells_mod_sql)."""
+    import math
+
+    return max(base, int(math.floor(math.sqrt(n))) * base // _REF_SQRT)
+
+
+def adaptive_cells_mod_sql(base: int, table: str = "embeddings") -> str:
+    """The DuckDB spelling of :func:`adaptive_cells_mod` over ``table``'s
+    row count, for oracles that must mirror the adaptive stride."""
+    return (
+        f"GREATEST({base}, (CAST(FLOOR(SQRT(CAST((SELECT COUNT(*) FROM "
+        f"{table}) AS DOUBLE))) AS BIGINT) * {base}) // {_REF_SQRT})"
+    )
+
 
 def _lloyd_refine(vecs: DataFrame, cents: DataFrame, rounds: int) -> DataFrame:
     """Deterministic distributed Lloyd refinement of the IVF centroids:
@@ -464,7 +495,10 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .persist()
     )
-    cents = vecs.filter(F.col("vec_id") % N_CELLS_MOD == 1).select(
+    # sqrt-scaled stride (no-op at the committed SFs): ncells ~ sqrt(n),
+    # so the n x ncells assignment stays ~n^1.5 instead of n^2
+    cells_mod = adaptive_cells_mod(N_CELLS_MOD, vecs.count())
+    cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),

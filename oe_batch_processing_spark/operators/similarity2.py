@@ -14,6 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from oe_batch_processing_spark.operators.similarity import (
+    adaptive_cells_mod,
+    adaptive_cells_mod_sql,
+)
 from oe_batch_processing_spark.registry import query
 from oe_batch_processing_spark.tables import load_table
 
@@ -35,7 +39,8 @@ _DUCK_QE = "[CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT) FOR x IN embedding]"
     WITH q AS (
       SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
     ),
-    c AS (SELECT vec_id AS cell_id, qe AS ce FROM q WHERE vec_id % {CELLS_MOD} = 1),
+    c AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+          WHERE vec_id % ({adaptive_cells_mod_sql(CELLS_MOD)}) = 1),
     d AS (
       SELECT v.vec_id, c.cell_id,
              CAST(LIST_SUM([(v.qe[i] - c.ce[i]) * (v.qe[i] - c.ce[i])
@@ -64,7 +69,9 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
-    cents = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
+    # sqrt-scaled stride (no-op at committed SFs; oracle mirrors it)
+    cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
+    cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
     )
     scored = vecs.join(F.broadcast(cents)).select(
@@ -298,8 +305,10 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)
     )
 
-    # coarse quantizer: deterministic subset init, then Lloyd-refined
-    coarse = vecs.filter(F.col("vec_id") % IVFPQ_CELLS_MOD == 1).select(
+    # coarse quantizer: deterministic subset init (sqrt-scaled stride —
+    # a no-op at the committed SFs, ncells ~ sqrt(n) beyond), Lloyd-refined
+    cells_mod = adaptive_cells_mod(IVFPQ_CELLS_MOD, vecs.count())
+    coarse = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
         F.expr("transform(qe, x -> CAST(x AS DOUBLE))").alias("ce"),
     )
@@ -657,7 +666,8 @@ SEMDEDUP_T = 0.15  # cosine threshold (uniform-random test vectors sit near 0;
       SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
     ),
     cents AS (
-      SELECT vec_id AS cell_id, qe AS ce FROM q WHERE vec_id % {CELLS_MOD} = 1
+      SELECT vec_id AS cell_id, qe AS ce FROM q
+      WHERE vec_id % ({adaptive_cells_mod_sql(CELLS_MOD)}) = 1
     ),
     d AS (
       SELECT q.vec_id, c.cell_id, q.qe,
@@ -732,7 +742,13 @@ def semdedup_clusters(
     frame; ``cap`` overrides the per-cell member bound for tests."""
     cap = SEMDEDUP_CELL_CAP if cap is None else cap
     vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
-    cents = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
+    # sqrt-scaled stride: ncells ~ sqrt(n) bounds BOTH the n x ncells
+    # assignment and the within-cell pair stage at ~n^1.5 (round-10 scale
+    # probe: 71.8x for 10x input under the fixed stride); the oracle SQL
+    # computes the identical expression, and at the committed SFs the
+    # stride equals CELLS_MOD so every committed artifact is unchanged
+    cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
+    cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
     )
     scored = vecs.join(F.broadcast(cents)).select(

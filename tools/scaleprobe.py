@@ -241,6 +241,12 @@ def main() -> int:
     ap.add_argument("--flag-ratio", type=float, default=15.0)
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--only", nargs="*", help="probe only these queries")
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="update only the probed queries inside an existing --out "
+        "artifact (refreshing rows after a fix) instead of rewriting it",
+    )
     ap.add_argument("--out", default="SCALEPROBE_r10.json")
     args = ap.parse_args()
 
@@ -305,6 +311,32 @@ def main() -> int:
             ):
                 new_sp.append(name)
         queries[name] = entry
+
+    if args.merge:
+        with open(args.out) as f:
+            artifact = json.load(f)
+        artifact["queries"].update(queries)
+        flagged = sorted(
+            n
+            for n, e in artifact["queries"].items()
+            if e.get("time_ratio", 0) > args.flag_ratio
+        )
+        new_sp = sorted(
+            set(artifact.get("new_single_partition_exchanges_at_scale", []))
+            - set(names)
+            | set(new_sp)
+        )
+        artifact["flagged_over_ratio"] = flagged
+        artifact["new_single_partition_exchanges_at_scale"] = new_sp
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=False)
+            f.write("\n")
+        print(json.dumps({
+            "merged": sorted(names),
+            "flagged_over_ratio": flagged,
+            "out": args.out,
+        }))
+        return 0
 
     artifact = {
         "metric": "scaleprobe_10x",
