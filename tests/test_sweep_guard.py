@@ -226,3 +226,44 @@ def test_documented_pytest_count_matches_collection(request):
             f"COVERAGE.md claims 'pytest {n} passed' but the full suite "
             f"collects {len(items)} tests — regenerate the doc line"
         )
+
+
+def test_scaleprobe_artifact_consistency():
+    """VERDICT r9 items 1+8: the committed scale-probe artifact must stay
+    coherent with the code — every probed name registered, every PROBES
+    name present with both timings, no unexplained errors, no NEW
+    single-partition exchanges at scale, and every >flag_ratio grower
+    carries a written finding (the 'fix or written finding' contract)."""
+    import json
+
+    paths = glob.glob(os.path.join(REPO, "SCALEPROBE_r*.json"))
+    assert paths, "no SCALEPROBE_r*.json artifact committed"
+    newest = max(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    with open(newest) as f:
+        art = json.load(f)
+
+    from tools.scaleprobe import PROBES
+
+    rows = art["queries"]
+    missing = [n for n in PROBES if n not in rows]
+    assert not missing, f"{newest}: PROBES without artifact rows: {missing}"
+    unknown = [n for n in rows if n not in registry.QUERIES]
+    assert not unknown, f"{newest}: probed names not in registry: {unknown}"
+    for n, e in rows.items():
+        assert "err" not in e, (
+            f"{newest}: {n} recorded an error — re-probe after fixing "
+            f"(tools/scaleprobe.py --merge --only {n})"
+        )
+        assert e["t_base"] and e["t_scaled"], f"{newest}: {n} missing timings"
+    assert not art["new_single_partition_exchanges_at_scale"], (
+        f"{newest}: queries GAINED SinglePartition exchanges at scale: "
+        f"{art['new_single_partition_exchanges_at_scale']}"
+    )
+    findings = art.get("findings", {})
+    unexplained = [
+        n for n in art["flagged_over_ratio"] if n not in findings
+    ]
+    assert not unexplained, (
+        f"{newest}: flagged >{art['flag_ratio']}x growers without a "
+        f"written finding: {unexplained}"
+    )
