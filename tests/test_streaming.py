@@ -261,4 +261,8 @@ def test_split_leakage_gate_shares_batch_oracle():
     )
     src = inspect.getsource(foreach_batch.stream_split_leakage_gate)
     assert 'screened["batches"] >= 4' in src
-    assert 'screened["survivors"] < screened["shingles"]' in src
+    # round-10 form: the vacuity tripwire is lazily scoped to
+    # partially-clean corpora (a fully-leaked corpus legitimately passes
+    # every shingle — found by the 10x scale probe)
+    assert 'screened["survivors"] >= screened["shingles"]' in src
+    assert "n_leaked == n_held" in src
