@@ -365,17 +365,21 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-9 geometry (tools/recall.py sweep, sf0.1, total budget = centroid
-# dots + candidate dots per query): the r5 config (mod 37 -> ~54 cells,
-# nprobe 16, subset centroids) cost ~635 dots/query for recall@5 0.69.
-# Two deterministic Lloyd rounds + finer cells dominate it: mod 17 ->
-# ~118 cells, nprobe 30 = ~624 dots/query, recall@5 0.77 (and 0.92 at
-# mod 7/nprobe 70 if you pay 1.22x budget). Lloyd is the big lever —
-# subset "centroids" of a uniform-ish corpus are just random vectors;
-# two mean-refinement rounds give them real Voronoi structure.
-N_CELLS_MOD = 17  # centroid INIT: vec_id % 17 == 1 (deterministic, ~N/17 cells)
-N_PROBE = 30      # 30/~118 cells at sf0.1: recall@5 0.77 at the r5 budget
-_IVF_LLOYD = 2    # deterministic Lloyd refinement rounds (exact integer means)
+# Round-10 geometry (tools/recall.py --ivf-geometry sweep at sf0.1, equal
+# ~620-dot budget = centroid dots + candidate dots per query):
+#   17x30x2 = 0.77 (the r9 config)   17x30x3 = 0.75   17x30x4 = 0.73
+#   13x36x2 = 0.79   13x36x3 = 0.82  <- adopted (beats LSH's 0.81)
+#   23x23x2 = 0.77   11x40x2 = 0.73  11x40x3 = 0.74
+# Two lessons: (1) FINER cells + more probes dominate at fixed budget up
+# to a point (mod 11 overshoots — per-cell population ~11 is too small for
+# top-5), and (2) a 3rd Lloyd round helps exactly when cells are fine
+# (13x36: +0.03) and HURTS when they're coarse (17x30: -0.02; coarse CVT
+# cells equalize volumes and push true neighbors across probe borders).
+# History: r5 subset centroids 37x16 = 0.69; r9 Lloyd-refined 17x30x2 =
+# 0.77 (+0.08 from Lloyd); r10 13x36x3 = 0.82 (+0.05 from geometry).
+N_CELLS_MOD = 13  # centroid INIT: vec_id % 13 == 1 (deterministic, ~N/13 cells)
+N_PROBE = 36      # 36/~154 cells at sf0.1: recall@5 0.82 at the r5 budget
+_IVF_LLOYD = 3    # deterministic Lloyd refinement rounds (exact integer means)
 
 # sqrt(2000) reference: the sf0.1 corpus all committed geometry sweeps ran
 # on. Below/at that size the adaptive stride is a NO-OP (mod == base, so

@@ -217,9 +217,11 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Two deterministic L2 Lloyd rounds + finer cells (mod 17 -> ~118 cells,
 # 30 probes) raise the ceiling to 0.77 at the same ~640-dot budget; the
 # unchanged rerank depth still reaches it (verified via tools/recall.py).
-IVFPQ_CELLS_MOD = 17  # coarse INIT: vec_id % 17 == 1, then Lloyd-refined
-IVFPQ_LLOYD = 2       # deterministic L2 Lloyd rounds (exact integer means)
-IVFPQ_NPROBE = 30     # 30/~118 cells (same budget as the old 16/~54)
+IVFPQ_CELLS_MOD = 13  # coarse INIT: vec_id % 13 == 1, then Lloyd-refined
+IVFPQ_LLOYD = 3       # deterministic L2 Lloyd rounds (exact integer means)
+IVFPQ_NPROBE = 36     # 36/~154 cells (same budget as the old 16/~54);
+# r10 sweep: 17x30x2 = 0.76, 13x36x2 = 0.81, 13x36x3 = 0.82 (adopted —
+# the IVF sweep's winner transfers to the L2 coarse quantizer)
 IVFPQ_RERANK = 240  # ADC shortlist rescored exactly per query (uniform-random
 # test vectors are PQ's worst case — ADC ordering is noisy, so the shortlist
 # must be deep; clustered real corpora get the same recall at ~1/4 the
