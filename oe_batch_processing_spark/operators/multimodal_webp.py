@@ -8,15 +8,22 @@ Subset contract — LZ77 + literals + subtract-green VP8L (no cache/meta):
   size validation and odd-length padding.
 * VP8L header: 0x2F signature, 14-bit width-1 / height-1, alpha hint,
   3-bit version (must be 0) — all in VP8L's LSB-first bit order.
-* The SUBTRACT-GREEN transform is real on both sides: the encoder walks
-  the RFC transform-signaling loop (present bit, 2-bit type, terminator)
-  and codes r' = (r-g) & 255 / b' = (b-g) & 255 — identically zero for
-  grayscale, collapsing red/blue to zero-bit simple codes; the decoder
-  replays the loop, applies the inverse, and rejects the OTHER transform
-  types (predictor / color / color-indexing), double-signaling, color
-  cache, and the meta prefix image by name (those paths need an encoder
-  that exercises them; emitting untested decoder code would be worse
-  than an honest subset).
+* THREE of the four RFC transforms are real on both sides, driven by our
+  own encoder. SUBTRACT-GREEN (type 2): r' = (r-g) & 255 / b' = (b-g) &
+  255 — identically zero for grayscale, collapsing red/blue to zero-bit
+  simple codes. PREDICTOR (type 0, round 10): all 14 modes, per-8x8-block
+  deterministic selection, the mode image as a genuine entropy-coded
+  subimage, sequential inverse with the exceptional rightmost-column TR
+  addressing and C-truncation ClampAddSubtractHalf. COLOR-INDEXING
+  (type 3, round 10): difference-coded palette subimage plus the spec's
+  index BUNDLING (8/4/2 indices per coded pixel below 3/5/17 colors, the
+  coded width shrinking to match). The decoder walks the signaling loop
+  and still rejects BY NAME: the color transform (type 1),
+  double-signaling, color cache, the meta prefix image, subimage
+  backreferences, predictor-without-subtract-green, and palette combined
+  with the other transforms (the pipelines are alternatives, as in
+  libwebp; emitting untested decoder code would be worse than an honest
+  subset).
 * The five prefix codes (green+length, red, blue, alpha, distance) are
   REAL RFC 9649 prefix codes, both serializations: the simple two-symbol
   form (used for the constant alpha plane and the unused distance code —
@@ -741,15 +748,148 @@ def _read_mode_subimage(r: LsbReader, bw: int, bh: int):
     return modes
 
 
-def encode_webp_vp8l(
-    raster: bytes, w_px: int, h_px: int, use_predictor: bool = True
+# --- color-indexing (palette) transform (RFC 9649 §4.4.3) ----------------------
+
+
+def palette_width_bits(n_colors: int) -> int:
+    """Index-bundling factor: <=2 colors pack 8 one-bit indices per green
+    byte (width_bits 3), <=4 pack 4, <=16 pack 2, else no packing. The
+    coded image's width SHRINKS to ceil(w / 2^width_bits)."""
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _write_argb_subimage(w: LsbWriter, pixels: list[tuple[int, int, int, int]]) -> None:
+    """Serialize a tiny ARGB image (the palette row) as a real
+    entropy-coded VP8L subimage: color-cache bit, five prefix codes over
+    the actual per-channel histograms, literal pixels only."""
+    w.put(0, 1)  # no color cache
+    hists: list[dict[int, int]] = [{}, {}, {}, {}]  # g, r, b, a
+    for a, rr, g, bb in pixels:
+        for h, v in zip(hists, (g, rr, bb, a)):
+            h[v] = h.get(v, 0) + 1
+
+    def lens(h: dict[int, int]) -> dict[int, int]:
+        return huffman_lengths(h) if len(h) > 1 else {next(iter(h)): 1}
+
+    glen, rlen, blen, alen = (lens(h) for h in hists)
+    write_prefix_code(w, glen, GREEN_ALPHABET)
+    write_prefix_code(w, rlen, 256)
+    write_prefix_code(w, blen, 256)
+    write_prefix_code(w, alen, 256)
+    write_prefix_code(w, {0: 1}, 40)  # distance: present, unused
+
+    def emit(lengths: dict[int, int]):
+        if len(lengths) < 2:
+            return {next(iter(lengths)): (0, 0)}
+        return {
+            s: (int(f"{{:0{nb}b}}".format(c)[::-1], 2) if nb else 0, nb)
+            for s, (c, nb) in canonical_codes(lengths).items()
+        }
+
+    ge, re_, be, ae = emit(glen), emit(rlen), emit(blen), emit(alen)
+    for a, rr, g, bb in pixels:  # literal channel order: g, r, b, a
+        for table, v in ((ge, g), (re_, rr), (be, bb), (ae, a)):
+            code, nb = table[v]
+            w.put(code, nb)
+
+
+def _read_argb_subimage(r: LsbReader, n: int) -> list[tuple[int, int, int, int]]:
+    """Decode n literal ARGB pixels of an embedded subimage."""
+    if r.get(1):
+        raise ValueError("color cache unsupported in this subset (subimage)")
+    green = read_prefix_code(r, GREEN_ALPHABET)
+    red = read_prefix_code(r, 256)
+    blue = read_prefix_code(r, 256)
+    alpha = read_prefix_code(r, 256)
+    read_prefix_code(r, 40)
+    out = []
+    for _ in range(n):
+        g = green.read(r)
+        if g >= 256:
+            raise ValueError(
+                "backreferences in the palette subimage unsupported in "
+                "this subset"
+            )
+        rr = red.read(r)
+        bb = blue.read(r)
+        a = alpha.read(r)
+        out.append((a, rr, g, bb))
+    return out
+
+
+def _pack_palette_indices(
+    raster: bytes, w_px: int, h_px: int, index_of: dict[int, int], wbits: int
+) -> tuple[bytes, int]:
+    """Row-wise index bundling: 2^wbits indices per green byte, LSB-first
+    sub-pixel order, zero padding bits in the last packed byte of a row.
+    Returns (packed plane, packed width)."""
+    packed_w = (w_px + (1 << wbits) - 1) >> wbits
+    bits = 8 >> wbits
+    out = bytearray(packed_w * h_px)
+    for y in range(h_px):
+        row = y * w_px
+        prow = y * packed_w
+        for x in range(w_px):
+            out[prow + (x >> wbits)] |= index_of[raster[row + x]] << (
+                (x & ((1 << wbits) - 1)) * bits
+            )
+    return bytes(out), packed_w
+
+
+def _unpack_palette_indices(
+    packed: bytes, w_px: int, h_px: int, values: list[int], wbits: int
 ) -> bytes:
-    """Grayscale raster -> lossless WebP (r = g = b = pixel, alpha = 255):
-    subtract-green, then (by default) the REAL RFC 9649 predictor
+    """Inverse of :func:`_pack_palette_indices`; validates index range and
+    the zero-padding discipline on each row's last packed byte."""
+    packed_w = (w_px + (1 << wbits) - 1) >> wbits
+    bits = 8 >> wbits
+    mask = (1 << bits) - 1
+    n = len(values)
+    out = bytearray(w_px * h_px)
+    per = 1 << wbits
+    for y in range(h_px):
+        prow = y * packed_w
+        row = y * w_px
+        for x in range(w_px):
+            idx = (packed[prow + (x >> wbits)] >> ((x % per) * bits)) & mask
+            if idx >= n:
+                raise ValueError(
+                    f"palette index {idx} out of range (palette size {n})"
+                )
+            out[row + x] = values[idx]
+        used = ((w_px - 1) % per + 1) * bits  # bits used in the last byte
+        if wbits and (packed[prow + packed_w - 1] >> used):
+            raise ValueError("non-zero padding bits in packed index row")
+    return bytes(out)
+
+
+def encode_webp_vp8l(
+    raster: bytes,
+    w_px: int,
+    h_px: int,
+    use_predictor: bool = True,
+    use_palette: bool = False,
+) -> bytes:
+    """Grayscale raster -> lossless WebP (r = g = b = pixel, alpha = 255).
+
+    Default path: subtract-green, then the REAL RFC 9649 predictor
     transform — per-8x8-block best of the 14 modes, signaled through an
     embedded entropy-coded mode subimage — then a greedy LZ77 parse of the
     residual plane, literals and 256+length codes through the green prefix
-    code and plain distances (dist + 120) through the distance code."""
+    code and plain distances (dist + 120) through the distance code.
+
+    ``use_palette`` path: the REAL color-indexing transform instead —
+    sorted distinct values become a difference-coded palette subimage, the
+    image becomes green-channel indices with spec index BUNDLING (8/4/2
+    indices per coded pixel below 3/5/17 colors, coded width shrinks
+    accordingly), then the same LZ77+prefix layer over the packed plane.
+    The two transform pipelines are alternatives (as in libwebp)."""
     if len(raster) != w_px * h_px:
         raise ValueError("raster size mismatch")
     if not (0 < w_px <= 1 << 14 and 0 < h_px <= 1 << 14):
@@ -759,28 +899,47 @@ def encode_webp_vp8l(
     w.put(h_px - 1, 14)
     w.put(0, 1)  # alpha hint: fully opaque
     w.put(0, 3)  # version
-    # SUBTRACT_GREEN transform (type 2, no payload): in the transform
-    # domain r' = (r-g) & 255, b' = (b-g) & 255 — identically ZERO for
-    # grayscale, so the red/blue codes collapse to 1-symbol simple codes
-    # costing zero bits per literal. This exercises the real transform
-    # signaling loop (1-bit present, 2-bit type, loop-terminator bit).
-    w.put(1, 1)  # transform present
-    w.put(2, 2)  # transform type: subtract green
     plane = raster
-    if use_predictor:
-        # PREDICTOR transform (type 0): the bitstream signals it AFTER
-        # subtract-green, so the decoder's reverse-order inverse walk
-        # undoes prediction first, then subtract-green — i.e. encode
-        # order is SG then predictor, matching libwebp.
-        import numpy as np
+    if use_palette:
+        # COLOR-INDEXING transform (type 3): 8-bit (n_colors - 1), then
+        # the palette as a difference-coded entropy subimage (entry 0 vs
+        # ARGB zero), then the main image is packed indices in green.
+        values = sorted(set(raster))
+        index_of = {v: i for i, v in enumerate(values)}
+        wbits = palette_width_bits(len(values))
+        w.put(1, 1)  # transform present
+        w.put(3, 2)  # transform type: color indexing
+        w.put(len(values) - 1, 8)
+        diffs = []
+        prev = (0, 0, 0, 0)
+        for v in values:
+            entry = (255, v, v, v)  # grayscale palette entry (a, r, g, b)
+            diffs.append(tuple((e - p) & 255 for e, p in zip(entry, prev)))
+            prev = entry
+        _write_argb_subimage(w, diffs)
+        plane, _ = _pack_palette_indices(raster, w_px, h_px, index_of, wbits)
+    else:
+        # SUBTRACT_GREEN transform (type 2, no payload): in the transform
+        # domain r' = (r-g) & 255, b' = (b-g) & 255 — identically ZERO for
+        # grayscale, so the red/blue codes collapse to 1-symbol simple
+        # codes costing zero bits per literal. This exercises the real
+        # transform signaling loop (present bit, 2-bit type, terminator).
+        w.put(1, 1)  # transform present
+        w.put(2, 2)  # transform type: subtract green
+        if use_predictor:
+            # PREDICTOR transform (type 0): the bitstream signals it AFTER
+            # subtract-green, so the decoder's reverse-order inverse walk
+            # undoes prediction first, then subtract-green — i.e. encode
+            # order is SG then predictor, matching libwebp.
+            import numpy as np
 
-        g = np.frombuffer(raster, dtype=np.uint8).reshape(h_px, w_px)
-        modes, residual = choose_predictor_modes(g, w_px, h_px)
-        w.put(1, 1)  # another transform
-        w.put(0, 2)  # transform type: predictor
-        w.put(PRED_BLOCK_BITS - 2, 3)
-        _write_mode_subimage(w, modes)
-        plane = residual.tobytes()
+            g = np.frombuffer(raster, dtype=np.uint8).reshape(h_px, w_px)
+            modes, residual = choose_predictor_modes(g, w_px, h_px)
+            w.put(1, 1)  # another transform
+            w.put(0, 2)  # transform type: predictor
+            w.put(PRED_BLOCK_BITS - 2, 3)
+            _write_mode_subimage(w, modes)
+            plane = residual.tobytes()
     w.put(0, 1)  # no further transforms
     w.put(0, 1)  # no color cache
     w.put(0, 1)  # no meta prefix image
@@ -814,12 +973,14 @@ def encode_webp_vp8l(
     dlen = lengths_of(dfreq) if dfreq else {0: 1}
 
     # five prefix codes: green(+lengths), red, blue, alpha, distance.
-    # Alpha: constant 255 raw, but under the predictor the coded plane is
-    # the RESIDUAL domain where every alpha residual is (255-255)&255 = 0.
+    # Alpha: constant 255 raw (also in the palette's packed-index domain),
+    # but under the predictor the coded plane is the RESIDUAL domain where
+    # every alpha residual is (255-255)&255 = 0.
+    predictor_applied = use_predictor and not use_palette
     write_prefix_code(w, glen, GREEN_ALPHABET)
     write_prefix_code(w, rblen, 256)
     write_prefix_code(w, rblen, 256)
-    write_prefix_code(w, {0 if use_predictor else 255: 1}, 256)
+    write_prefix_code(w, {0 if predictor_applied else 255: 1}, 256)
     write_prefix_code(w, dlen, 40)
 
     def emitter(lengths: dict[int, int]):
@@ -884,6 +1045,7 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
         raise ValueError("unknown VP8L version")
     subtract_green = False
     pred_modes = None
+    palette = None
     while r.get(1):  # transform signaling loop
         ttype = r.get(2)
         if ttype == 2:
@@ -898,16 +1060,37 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             bw = (w_px + (1 << size_bits) - 1) >> size_bits
             bh = (h_px + (1 << size_bits) - 1) >> size_bits
             pred_modes = (_read_mode_subimage(r, bw, bh), size_bits)
+        elif ttype == 3:
+            if palette is not None:
+                raise ValueError("color-indexing transform signaled twice")
+            n_colors = r.get(8) + 1
+            # palette entries arrive difference-coded vs ARGB zero
+            values = []
+            prev = (0, 0, 0, 0)
+            for d in _read_argb_subimage(r, n_colors):
+                prev = tuple((p + x) & 255 for p, x in zip(prev, d))
+                a, rr, g, bb = prev
+                if a != 255:
+                    raise ValueError("non-opaque palette entry")
+                if not (rr == g == bb):
+                    raise ValueError(
+                        "non-grayscale palette entry in grayscale subset"
+                    )
+                values.append(g)
+            palette = values
         else:
-            names = {1: "color", 3: "color-indexing"}
             raise ValueError(
-                f"VP8L {names.get(ttype, ttype)} transform unsupported in "
-                f"this subset"
+                "VP8L color transform unsupported in this subset"
             )
     if pred_modes is not None and not subtract_green:
         raise ValueError(
             "predictor without subtract-green unsupported in this subset "
             "(red/blue residuals would be non-zero for grayscale)"
+        )
+    if palette is not None and (subtract_green or pred_modes is not None):
+        raise ValueError(
+            "color-indexing combined with other transforms unsupported in "
+            "this subset (the pipelines are alternatives, as in libwebp)"
         )
     if r.get(1):
         raise ValueError("color cache unsupported in this subset")
@@ -920,16 +1103,24 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
     alpha = read_prefix_code(r, 256)
     distance = read_prefix_code(r, 40)
 
-    n_px = w_px * h_px
+    # under color-indexing the coded image is the packed-index plane: its
+    # width shrinks to ceil(w / 2^width_bits) per the bundling rule
+    if palette is not None:
+        wbits = palette_width_bits(len(palette))
+        coded_w = (w_px + (1 << wbits) - 1) >> wbits
+    else:
+        coded_w = w_px
+    n_px = coded_w * h_px
     want_alpha = 0 if pred_modes is not None else 255
     out = bytearray()
     while len(out) < n_px:
         g = green.read(r)
         if g < 256:
             # in the subtract-green domain a grayscale pixel has r'=b'=0
-            # (and the predictor residual of a zero plane is zero);
-            # untransformed streams carry r=b=g directly
-            want_rb = 0 if subtract_green else g
+            # (and the predictor residual of a zero plane is zero); the
+            # palette's packed-index pixels carry the index in green with
+            # r=b=0; untransformed streams carry r=b=g directly
+            want_rb = 0 if (subtract_green or palette is not None) else g
             if red.read(r) != want_rb or blue.read(r) != want_rb:
                 raise ValueError("non-grayscale pixel in grayscale subset")
             # under the predictor the coded plane is the residual domain:
@@ -957,6 +1148,10 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             out.append(out[start + k])
     if (len(payload) - 1) * 8 - r.pos >= 8:
         raise ValueError("trailing bytes after last pixel")
+    if palette is not None:
+        return w_px, h_px, _unpack_palette_indices(
+            bytes(out), w_px, h_px, palette, palette_width_bits(len(palette))
+        )
     if pred_modes is not None:
         # inverse transforms run in reverse bitstream order: predictor
         # inverse first (residuals -> subtract-green-domain greens), then

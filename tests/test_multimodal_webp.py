@@ -135,11 +135,10 @@ def test_unsupported_feature_flags_rejected():
         return bytes(bad)
 
     # type 2 is encoded as bits (0, 1) at positions 33, 34 (LSB first).
-    # Type 0 (predictor) is SUPPORTED since round 10 and no longer here.
+    # Types 0 (predictor) and 3 (color indexing) are SUPPORTED since
+    # round 10 and no longer belong in this rejection battery.
     with pytest.raises(ValueError, match="color transform"):
         parse_webp_vp8l(flip([33, 34]))        # type 2 -> 1
-    with pytest.raises(ValueError, match="color-indexing"):
-        parse_webp_vp8l(flip([33]))            # type 2 -> 3
     with pytest.raises(ValueError, match="signaled twice"):
         parse_webp_vp8l(flip([35, 37]))        # loop again, type 2 again
     with pytest.raises(ValueError, match="color cache"):
@@ -444,3 +443,132 @@ def test_mode_subimage_validation():
     w.put(0, 8)
     with pytest.raises(ValueError, match="backreferences in the mode"):
         _read_mode_subimage(LsbReader(w.flush()), 1, 1)
+
+
+# --- color-indexing (palette) transform battery (round 10) ------------------
+
+
+def test_palette_roundtrips_every_bundling_width():
+    """RFC 9649 §4.4.3: index bundling packs 8/4/2 indices per coded pixel
+    below 3/5/17 colors. Every width class (and the unpacked >16 case,
+    plus a full-range-noise 252-color palette) must roundtrip bit-exactly,
+    including a width that is NOT a multiple of the packing factor (41)."""
+    import hashlib
+
+    stream = b"".join(
+        hashlib.md5(f"p:{k}".encode()).digest() for k in range(200)
+    )
+    w, h = 41, 23
+    cases = [
+        bytes([7] * (w * h)),                      # 1 color
+        bytes(b % 2 * 255 for b in stream[: w * h]),   # 2  -> 8 idx/pixel
+        bytes(b % 3 * 17 for b in stream[: w * h]),    # 3  -> 4 idx/pixel
+        bytes(b % 4 * 5 for b in stream[: w * h]),     # 4  -> 4 idx/pixel
+        bytes(b % 15 for b in stream[: w * h]),        # 15 -> 2 idx/pixel
+        bytes(b % 16 for b in stream[: w * h]),        # 16 -> 2 idx/pixel
+        bytes(b % 17 for b in stream[: w * h]),        # 17 -> unpacked
+        stream[: w * h],                               # ~252 colors
+    ]
+    for raster in cases:
+        blob = encode_webp_vp8l(raster, w, h, use_palette=True)
+        assert parse_webp_vp8l(blob) == (w, h, raster)
+
+
+def test_palette_beats_predictor_on_low_cardinality():
+    """The point of the transform: on a 2-color raster the bundled index
+    plane must code substantially smaller than the predictor pipeline."""
+    import hashlib
+
+    stream = b"".join(
+        hashlib.md5(f"p:{k}".encode()).digest() for k in range(200)
+    )
+    w, h = 41, 23
+    raster = bytes(b % 2 * 255 for b in stream[: w * h])
+    pal = encode_webp_vp8l(raster, w, h, use_palette=True)
+    pred = encode_webp_vp8l(raster, w, h)
+    assert len(pal) < 0.7 * len(pred)
+    assert parse_webp_vp8l(pal)[2] == parse_webp_vp8l(pred)[2] == raster
+
+
+def test_palette_width_bits_spec_table():
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        palette_width_bits,
+    )
+
+    assert [palette_width_bits(n) for n in (1, 2, 3, 4, 5, 16, 17, 256)] == [
+        3, 3, 2, 2, 1, 1, 0, 0,
+    ]
+
+
+def test_palette_validation_battery():
+    """Out-of-range indices, non-zero padding bits, and the
+    palette-combined-with-other-transforms case reject by name."""
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        SIGNATURE,
+        _unpack_palette_indices,
+        _write_argb_subimage,
+    )
+
+    # unpack-level: index beyond palette size
+    with pytest.raises(ValueError, match="out of range"):
+        _unpack_palette_indices(bytes([0x02]), 2, 1, [10, 20], 1)
+    # unpack-level: non-zero padding bits in the row's last packed byte
+    with pytest.raises(ValueError, match="padding bits"):
+        # w=1 at wbits=1 -> only the low nibble is real
+        _unpack_palette_indices(bytes([0x10]), 1, 1, [10, 20], 1)
+
+    # stream-level: palette + subtract-green must be rejected by name
+    w = LsbWriter()
+    w.put(7, 14)
+    w.put(0, 14)  # 8x1 image
+    w.put(0, 1)
+    w.put(0, 3)
+    w.put(1, 1)
+    w.put(2, 2)   # subtract-green
+    w.put(1, 1)
+    w.put(3, 2)   # color indexing
+    w.put(1, 8)   # two colors
+    _write_argb_subimage(w, [(255, 0, 0, 0), (0, 9, 9, 9)])
+    w.put(0, 1)
+    payload = bytes([SIGNATURE]) + w.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="combined with other transforms"):
+        parse_webp_vp8l(blob)
+
+
+def test_palette_entries_validated():
+    """Non-opaque or non-grayscale palette entries reject by name (the
+    difference coding must reconstruct exact ARGB entries first)."""
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        SIGNATURE,
+        _write_argb_subimage,
+    )
+
+    def stream_with_palette(diffs):
+        w = LsbWriter()
+        w.put(7, 14)
+        w.put(0, 14)
+        w.put(0, 1)
+        w.put(0, 3)
+        w.put(1, 1)
+        w.put(3, 2)
+        w.put(len(diffs) - 1, 8)
+        _write_argb_subimage(w, diffs)
+        w.put(0, 1)
+        payload = bytes([SIGNATURE]) + w.flush()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    # alpha 254 after cumulation
+    with pytest.raises(ValueError, match="non-opaque palette"):
+        parse_webp_vp8l(stream_with_palette([(254, 5, 5, 5)]))
+    # r != g
+    with pytest.raises(ValueError, match="non-grayscale palette"):
+        parse_webp_vp8l(stream_with_palette([(255, 6, 5, 5)]))
