@@ -171,7 +171,8 @@ HEADLINE = [
     "stream_split_leakage_gate",  # incremental leakage audit twin
     "multimodal_tiff_decode",  # IFD walk + PackBits
     "multimodal_resize_box_integer",  # exact box-filter resize
-    "multimodal_webp_lossless_decode",  # literal-only VP8L
+    "multimodal_webp_lossless_decode",  # VP8L: SG + 14-mode predictor
+    "multimodal_webp_palette_decode",   # VP8L: color-indexing + bundling
 ]
 
 

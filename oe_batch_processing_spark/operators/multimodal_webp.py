@@ -1272,3 +1272,112 @@ def multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
         run,
         schema="doc_id long, w int, h int, sum_pix long, pos_checksum long",
     )
+
+
+# --- the palette-path oracled query ----------------------------------------------
+
+def _webp_palette_pixels(doc_id: int, w: int, h: int) -> bytes:
+    """Four-value pixel rule (md5-keyed, engine-reproducible): 0 below the
+    128 threshold, else one of {12, 49, 86} — exactly the low-cardinality
+    regime the color-indexing transform exists for (4 colors -> 4 indices
+    bundled per coded pixel, coded width w/4)."""
+    import hashlib
+
+    n_blocks = (w * h + 15) // 16
+    stream = b"".join(
+        hashlib.md5(f"{doc_id}:p:{k}".encode()).digest()
+        for k in range(n_blocks)
+    )
+    return bytes(
+        0 if b < 128 else 12 + (b % 3) * 37 for b in stream[: w * h]
+    )
+
+
+_WEBP_PALETTE_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, 48 + 16 * (doc_id % 2) AS w, 32 AS h FROM documents
+    ),
+    hx AS (
+      SELECT doc_id, w, h,
+             [md5(CAST(doc_id AS VARCHAR) || ':p:' || k)
+              FOR k IN range((w * h + 15) // 16)] AS blocks
+      FROM g
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             [ [CASE WHEN bb < 128 THEN 0 ELSE 12 + (bb % 3) * 37 END
+                FOR bb IN [
+                   (instr('0123456789abcdef',
+                          blocks[j // 16 + 1][2 * (j % 16) + 1]) - 1) * 16
+                 + (instr('0123456789abcdef',
+                          blocks[j // 16 + 1][2 * (j % 16) + 2]) - 1)]][1]
+               FOR j IN range(w * h)] AS pv
+      FROM hx
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS w,
+           CAST(h AS INTEGER) AS h,
+           CAST(LIST_SUM(pv) AS BIGINT) AS sum_pix,
+           CAST(LIST_SUM([(j + 1) * pv[j + 1] FOR j IN range(w * h)])
+                AS BIGINT) AS pos_checksum
+    FROM px
+"""
+
+
+@query("multimodal_webp_palette_decode", oracle=_WEBP_PALETTE_ORACLE)
+def multimodal_webp_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLOR-INDEXING pipeline under a full hash oracle: per document,
+    a 4-value md5-keyed raster is encoded as a genuine VP8L WebP through
+    the palette path (:func:`encode_webp_vp8l` ``use_palette=True`` —
+    difference-coded palette subimage, indices bundled 4-per-coded-pixel,
+    coded width w/4, then the LZ77 + canonical double-Huffman layer over
+    the packed plane), decoded back through the full container walk, and
+    reduced to the same integer statistics as the predictor-path query
+    (the position-weighted checksum pins scan order THROUGH the bundling
+    inverse — any index-order or padding mistake shifts it). In-operator:
+    lossless roundtrip, bit-exact re-encode, and a <3 coded-bits/pixel
+    assertion (4 raw values pack at 2 bits before entropy coding even
+    starts; vs 8-bit raw).
+
+    Scale: identical shape to ``multimodal_webp_lossless_decode`` — one
+    bounded round-robin fan-out, then embarrassingly parallel per-doc
+    codec work in a single mapInPandas stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frames = docs.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 48 + 16 * (doc_id % 2), 32
+                raster = _webp_palette_pixels(doc_id, w, h)
+                blob = encode_webp_vp8l(raster, w, h, use_palette=True)
+
+                dw, dh, dec = parse_webp_vp8l(blob)
+                if (dw, dh) != (w, h) or dec != raster:
+                    raise ValueError("palette roundtrip mismatch")
+                if encode_webp_vp8l(dec, dw, dh, use_palette=True) != blob:
+                    raise ValueError("palette re-encode mismatch")
+                if 8 * len(blob) >= 3 * w * h:
+                    raise ValueError("palette bundling failed to compress")
+                rows.append({
+                    "doc_id": doc_id,
+                    "w": dw,
+                    "h": dh,
+                    "sum_pix": sum(dec),
+                    "pos_checksum": sum((j + 1) * dec[j] for j in range(len(dec))),
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "sum_pix", "pos_checksum"]
+            )
+
+    return frames.mapInPandas(
+        run,
+        schema="doc_id long, w int, h int, sum_pix long, pos_checksum long",
+    )

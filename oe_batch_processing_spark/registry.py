@@ -138,6 +138,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- weighted, pipeline_pack_sequences, pipeline_shard_pack, q11...),
     # --- always placing any round-11 additions and changed-code re-checks
     # --- first.
+    "multimodal_webp_palette_decode",   # r10 addition: color-indexing path
     "multimodal_webp_lossless_decode",  # r10: ENC_MAX_LEN 9 + clc cap fix
     "multimodal_tiff_decode",           # r10: array() accessor fix
     "similarity_topk_ivf",              # r10: recall push (rows-only ANN)
@@ -190,7 +191,9 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "docs_inverse_index",
     "docs_paragraph_dedup",
     "docs_train_val_test_split",
-    "docs_url_extract",
+    # (docs_url_extract yielded its slot to the round-10 addition
+    # multimodal_webp_palette_decode; it rotates into round 11 with the
+    # rest of the r4-era rows)
 )
 
 
