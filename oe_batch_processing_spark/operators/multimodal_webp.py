@@ -73,7 +73,7 @@ from oe_batch_processing_spark.tables import load_table
 # RFC 9649 constants
 SIGNATURE = 0x2F
 CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
-GREEN_ALPHABET = 256 + 24  # literals + length codes (no color cache)
+GREEN_ALPHABET = 256 + 24  # literals + length codes (cache symbols append)
 MAX_CODE_LEN = 15
 
 
@@ -875,6 +875,7 @@ def encode_webp_vp8l(
     h_px: int,
     use_predictor: bool = True,
     use_palette: bool = False,
+    cache_bits: int | None = None,
 ) -> bytes:
     """Grayscale raster -> lossless WebP (r = g = b = pixel, alpha = 255).
 
@@ -941,16 +942,55 @@ def encode_webp_vp8l(
             _write_mode_subimage(w, modes)
             plane = residual.tobytes()
     w.put(0, 1)  # no further transforms
-    w.put(0, 1)  # no color cache
+    predictor_applied = use_predictor and not use_palette
+    if cache_bits is not None:
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("cache_bits out of the spec's 1..11 range")
+        w.put(1, 1)  # color cache present
+        w.put(cache_bits, 4)
+    else:
+        w.put(0, 1)  # no color cache
     w.put(0, 1)  # no meta prefix image
 
-    # greedy LZ77 parse, then histograms over what will actually be
-    # emitted: literal values AND 256+length-prefix codes share the green
-    # code (RFC design); distances get their own code over plain-distance
-    # symbols (dist + 120 -> prefix code of the 40-symbol alphabet).
+    # the CODED-domain ARGB of a pixel whose green byte is g — what the
+    # color cache stores and hashes (alpha residual is 0 under the
+    # predictor; r/b are 0 under subtract-green and in the packed-index
+    # palette domain)
+    coded_alpha = 0 if predictor_applied else 255
+    def coded_argb(g: int) -> int:
+        return (coded_alpha << 24) | (g << 8)
+
+    # greedy LZ77 parse, then (with a cache) a deterministic greedy cache
+    # pass: a literal whose coded ARGB already sits in its hash slot
+    # becomes a cache symbol (280 + slot); every emitted pixel — literal,
+    # cache hit, or backref-copied — inserts into its slot, mirroring the
+    # decoder exactly. Histograms then cover what will actually be
+    # emitted: literals AND 256+length codes AND cache symbols share the
+    # green code (RFC design); distances get their own 40-symbol code.
     # Under subtract-green, every literal's r'/b' channel value is 0;
     # under the predictor every channel's residual except green is 0.
     ops = lz77_parse(plane)
+    if cache_bits is not None:
+        cache = [0] * (1 << cache_bits)
+        sym_ops = []
+        pos = 0
+        for kind, a, b_ in ops:
+            if kind == 0:
+                argb = coded_argb(a)
+                slot = cache_slot(argb, cache_bits)
+                if cache[slot] == argb:
+                    sym_ops.append((2, slot, 0))  # cache hit
+                else:
+                    sym_ops.append((0, a, 0))
+                    cache[slot] = argb
+                pos += 1
+            else:
+                sym_ops.append((1, a, b_))
+                for k in range(a):
+                    argb = coded_argb(plane[pos - b_ + k])
+                    cache[cache_slot(argb, cache_bits)] = argb
+                pos += a
+        ops = sym_ops
     gfreq: dict[int, int] = {}
     lit_freq: dict[int, int] = {}
     dfreq: dict[int, int] = {}
@@ -958,6 +998,8 @@ def encode_webp_vp8l(
         if kind == 0:
             gfreq[a] = gfreq.get(a, 0) + 1
             lit_freq[a] = lit_freq.get(a, 0) + 1
+        elif kind == 2:
+            gfreq[280 + a] = gfreq.get(280 + a, 0) + 1
         else:
             lcode, _, _ = prefix_encode_value(a)
             gfreq[256 + lcode] = gfreq.get(256 + lcode, 0) + 1
@@ -972,12 +1014,14 @@ def encode_webp_vp8l(
     rblen = {0: 1}
     dlen = lengths_of(dfreq) if dfreq else {0: 1}
 
-    # five prefix codes: green(+lengths), red, blue, alpha, distance.
+    # five prefix codes: green(+lengths+cache), red, blue, alpha, distance.
     # Alpha: constant 255 raw (also in the palette's packed-index domain),
     # but under the predictor the coded plane is the RESIDUAL domain where
     # every alpha residual is (255-255)&255 = 0.
-    predictor_applied = use_predictor and not use_palette
-    write_prefix_code(w, glen, GREEN_ALPHABET)
+    green_alphabet = GREEN_ALPHABET + (
+        (1 << cache_bits) if cache_bits is not None else 0
+    )
+    write_prefix_code(w, glen, green_alphabet)
     write_prefix_code(w, rblen, 256)
     write_prefix_code(w, rblen, 256)
     write_prefix_code(w, {0 if predictor_applied else 255: 1}, 256)
@@ -1001,6 +1045,9 @@ def encode_webp_vp8l(
             w.put(rc, nb)
             # red/blue: zero-bit 1-symbol codes (subtract-green domain);
             # alpha: zero-bit simple code
+        elif kind == 2:
+            rc, nb = grev[280 + a]  # cache symbol: a complete pixel, no
+            w.put(rc, nb)           # channel codes follow
         else:
             lcode, lextra, lebits = prefix_encode_value(a)
             rc, nb = grev[256 + lcode]
@@ -1092,12 +1139,14 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             "color-indexing combined with other transforms unsupported in "
             "this subset (the pipelines are alternatives, as in libwebp)"
         )
-    if r.get(1):
-        raise ValueError("color cache unsupported in this subset")
+    cache_bits = r.get(4) if r.get(1) else None
+    if cache_bits is not None and not 1 <= cache_bits <= 11:
+        raise ValueError(f"color-cache bits {cache_bits} out of range")
     if r.get(1):
         raise ValueError("meta prefix image unsupported in this subset")
 
-    green = read_prefix_code(r, GREEN_ALPHABET)
+    cache_size = (1 << cache_bits) if cache_bits is not None else 0
+    green = read_prefix_code(r, GREEN_ALPHABET + cache_size)
     red = read_prefix_code(r, 256)
     blue = read_prefix_code(r, 256)
     alpha = read_prefix_code(r, 256)
@@ -1112,6 +1161,21 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
         coded_w = w_px
     n_px = coded_w * h_px
     want_alpha = 0 if pred_modes is not None else 255
+    # color-cache state: coded-domain ARGB per slot, spec-initialized to
+    # zero; EVERY emitted pixel (literal, cache hit, backref copy) inserts
+    # at its multiplicative-hash slot — mirrored exactly by the encoder
+    cache = [0] * cache_size
+    untransformed = not subtract_green and palette is None
+
+    def insert(g: int) -> None:
+        argb = (
+            (want_alpha << 24)
+            | (g << 16 if untransformed else 0)
+            | (g << 8)
+            | (g if untransformed else 0)
+        )
+        cache[cache_slot(argb, cache_bits)] = argb
+
     out = bytearray()
     while len(out) < n_px:
         g = green.read(r)
@@ -1129,6 +1193,23 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             if alpha.read(r) != want_alpha:
                 raise ValueError("non-opaque pixel")
             out.append(g)
+            if cache_size:
+                insert(g)
+            continue
+        if g >= 280:
+            # color-cache reference: a COMPLETE pixel, no channel codes
+            idx = g - 280
+            argb = cache[idx]
+            a_c = (argb >> 24) & 255
+            r_c = (argb >> 16) & 255
+            g_c = (argb >> 8) & 255
+            b_c = argb & 255
+            if a_c != want_alpha:
+                raise ValueError("non-opaque pixel")
+            want_rb = 0 if (subtract_green or palette is not None) else g_c
+            if r_c != want_rb or b_c != want_rb:
+                raise ValueError("non-grayscale pixel in grayscale subset")
+            out.append(g_c)
             continue
         # LZ77 backreference: length via green code 256+k, then distance
         length = prefix_decode_value(g - 256, r)
@@ -1146,6 +1227,9 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
         start = len(out) - dist
         for k in range(length):  # overlap-correct byte-at-a-time copy
             out.append(out[start + k])
+        if cache_size:
+            for k in range(length):
+                insert(out[start + k])
     if (len(payload) - 1) * 8 - r.pos >= 8:
         raise ValueError("trailing bytes after last pixel")
     if palette is not None:
@@ -1272,6 +1356,16 @@ def multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
         run,
         schema="doc_id long, w int, h int, sum_pix long, pos_checksum long",
     )
+
+
+# --- color cache (RFC 9649 §4.5) -------------------------------------------------
+
+CACHE_HASH_MUL = 0x1E35A7BD
+
+
+def cache_slot(argb: int, bits: int) -> int:
+    """The spec's multiplicative hash: slot of a coded-domain ARGB pixel."""
+    return ((CACHE_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
 
 
 # --- the palette-path oracled query ----------------------------------------------

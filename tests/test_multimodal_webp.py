@@ -141,7 +141,10 @@ def test_unsupported_feature_flags_rejected():
         parse_webp_vp8l(flip([33, 34]))        # type 2 -> 1
     with pytest.raises(ValueError, match="signaled twice"):
         parse_webp_vp8l(flip([35, 37]))        # loop again, type 2 again
-    with pytest.raises(ValueError, match="color cache"):
+    # the cache is SUPPORTED since round 10: raising the flag bit makes
+    # the decoder parse the 4-bit size field (here the zero meta/code bits
+    # -> bits=0, outside the spec's 1..11) — proves the field is walked
+    with pytest.raises(ValueError, match="color-cache bits 0"):
         parse_webp_vp8l(flip([36]))
     with pytest.raises(ValueError, match="meta prefix"):
         parse_webp_vp8l(flip([37]))
@@ -572,3 +575,83 @@ def test_palette_entries_validated():
     # r != g
     with pytest.raises(ValueError, match="non-grayscale palette"):
         parse_webp_vp8l(stream_with_palette([(255, 6, 5, 5)]))
+
+
+# --- color cache battery (round 10) ------------------------------------------
+
+
+def test_color_cache_roundtrips_all_sizes_and_pipelines():
+    """RFC 9649 §4.5: the color cache must roundtrip at every bits size
+    1..11 boundary and compose with each transform pipeline (SG-only,
+    SG+predictor, palette). The encoder's greedy cache pass and the
+    decoder's insertion discipline must mirror exactly (re-encode
+    bit-exactness proves it)."""
+    import hashlib
+
+    stream = b"".join(
+        hashlib.md5(f"cc:{k}".encode()).digest() for k in range(300)
+    )
+    w, h = 41, 57
+    cases = [
+        (_webp_pixels(2, 48, 32), 48, 32, {}),
+        (stream[: w * h], w, h, {}),
+        (stream[: w * h], w, h, {"use_predictor": False}),
+        (bytes(b % 4 * 5 for b in stream[: w * h]), w, h,
+         {"use_palette": True}),
+    ]
+    for bits in (1, 4, 11):
+        for raster, w_, h_, kw in cases:
+            blob = encode_webp_vp8l(raster, w_, h_, cache_bits=bits, **kw)
+            assert parse_webp_vp8l(blob) == (w_, h_, raster)
+            assert (
+                encode_webp_vp8l(raster, w_, h_, cache_bits=bits, **kw)
+                == blob
+            )
+
+
+def test_color_cache_hits_actually_occur():
+    """Guard against a vacuously-green cache path: replicate the encoder's
+    greedy eligibility pass over a literal-heavy raster and demand real
+    cache hits, then roundtrip the same raster with the cache enabled —
+    so the decoder provably consumed >=280 green symbols."""
+    import hashlib
+
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        cache_slot,
+        lz77_parse,
+    )
+
+    stream = b"".join(
+        hashlib.md5(f"hit:{k}".encode()).digest() for k in range(300)
+    )
+    w, h = 41, 57
+    raster = bytes(b % 11 * 23 for b in stream[: w * h])  # repeats, few runs
+    bits = 4
+    cache = [0] * (1 << bits)
+    hits = 0
+    pos = 0
+    for kind, a, b_ in lz77_parse(raster):
+        if kind == 0:
+            argb = (255 << 24) | (a << 8)  # SG-only coded domain
+            slot = cache_slot(argb, bits)
+            if cache[slot] == argb:
+                hits += 1
+            else:
+                cache[slot] = argb
+            pos += 1
+        else:
+            for k in range(a):
+                argb = (255 << 24) | (raster[pos - b_ + k] << 8)
+                cache[cache_slot(argb, bits)] = argb
+            pos += a
+    assert hits > 100, hits
+    blob = encode_webp_vp8l(raster, w, h, use_predictor=False, cache_bits=bits)
+    assert parse_webp_vp8l(blob) == (w, h, raster)
+
+
+def test_color_cache_bits_range_validated():
+    r = bytes(range(80))
+    with pytest.raises(ValueError, match="1..11"):
+        encode_webp_vp8l(r, 10, 8, cache_bits=0)
+    with pytest.raises(ValueError, match="1..11"):
+        encode_webp_vp8l(r, 10, 8, cache_bits=12)
