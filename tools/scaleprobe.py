@@ -84,6 +84,7 @@ PROBES: tuple[str, ...] = (
     "stream_tws_type_stats",
     "embedding_pca_power_iteration",
     "multimodal_webp_lossless_decode",
+    "multimodal_webp_palette_decode",
     "recursive_cte_custkey_tree",
     "docs_duplicate_ngram_spans",
     "dedup_jaccard_shingles",
