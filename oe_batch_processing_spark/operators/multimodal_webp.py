@@ -165,6 +165,12 @@ ENC_MAX_LEN = 9  # encoder-side cap: keeps decode tables at 512 entries (<=10
 # stays on the flat-table decode path) while admitting a complete code over
 # the full 280-symbol green alphabet (2^8 = 256 was one histogram away from
 # "alphabet too large" on full-range grayscale input)
+ENC_MAX_LEN_CACHE = 10  # green-code cap when the color cache is on: the
+# alphabet gains up to 2^cache_bits cache-hit symbols, so full-range
+# grayscale input can occur 256 literals + 24 length codes + up to 256
+# distinct cache slots = 536 distinct symbols > 2^9 (the exact failure the
+# 8->9 bump fixed for the cacheless path). 2^10 = 1024 admits the grayscale
+# worst case and still decodes via the flat table (<= 10).
 
 
 def huffman_lengths(freqs: dict[int, int], cap: int = ENC_MAX_LEN) -> dict[int, int]:
@@ -1006,10 +1012,20 @@ def encode_webp_vp8l(
             dcode, _, _ = prefix_encode_value(b_ + 120)
             dfreq[dcode] = dfreq.get(dcode, 0) + 1
 
-    def lengths_of(freq: dict[int, int]) -> dict[int, int]:
-        return huffman_lengths(freq) if len(freq) > 1 else {next(iter(freq)): 1}
+    def lengths_of(
+        freq: dict[int, int], cap: int = ENC_MAX_LEN
+    ) -> dict[int, int]:
+        return (
+            huffman_lengths(freq, cap)
+            if len(freq) > 1
+            else {next(iter(freq)): 1}
+        )
 
-    glen = lengths_of(gfreq)
+    # cache-hit symbols widen the green alphabet past 2^9 on full-range
+    # input — use the 10-bit cap (flat decode still holds) when caching
+    glen = lengths_of(
+        gfreq, ENC_MAX_LEN if cache_bits is None else ENC_MAX_LEN_CACHE
+    )
     # red/blue in the subtract-green domain: constant 0 -> 1-symbol code
     rblen = {0: 1}
     dlen = lengths_of(dfreq) if dfreq else {0: 1}

@@ -68,7 +68,11 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     full N×k product, no shuffle of the embedding arrays.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    # persist BEFORE the adaptive-stride count: the count materializes the
+    # quantized projection once into cache, so the assignment scan below
+    # reads memory instead of re-scanning the source (the stride is
+    # constant per dataset — don't pay a second source pass for it)
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
     # sqrt-scaled stride (no-op at committed SFs; oracle mirrors it)
     cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
     cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
@@ -743,7 +747,10 @@ def semdedup_clusters(
     """Core of ``dedup_semdedup_clusters`` over any (vec_id, embedding)
     frame; ``cap`` overrides the per-cell member bound for tests."""
     cap = SEMDEDUP_CELL_CAP if cap is None else cap
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    # persist BEFORE the adaptive-stride count (constant per dataset): the
+    # count fills the cache, and the three downstream consumers (centroid
+    # filter, assignment scan, member re-join) read memory, not the source
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
     # sqrt-scaled stride: ncells ~ sqrt(n) bounds BOTH the n x ncells
     # assignment and the within-cell pair stage at ~n^1.5 (round-10 scale
     # probe: 71.8x for 10x input under the fixed stride); the oracle SQL

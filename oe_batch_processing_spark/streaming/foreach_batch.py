@@ -215,6 +215,7 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # present: the availableNow demo doesn't need durable checkpoints, a
     # production gate would point this at object storage.
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    root = None
     try:
         # frozen history structures, built once and persisted across batches
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -359,7 +360,11 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         for frame in (tsh, tcounts, bloom_bits):
             frame.unpersist()
-        shutil.rmtree(root, ignore_errors=True)
         return spark.createDataFrame(rows, final.schema)
     finally:
+        # scratch lives in RAM-backed /dev/shm — reclaim it on EVERY exit
+        # path (a failed gate/vacuity assertion would otherwise leak memory,
+        # not just disk, across repeated runs)
+        if root is not None:
+            shutil.rmtree(root, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)

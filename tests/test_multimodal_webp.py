@@ -655,3 +655,52 @@ def test_color_cache_bits_range_validated():
         encode_webp_vp8l(r, 10, 8, cache_bits=0)
     with pytest.raises(ValueError, match="1..11"):
         encode_webp_vp8l(r, 10, 8, cache_bits=12)
+
+
+def test_color_cache_full_range_alphabet_over_512_roundtrips():
+    """Regression (round-11 ADVICE): with the cache on, the green alphabet
+    gains up to 2^cache_bits hit symbols, so a full-range raster can emit
+    >512 distinct green symbols — under the cacheless 2^9 cap
+    huffman_lengths raised 'alphabet too large' at encode time. The cap is
+    now 10 bits for cache-enabled encodes (flat-table decode still holds);
+    this raster measurably exceeds 512 distinct symbols and must
+    roundtrip."""
+    import hashlib
+
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        cache_slot,
+        lz77_parse,
+        prefix_encode_value,
+    )
+
+    stream = b"".join(
+        hashlib.md5(f"fr:{k}".encode()).digest() for k in range(600)
+    )
+    w, h = 96, 96
+    raster = (bytes(range(256)) + stream)[: w * h]
+    bits = 11
+    # replicate the encoder's greedy cache pass to prove the alphabet is
+    # genuinely past the old 2^9 cap (not a vacuous roundtrip)
+    cache = [0] * (1 << bits)
+    syms: set[int] = set()
+    pos = 0
+    for kind, a, b_ in lz77_parse(raster):
+        if kind == 0:
+            argb = (255 << 24) | (a << 8)  # SG-only coded domain
+            slot = cache_slot(argb, bits)
+            if cache[slot] == argb:
+                syms.add(280 + slot)
+            else:
+                syms.add(a)
+                cache[slot] = argb
+            pos += 1
+        else:
+            lcode, _, _ = prefix_encode_value(a)
+            syms.add(256 + lcode)
+            for k in range(a):
+                argb = (255 << 24) | (raster[pos - b_ + k] << 8)
+                cache[cache_slot(argb, bits)] = argb
+            pos += a
+    assert len(syms) > 512, len(syms)
+    blob = encode_webp_vp8l(raster, w, h, use_predictor=False, cache_bits=bits)
+    assert parse_webp_vp8l(blob) == (w, h, raster)
