@@ -413,7 +413,29 @@ def adaptive_cells_mod_sql(base: int, table: str = "embeddings") -> str:
     )
 
 
-def _lloyd_refine(vecs: DataFrame, cents: DataFrame, rounds: int) -> DataFrame:
+LLOYD_TRAIN_CAP = 2000  # == the sf0.1 corpus, so sampling is an exact no-op
+# at every committed SF (train == full corpus, bit-identical centroids to
+# the unsampled code; every committed recall and bench number is untouched)
+
+
+def lloyd_train_mod(n: int) -> int:
+    """Training-sample stride for the Lloyd refinement rounds: ``max(1,
+    n // LLOYD_TRAIN_CAP)``, i.e. a deterministic ``vec_id % mod == 1``
+    sample of ~{LLOYD_TRAIN_CAP} vectors. With full-corpus training the
+    3 Lloyd passes dominate the index BUILD at scale (the round-10 probe
+    measured similarity_topk_ivf at 18.0x for 10x input — 3 train passes
+    + 1 assignment pass, all n x ncells); training on a bounded sample
+    makes the build 1 full assignment pass + 3 passes over a CONSTANT-size
+    sample — the standard FAISS train/add split. Centroid quality is a
+    sample-accuracy question (k ~ sqrt(n) cells estimated from
+    {LLOYD_TRAIN_CAP} points), not a correctness one: both IVF consumers
+    are rows-only ANN queries whose recall is tracked by tools/recall.py."""
+    return max(1, n // LLOYD_TRAIN_CAP)
+
+
+def _lloyd_refine(
+    vecs: DataFrame, cents: DataFrame, rounds: int, sample_mod: int = 1
+) -> DataFrame:
     """Deterministic distributed Lloyd refinement of the IVF centroids:
     assign every vector to its nearest centroid (broadcast argmax — no
     shuffle on the corpus side), recompute each cell's mean on the unit
@@ -425,7 +447,18 @@ def _lloyd_refine(vecs: DataFrame, cents: DataFrame, rounds: int) -> DataFrame:
     shuffle into |C|x64 partial sums — the textbook distributed k-means
     round, linear in the corpus at any scale. Cells that lose all members
     drop out (slightly shrinking ncells), matching the numpy prototype in
-    tools/recall.py's sweep."""
+    tools/recall.py's sweep.
+
+    ``sample_mod`` > 1 trains the rounds on the deterministic ``vec_id %
+    sample_mod == 1`` sample (bounded at ~LLOYD_TRAIN_CAP vectors by
+    :func:`lloyd_train_mod`) — the FAISS train/add split: refinement cost
+    becomes rounds x |sample| x |C| while the ONE full-corpus assignment
+    pass stays with the caller. At 1 (all committed SFs) the plan is
+    bit-identical to unsampled training."""
+    train = vecs
+    made_sample = sample_mod > 1
+    if made_sample:
+        train = vecs.filter(F.col("vec_id") % sample_mod == 1).persist()
     unit = F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
     )
@@ -436,7 +469,7 @@ def _lloyd_refine(vecs: DataFrame, cents: DataFrame, rounds: int) -> DataFrame:
         # struct; -cell_id makes ties resolve to the LOWEST cell id, same
         # as the search path's row_number ordering) — no sort window
         assigned = (
-            vecs.crossJoin(F.broadcast(cents))
+            train.crossJoin(F.broadcast(cents))
             .select("vec_id", unit.alias("u"), cs.alias("cs"), "cell_id")
             .groupBy("vec_id")
             .agg(
@@ -472,6 +505,8 @@ def _lloyd_refine(vecs: DataFrame, cents: DataFrame, rounds: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)  # keep the per-round plan flat
         )
+    if made_sample:
+        train.unpersist()  # centroids are checkpointed — the sample is done
     return cents
 
 
@@ -501,13 +536,18 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sqrt-scaled stride (no-op at the committed SFs): ncells ~ sqrt(n),
     # so the n x ncells assignment stays ~n^1.5 instead of n^2
-    cells_mod = adaptive_cells_mod(N_CELLS_MOD, vecs.count())
+    n_vecs = vecs.count()
+    cells_mod = adaptive_cells_mod(N_CELLS_MOD, n_vecs)
     cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
-    cents = _lloyd_refine(vecs, cents, _IVF_LLOYD)
+    # sample-trained Lloyd (no-op at committed SFs): the 3 refinement
+    # rounds run over a ~LLOYD_TRAIN_CAP-vector deterministic sample, so
+    # the index BUILD is one full n x ncells assignment pass instead of
+    # four (the round-10 probe's 18.0x grower)
+    cents = _lloyd_refine(vecs, cents, _IVF_LLOYD, lloyd_train_mod(n_vecs))
     dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
     sim_to_cent = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
     scored = vecs.crossJoin(F.broadcast(cents)).select(

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from oe_batch_processing_spark.operators.similarity import (
     adaptive_cells_mod,
     adaptive_cells_mod_sql,
+    lloyd_train_mod,
 )
 from oe_batch_processing_spark.registry import query
 from oe_batch_processing_spark.tables import load_table
@@ -245,18 +246,27 @@ _L2D = (
 )
 
 
-def _lloyd_refine_l2(vecs: DataFrame, coarse: DataFrame, rounds: int) -> DataFrame:
+def _lloyd_refine_l2(
+    vecs: DataFrame, coarse: DataFrame, rounds: int, sample_mod: int = 1
+) -> DataFrame:
     """Deterministic distributed Lloyd refinement of the IVFPQ coarse
     quantizer in L2 space over the integer-quantized vectors — the same
     shape (and rationale) as similarity._lloyd_refine: broadcast argmin
     assignment, exact BIGINT component sums per cell (order-independent
     means -> bit-identical centroids across runs/cluster sizes), cells that
     lose every member drop out. Centroids come out as double arrays;
-    distances against them use _L2D."""
+    distances against them use _L2D. ``sample_mod`` > 1 trains the rounds
+    on the deterministic ``vec_id % sample_mod == 1`` sample (FAISS
+    train/add split — see similarity.lloyd_train_mod); 1 == the committed
+    SFs == bit-identical to unsampled training."""
+    train = vecs
+    made_sample = sample_mod > 1
+    if made_sample:
+        train = vecs.filter(F.col("vec_id") % sample_mod == 1).persist()
     for _ in range(rounds):
         l2 = F.expr(_L2D.format(a="qe", b="ce"))
         assigned = (
-            vecs.crossJoin(F.broadcast(coarse))
+            train.crossJoin(F.broadcast(coarse))
             .select("vec_id", "qe", l2.alias("l2c"), "cell_id")
             .groupBy("vec_id")
             .agg(
@@ -278,6 +288,8 @@ def _lloyd_refine_l2(vecs: DataFrame, coarse: DataFrame, rounds: int) -> DataFra
             )
             .localCheckpoint(eager=True)  # keep the per-round plan flat
         )
+    if made_sample:
+        train.unpersist()  # centroids are checkpointed — the sample is done
     return coarse
 
 
@@ -313,12 +325,15 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # coarse quantizer: deterministic subset init (sqrt-scaled stride —
     # a no-op at the committed SFs, ncells ~ sqrt(n) beyond), Lloyd-refined
-    cells_mod = adaptive_cells_mod(IVFPQ_CELLS_MOD, vecs.count())
+    # on a bounded deterministic sample (also a committed-SF no-op): the
+    # build pays ONE full n x ncells assignment pass, not LLOYD+1 of them
+    n_vecs = vecs.count()
+    cells_mod = adaptive_cells_mod(IVFPQ_CELLS_MOD, n_vecs)
     coarse = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
         F.expr("transform(qe, x -> CAST(x AS DOUBLE))").alias("ce"),
     )
-    coarse = _lloyd_refine_l2(vecs, coarse, IVFPQ_LLOYD)
+    coarse = _lloyd_refine_l2(vecs, coarse, IVFPQ_LLOYD, lloyd_train_mod(n_vecs))
     cell_l2 = F.expr(_L2D.format(a="qe", b="ce")).alias("l2c")
     cell_scored = vecs.join(F.broadcast(coarse)).select(
         "vec_id", "cell_id", cell_l2

@@ -225,3 +225,52 @@ def test_semdedup_cell_cap_bounds_hot_cell(spark):
     # kept members: vec_ids 1, 10, 11; dropped-with-witness: 10 and 11 only
     assert capped == {10: 1, 11: 2}
     assert SEMDEDUP_CELL_CAP >= 2000  # must dwarf any test-corpus cell
+
+
+def test_lloyd_sample_training_engages_and_is_deterministic(spark):
+    """Sample-trained Lloyd (round-11): lloyd_train_mod is 1 (an exact
+    no-op — full-corpus training) up to the LLOYD_TRAIN_CAP==sf0.1 corpus
+    size, and beyond it the refinement rounds train on the bounded
+    vec_id % mod == 1 sample. The sampled build must stay deterministic
+    (exact BIGINT means) and produce the same centroid schema."""
+    import hashlib
+
+    from oe_batch_processing_spark.operators.similarity import (
+        LLOYD_TRAIN_CAP,
+        _lloyd_refine,
+        lloyd_train_mod,
+    )
+
+    assert lloyd_train_mod(20) == 1            # sf0.001
+    assert lloyd_train_mod(200) == 1           # sf0.01
+    assert lloyd_train_mod(LLOYD_TRAIN_CAP) == 1  # sf0.1 — committed max
+    assert lloyd_train_mod(20_000) == 10       # 10x probe: ~2k train vecs
+    assert lloyd_train_mod(60_000) == 30       # 30x probe: ~2k train vecs
+
+    def vec(i: int) -> list[float]:
+        h = hashlib.md5(f"lv:{i}".encode()).digest()
+        return [b / 255.0 + 0.01 for b in h[:4]]
+
+    n = 4400  # > CAP so sample_mod == 2 genuinely drops half the corpus
+    rows = [(i, vec(i)) for i in range(1, n + 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nrm = F.sqrt(F.expr(
+        "aggregate(transform(embedding, x -> CAST(ROUND(x * 31623) AS "
+        "BIGINT)), 0L, (acc, x) -> acc + x * x)") / F.lit(1e9))
+    vecs = emb.select("vec_id", "embedding", nrm.alias("nrm")).persist()
+    cents = vecs.filter(F.col("vec_id") % 500 == 1).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    mod = lloyd_train_mod(n)
+    assert mod == 2
+    out1 = _lloyd_refine(vecs, cents, 2, mod).collect()
+    out2 = _lloyd_refine(vecs, cents, 2, mod).collect()
+    key = lambda r: r["cell_id"]  # noqa: E731
+    assert sorted(out1, key=key) == sorted(out2, key=key)
+    assert {r["cell_id"] for r in out1} <= {
+        r["cell_id"] for r in cents.collect()
+    }
+    assert len(out1) >= 2
+    vecs.unpersist()
