@@ -178,8 +178,7 @@ N_BANDS = 16  # 16 bands x 4 rows: P(candidate | J=0.8) ~ 0.9998
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
-@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs verified by true Jaccard >= 0.8.
 
     Pipeline (all signature math is JVM array expressions — no explode
@@ -267,6 +266,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH near-dup PAIR relation (``lsh_dedup`` with emit='pairs');
+    pipeline and oracle rationale in :func:`minhash_lsh_pairs`."""
+    return lsh_dedup(spark, sf_dir, emit="pairs")
+
+
+LSH_CLUSTER_SAMPLE_K = 5  # member ids quoted per cluster summary row
+
+
+def lsh_dedup(
+    spark: SparkSession, sf_dir: str, emit: str = "pairs"
+) -> DataFrame:
+    """LSH dedup with a choice of output shape.
+
+    ``emit='pairs'`` — the verified near-dup pair relation (doc_a, doc_b,
+    jaccard). ``emit='clusters'`` — one summary row per duplicate CLUSTER
+    (connected component of the pair graph): (representative = min doc_id,
+    member_count, sample_members = first {LSH_CLUSTER_SAMPLE_K} member ids).
+
+    Why clusters mode exists (round-10 scale probe): pair output grows with
+    the SQUARE of duplicate-cluster size — the probe measured 978.9x pair
+    rows for 10x input on a replica-heavy corpus. That's fine as a relation
+    to verify against, ruinous as the thing a 100 TB dedup job WRITES. The
+    cluster summary is linear in the corpus (one row per cluster, counts
+    instead of pair enumerations) and is what downstream keep/drop logic
+    consumes anyway. Cost: one label-propagation pass over the pair graph
+    (O(diameter) rounds of join + groupBy on the pairs — tiny relative to
+    the corpus) after the same LSH candidate generation.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    if emit == "pairs":
+        return pairs
+    if emit != "clusters":
+        raise ValueError(f"emit must be 'pairs' or 'clusters', got {emit!r}")
+    labels = cc_labels(pairs.select("doc_a", "doc_b"))
+    return labels.groupBy(F.col("lbl").alias("representative")).agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.expr(
+            f"array_join(transform(slice(array_sort(collect_list(doc)), 1, "
+            f"{LSH_CLUSTER_SAMPLE_K}), x -> CAST(x AS STRING)), ',')"
+        ).alias("sample_members"),
     )
 
 
@@ -402,8 +446,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # True-components oracle: recursive-CTE transitive closure over the
 # near-dup pair graph; shared with graph_connected_components_star
 # (operators/graph.py), which must produce the identical labeling via the
-# large-star/small-star algorithm.
-CC_TRANSITIVE_ORACLE = """
+# large-star/small-star algorithm, and (grouped) with the LSH cluster
+# summary below.
+_CC_REACH_CTES = """
     WITH RECURSIVE pairs AS (
       SELECT doc_a, doc_b FROM (
         WITH shingles AS (
@@ -435,9 +480,41 @@ CC_TRANSITIVE_ORACLE = """
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
     )
+    """
+
+CC_TRANSITIVE_ORACLE = _CC_REACH_CTES + """
     SELECT src AS doc_id, MIN(dst) AS cluster_id
     FROM reach GROUP BY src
     """
+
+# Cluster SUMMARY over the same closure: one row per component — the shape
+# a 100 TB dedup job writes (pair enumerations grow quadratically with
+# duplicate-class size; summaries are linear in the corpus).
+_LSH_CLUSTERS_ORACLE = _CC_REACH_CTES + f"""
+    , labels AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT cluster_id AS representative,
+           COUNT(*) AS member_count,
+           array_to_string(
+             (list_sort(list(doc_id)))[1:{LSH_CLUSTER_SAMPLE_K}], ','
+           ) AS sample_members
+    FROM labels GROUP BY cluster_id
+    """
+
+
+@query("dedup_minhash_lsh_clusters", oracle=_LSH_CLUSTERS_ORACLE)
+def dedup_minhash_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster summaries from the MinHash-LSH near-dup relation:
+    ``lsh_dedup`` with emit='clusters' — (representative, member_count,
+    sample_members) per connected component of the verified pair graph.
+
+    Oracle: the LSH pair relation equals the exact-Jaccard relation at the
+    shipped band configuration (see dedup_minhash_lsh), so the recursive
+    transitive-closure CTE over the exact pairs, grouped per component,
+    hash-checks this end to end — candidate generation, verification,
+    label propagation, and the summary aggregation."""
+    return lsh_dedup(spark, sf_dir, emit="clusters")
 
 
 @query("dedup_connected_components", oracle=CC_TRANSITIVE_ORACLE)
@@ -455,6 +532,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive ops.
     """
     pairs = dedup_jaccard_shingles(spark, sf_dir).select("doc_a", "doc_b")
+    labels = cc_labels(pairs)
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def cc_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair relation (doc_a,
+    doc_b) -> (doc, lbl) with lbl = min doc_id in the connected component.
+    Converges in O(graph diameter) driver-loop rounds; each round is one
+    join + groupBy on the pair graph only (tiny relative to the corpus).
+    Shared by dedup_connected_components and the LSH cluster summary."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -489,7 +578,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return labels
 
 
 # --- embedding-cosine near-dedup -------------------------------------------

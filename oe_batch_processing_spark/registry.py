@@ -123,77 +123,73 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-10 window. Zero never-checked names remain (cumulative
-    # --- driver coverage 322/322 after r9), so per the rotation guidance
-    # --- this window is: (1) re-checks of code touched this round (webp
-    # --- length-cap fix; TIFF accessor fix; IVF/IVFPQ recall work;
-    # --- split-leakage overhead trim), then (2) the 38 queries whose only
-    # --- driver rows are r1/r2-era (8+ rounds stale), then (3) the oldest
-    # --- r4-era rows to fill the 50 slots. Round-11 guidance: continue the
-    # --- oldest-row rotation (remaining r4-era names: embedding_kmeans_
-    # --- assign, events_approx_quantile_stats, events_histogram_2d,
-    # --- events_retention_cohorts, flagship_revenue_by_nation,
-    # --- join_bucketed_orders_customer, join_fuzzy_customer_names,
-    # --- json_parse_roundtrip, multimodal_byte_features, pipeline_mix_
-    # --- weighted, pipeline_pack_sequences, pipeline_shard_pack, q11...),
-    # --- always placing any round-11 additions and changed-code re-checks
-    # --- first.
-    "multimodal_webp_palette_decode",   # r10 addition: color-indexing path
-    "multimodal_webp_lossless_decode",  # r10: ENC_MAX_LEN 9 + clc cap fix
-    "multimodal_tiff_decode",           # r10: array() accessor fix
-    "similarity_topk_ivf",              # r10: recall push (rows-only ANN)
-    "similarity_topk_ivfpq",            # r10: recall push (rows-only ANN)
-    "stream_split_leakage_gate",        # r10: fixed-overhead trim
-    # --- (2) the seven r1-era rows...
-    "agg_approx_count_distinct",
-    "agg_cube_status_priority",
-    "join_shuffle_supplier_part",
-    "sample_stratified_documents",
-    "set_except_customers",
-    "set_intersect_customers",
-    "win_rank_dense_ntile",
-    # --- ...and the thirty-one r2-era rows
-    "agg_collect_sorted",
-    "agg_minby_maxby",
-    "array_hof_ops",
-    "array_ops_advanced",
-    "dedup_simhash",
-    "docs_length_histogram",
-    "join_theta_region_pairs",
-    "multimodal_frame_sample",
-    "q10_returned_items",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q4_order_priority_checking",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "scalar_bitwise",
-    "scalar_string_extended",
-    "similarity_pairs_above",
-    "similarity_topk_lsh",
-    "text_clean_normalize",
-    "text_fingerprint_dedup",
-    "text_language_id",
-    "text_ngram_bigrams",
-    "text_pii_redact",
-    "text_quality_scores",
-    "text_token_counts",
-    "text_top_tokens",
-    "udtf_explode_words",
-    "unpivot_status_counts",
-    # --- (3) the oldest r4-era rows fill the window
-    "agg_grouping_id",
-    "agg_salted_user_totals",
-    "dedup_embedding_cosine",
-    "docs_inverse_index",
-    "docs_paragraph_dedup",
-    "docs_train_val_test_split",
-    # (docs_url_extract yielded its slot to the round-10 addition
-    # multimodal_webp_palette_decode; it rotates into round 11 with the
-    # rest of the r4-era rows)
+    # --- Round-11 window, per the r10 rotation guidance: (1) round-11
+    # --- additions (the LSH cluster summary and the cross-color RGB
+    # --- query), (2) changed-code re-checks (VP8L color transform in the
+    # --- default grayscale path; sample-trained Lloyd for IVF/IVFPQ; the
+    # --- lsh_dedup/cc_labels refactor behind the LSH + CC queries; the
+    # --- semdedup/kmeans persist-before-count; the leak-gate scratch
+    # --- cleanup), (3) the 39 remaining r4-era rows — after this window
+    # --- no driver row anywhere is older than r5. Round-12 guidance:
+    # --- continue the oldest-row rotation (the ~50 r5-era rows:
+    # --- agg_count_distinct, agg_grouping_sets, agg_rollup_nation_
+    # --- priority, array_norm_embeddings, asof_purchase_last_click,
+    # --- csv_parse_roundtrip, dedup_exact_documents, dedup_jaccard_
+    # --- shingles, events_anomaly_zscore, events_funnel, ...), always
+    # --- placing round-12 additions and changed-code re-checks first.
+    # --- (1) round-11 additions
+    "dedup_minhash_lsh_clusters",       # r11: cluster-summary emit mode
+    "multimodal_webp_color_decode",     # r11: cross-color transform, RGB
+    # --- (2) changed-code re-checks
+    "multimodal_webp_lossless_decode",  # r11: color transform now default
+    "multimodal_webp_palette_decode",   # r11: shared codec edits
+    "similarity_topk_ivf",              # r11: sample-trained Lloyd
+    "similarity_topk_ivfpq",            # r11: sample-trained Lloyd
+    "dedup_minhash_lsh",                # r11: lsh_dedup core refactor
+    "dedup_connected_components",       # r11: cc_labels extraction
+    "graph_connected_components_star",  # r11: shared CC oracle recomposed
+    "dedup_semdedup_clusters",          # r11: persist-before-count
+    "stream_split_leakage_gate",        # r11: scratch cleanup in finally
+    # --- (3) the 39 remaining r4-era rows
+    "docs_url_extract",
+    "embedding_kmeans_assign",          # also r11 persist-before-count
+    "events_approx_quantile_stats",
+    "events_histogram_2d",
+    "events_retention_cohorts",
+    "flagship_revenue_by_nation",
+    "join_bucketed_orders_customer",
+    "join_fuzzy_customer_names",
+    "json_parse_roundtrip",
+    "multimodal_byte_features",
+    "pipeline_mix_weighted",
+    "pipeline_pack_sequences",
+    "pipeline_shard_pack",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q1_pricing_summary",
+    "q20_promotion_candidates",
+    "q21_waiting_suppliers",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "scalar_map_ops",
+    "scalar_null_semantics",
+    "scalar_regexp_extract_all",
+    "scalar_struct_ops",
+    "similarity_topk_cosine",
+    "similarity_topk_pq",
+    "stats_percentile_approx",
+    "stream_stateful_user_totals",
+    "stream_static_enrich",
+    "text_contamination_ngrams",
+    "text_frequent_tokens_sketch",
+    "text_gopher_quality",
+    "text_rolling_fingerprint",
+    "win_analytic_battery",
 )
 
 

@@ -124,9 +124,12 @@ def test_unsupported_feature_flags_rejected():
     raising the other flags must produce the by-name subset errors —
     proves the decoder actually walks the signaling loop."""
     r = _webp_pixels(2, 48, 32)
-    # use_predictor=False keeps the historical fixed bit layout this
-    # battery was written against (SG is the only transform)
-    blob = encode_webp_vp8l(r, 48, 32, use_predictor=False)
+    # use_predictor=False + use_color_transform=False keeps the historical
+    # fixed bit layout this battery was written against (SG is the only
+    # transform)
+    blob = encode_webp_vp8l(
+        r, 48, 32, use_predictor=False, use_color_transform=False
+    )
 
     def flip(bits):
         bad = bytearray(blob)
@@ -135,10 +138,11 @@ def test_unsupported_feature_flags_rejected():
         return bytes(bad)
 
     # type 2 is encoded as bits (0, 1) at positions 33, 34 (LSB first).
-    # Types 0 (predictor) and 3 (color indexing) are SUPPORTED since
-    # round 10 and no longer belong in this rejection battery.
-    with pytest.raises(ValueError, match="color transform"):
-        parse_webp_vp8l(flip([33, 34]))        # type 2 -> 1
+    # ALL FOUR transform types are supported since round 11 (predictor and
+    # color indexing since round 10, the color transform since round 11)
+    # so no type rewrite belongs in this battery any more; the remaining
+    # by-name rejections (meta, <=120 distance map, lossy, unsupported
+    # COMBINATIONS) are covered here and in the crafted-stream batteries.
     with pytest.raises(ValueError, match="signaled twice"):
         parse_webp_vp8l(flip([35, 37]))        # loop again, type 2 again
     # the cache is SUPPORTED since round 10: raising the flag bit makes
@@ -414,7 +418,7 @@ def test_predictor_without_subtract_green_rejected():
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
-    with pytest.raises(ValueError, match="predictor without subtract-green"):
+    with pytest.raises(ValueError, match="predictor without a base"):
         parse_webp_vp8l(blob)
 
 
@@ -704,3 +708,169 @@ def test_color_cache_full_range_alphabet_over_512_roundtrips():
     assert len(syms) > 512, len(syms)
     blob = encode_webp_vp8l(raster, w, h, use_predictor=False, cache_bits=bits)
     assert parse_webp_vp8l(blob) == (w, h, raster)
+
+
+# --- color (cross-color) transform battery (round 11) ------------------------
+
+
+def test_color_transform_is_the_default_base_and_roundtrips():
+    """Round 11: the color transform replaces subtract-green in the default
+    grayscale encode path. The data-driven per-block choice lands on the
+    (32, 32, 0) subtract-green identity, the decoder reconstructs r and b
+    from g through the real §4.3 inverse, and the SG path stays available
+    (and produces a different stream) behind use_color_transform=False."""
+    for doc in (1, 2, 9):
+        w, h = 48 + 16 * (doc % 2), 32
+        r = _webp_pixels(doc, w, h)
+        blob = encode_webp_vp8l(r, w, h)
+        assert parse_webp_vp8l(blob) == (w, h, r)
+        assert encode_webp_vp8l(r, w, h) == blob
+        sg = encode_webp_vp8l(r, w, h, use_color_transform=False)
+        assert sg != blob
+        assert parse_webp_vp8l(sg) == (w, h, r)
+
+
+def test_color_transform_rgb_roundtrip_and_cross_channel_choice():
+    """The RGB entry: r ~ g + sparse noise, b ~ r + sparse noise — every
+    block must choose nonzero g2r and most must choose nonzero r2b (the
+    cross-channel deltas an R=G=B corpus can never exercise); decode is
+    bit-exact and re-encode reproduces the file."""
+    import numpy as np
+
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        _webp_color_pixels,
+        choose_color_deltas,
+        encode_webp_vp8l_rgb,
+        parse_webp_vp8l_rgb,
+    )
+
+    for doc in (1, 4):
+        w, h = 32 + 16 * (doc % 2), 24
+        rgb = _webp_color_pixels(doc, w, h)
+        blob = encode_webp_vp8l_rgb(rgb, w, h)
+        assert parse_webp_vp8l_rgb(blob) == (w, h, rgb)
+        assert encode_webp_vp8l_rgb(rgb, w, h) == blob
+        arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        grid, r_res, b_res = choose_color_deltas(
+            arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], w, h
+        )
+        flat = [p for row in grid for p in row]
+        assert all(p[0] != 0 for p in flat)          # g2r everywhere
+        assert sum(1 for p in flat if p[2] != 0) > len(flat) // 2  # r2b
+        # the transform genuinely decorrelates: residuals are sparse
+        assert np.count_nonzero(r_res) < r_res.size // 8
+        assert np.count_nonzero(b_res) < b_res.size // 8
+        assert 8 * len(blob) < 7 * w * h  # vs 24 bpp raw
+
+
+def test_color_transform_delta_math_matches_spec_reference():
+    """ColorTransformDelta is (int8 * int8) >> 5 with an ARITHMETIC shift:
+    pin the signed corners against hand-computed values."""
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        color_transform_delta,
+    )
+
+    assert color_transform_delta(32, 100) == 100        # the SG identity
+    assert color_transform_delta(32, 200) == -56        # int8(200) = -56
+    assert (200 + color_transform_delta(32, 200)) & 255 == 144
+    assert color_transform_delta(16, 100) == 50
+    assert color_transform_delta(16, 101) == 50         # floor
+    assert color_transform_delta(240, 100) == -50       # int8(240) = -16
+    assert color_transform_delta(16, 200) == -28        # -56/2 floors to -28
+    assert color_transform_delta(0, 255) == 0
+
+
+def test_color_transform_nongrayscale_reconstruction_rejected():
+    """The grayscale decoder must reject CC streams that are legal VP8L
+    but leave the grayscale subset: (a) nonzero coded residuals (an RGB
+    stream), and (b) residual-zero streams whose deltas do NOT reconstruct
+    r = g = b — the wrong-delta case, proving the per-block delta choice
+    is load-bearing in decode."""
+    import numpy as np
+
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        color_transform_delta,
+        encode_webp_vp8l_rgb,
+    )
+
+    # (a) genuinely colored stream -> nonzero residuals
+    w, h = 32, 24
+    g = bytes((3 * j) % 37 for j in range(w * h))
+    rgb = b"".join(
+        bytes((((gv + 5) & 255), gv, gv)) for gv in g
+    )
+    blob = encode_webp_vp8l_rgb(rgb, w, h)
+    with pytest.raises(ValueError, match="residual under the color"):
+        parse_webp_vp8l(blob)
+
+    # (b) r = delta(16, g) exactly: residual-zero under g2r=16, but the
+    # reconstruction is NOT grayscale wherever delta(16, g) != g
+    g = bytes((7 * j) % 33 + 1 for j in range(w * h))
+    rgb = b"".join(
+        bytes((
+            color_transform_delta(16, gv) & 255,
+            gv,
+            color_transform_delta(16, gv) & 255,
+        ))
+        for gv in g
+    )
+    assert any((color_transform_delta(16, gv) & 255) != gv for gv in g)
+    blob = encode_webp_vp8l_rgb(rgb, w, h)
+    # confirm the encoder found the residual-zero (but non-gray) deltas
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        choose_color_deltas,
+    )
+    _, r_res, b_res = choose_color_deltas(
+        arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], w, h
+    )
+    assert not r_res.any() and not b_res.any()
+    with pytest.raises(ValueError, match="reconstruct a grayscale"):
+        parse_webp_vp8l(blob)
+
+
+def test_color_transform_combination_rules_rejected():
+    """Crafted streams for the by-name composition rules: CC+SG and
+    CC-twice are rejected AFTER the signaling loop parses both payloads,
+    and the RGB decoder rejects non-CC streams."""
+    from oe_batch_processing_spark.operators.multimodal_webp import (
+        COLOR_BLOCK_BITS,
+        LsbWriter,
+        SIGNATURE,
+        _riff_container,
+        _write_color_subimage,
+        encode_webp_vp8l,
+        parse_webp_vp8l_rgb,
+    )
+
+    def crafted(first_sg: bool) -> bytes:
+        w_, h_ = 16, 8
+        w = LsbWriter()
+        w.put(w_ - 1, 14)
+        w.put(h_ - 1, 14)
+        w.put(0, 1)
+        w.put(0, 3)
+        if first_sg:
+            w.put(1, 1)
+            w.put(2, 2)  # subtract-green
+        grid = [[(32, 32, 0)] * 2]  # 16x8 at 8x8 blocks -> 2x1 grid
+        for _ in range(1 if first_sg else 2):
+            w.put(1, 1)
+            w.put(1, 2)  # color transform
+            w.put(COLOR_BLOCK_BITS - 2, 3)
+            _write_color_subimage(w, grid)
+        w.put(0, 1)  # end of transforms
+        return _riff_container(bytes([SIGNATURE]) + w.flush())
+
+    with pytest.raises(ValueError, match="combined with subtract-green"):
+        parse_webp_vp8l(crafted(first_sg=True))
+    with pytest.raises(ValueError, match="color transform signaled twice"):
+        parse_webp_vp8l(crafted(first_sg=False))
+
+    # the RGB decoder accepts exactly one color transform and nothing else
+    gray = encode_webp_vp8l(
+        _webp_pixels(2, 48, 32), 48, 32,
+        use_predictor=False, use_color_transform=False,
+    )
+    with pytest.raises(ValueError, match="exactly one color transform"):
+        parse_webp_vp8l_rgb(gray)
