@@ -119,7 +119,7 @@ _DUCK_SUBL2 = (
       SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
     ),
     cents AS (SELECT vec_id AS cent_id, qe AS ce FROM q
-              WHERE vec_id % {CODES_MOD} = 1),
+              WHERE vec_id % ({adaptive_cells_mod_sql(CODES_MOD)}) = 1),
     enc AS (
       SELECT vec_id, s, cent_id AS code FROM (
         SELECT v.vec_id, t.s, c.cent_id,
@@ -167,8 +167,16 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     stronger gate than the recall-based rows-only checks LSH/IVF allow.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
-    cents = vecs.filter(F.col("vec_id") % CODES_MOD == 1).select(
+    # persist before the adaptive-stride count (the kmeans-assign recipe):
+    # the count fills the cache the encode/search scans then read. With a
+    # FIXED stride the codebook grows linearly and the n x ncodes encode
+    # goes quadratic — the round-11 10x probe caught exactly that in
+    # similarity_topk_ivfpq (26x for 10x input); sqrt-scaled codes keep
+    # encode at ~n^1.5. No-op at committed SFs (sqrt(2000)*31//44 == 31);
+    # the oracle mirrors the expression.
+    vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
+    codes_mod = adaptive_cells_mod(CODES_MOD, vecs.count())
+    cents = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
     )
     sub_l2 = F.expr(
@@ -351,8 +359,11 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
 
-    # PQ codes (same codebook subset + integer sub-L2 as similarity_topk_pq)
-    codes = vecs.filter(F.col("vec_id") % CODES_MOD == 1).select(
+    # PQ codes (same codebook subset + integer sub-L2 as similarity_topk_pq;
+    # same sqrt-scaled stride — with a FIXED stride the n x ncodes encode
+    # is the quadratic stage the round-11 10x probe flagged at 26x)
+    codes_mod = adaptive_cells_mod(CODES_MOD, n_vecs)
+    codes = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
     )
     sub_l2 = F.expr(

@@ -99,7 +99,11 @@ PROBES: tuple[str, ...] = (
     "win_rolling_distinct_users",
     "events_hourly_rollup",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_clusters",   # r11: cluster-summary emit mode
     "similarity_topk_ivf",
+    "similarity_topk_ivfpq",        # r11: sample-trained Lloyd coverage
+    "embedding_kmeans_assign",      # r11: centroid-family coverage
+    "multimodal_webp_color_decode", # r11: cross-color RGB pipeline
     "similarity_topk_matmul",
     "join_salted_orders_segment",
     "asof_nearest_click",
