@@ -61,6 +61,7 @@ HEADLINE = [
     # LLM-data ops:
     "dedup_exact_documents",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_clusters",  # r11: cluster-summary emit mode
     "dedup_jaccard_shingles",
     "text_quality_scores",
     "text_fingerprint_dedup",
@@ -173,6 +174,7 @@ HEADLINE = [
     "multimodal_resize_box_integer",  # exact box-filter resize
     "multimodal_webp_lossless_decode",  # VP8L: SG + 14-mode predictor
     "multimodal_webp_palette_decode",   # VP8L: color-indexing + bundling
+    "multimodal_webp_color_decode",     # r11: cross-color transform, RGB
 ]
 
 

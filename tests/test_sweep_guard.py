@@ -269,3 +269,51 @@ def test_scaleprobe_artifact_consistency():
         f"{newest}: flagged >{art['flag_ratio']}x growers without a "
         f"written finding: {unexplained}"
     )
+
+
+def test_scaleprobe_30x_artifact_consistency():
+    """VERDICT r10 item 2: the second-decade probe. The committed 30x
+    heavy-tail artifact must stay coherent — every probed name registered
+    and also present in the 10x artifact (so both decades of the trend
+    line exist), both timings recorded, no errors, no new SinglePartition
+    exchanges, a written finding for every >flag_ratio grower, and the
+    centroid family (the round-10 quadratic class) must be in the tail."""
+    import json
+
+    paths = glob.glob(os.path.join(REPO, "SCALEPROBE30X_r*.json"))
+    assert paths, "no SCALEPROBE30X_r*.json artifact committed"
+    newest = max(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    with open(newest) as f:
+        art = json.load(f)
+    assert art["factor"] == 30
+    rows = art["queries"]
+    for must in (
+        "similarity_topk_ivf",
+        "similarity_topk_ivfpq",
+        "dedup_semdedup_clusters",
+        "embedding_kmeans_assign",
+    ):
+        assert must in rows, f"{newest}: centroid-family probe {must} missing"
+    unknown = [n for n in rows if n not in registry.QUERIES]
+    assert not unknown, f"{newest}: probed names not in registry: {unknown}"
+    ten_paths = glob.glob(os.path.join(REPO, "SCALEPROBE_r*.json"))
+    ten = json.load(open(max(
+        ten_paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1))
+    )))
+    not_in_ten = [n for n in rows if n not in ten["queries"]]
+    assert not not_in_ten, (
+        f"{newest}: 30x rows without a 10x trend point: {not_in_ten}"
+    )
+    for n, e in rows.items():
+        assert "err" not in e, f"{newest}: {n} recorded an error"
+        assert e["t_base"] and e["t_scaled"], f"{newest}: {n} missing timings"
+    assert not art["new_single_partition_exchanges_at_scale"], (
+        f"{newest}: queries GAINED SinglePartition exchanges at 30x: "
+        f"{art['new_single_partition_exchanges_at_scale']}"
+    )
+    findings = art.get("findings", {})
+    unexplained = [n for n in art["flagged_over_ratio"] if n not in findings]
+    assert not unexplained, (
+        f"{newest}: flagged >{art['flag_ratio']}x growers without a "
+        f"written finding: {unexplained}"
+    )

@@ -344,7 +344,7 @@ def main() -> int:
         return 0
 
     artifact = {
-        "metric": "scaleprobe_10x",
+        "metric": f"scaleprobe_{args.factor}x",
         "factor": args.factor,
         "base": BASE_DIR,
         "repeat": args.repeat,
