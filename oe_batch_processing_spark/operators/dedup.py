@@ -538,47 +538,79 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_SMALL_EDGES = 100_000  # below this, the loop runs 1-partition/no-AQE
+
+
 def cc_labels(pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair relation (doc_a,
     doc_b) -> (doc, lbl) with lbl = min doc_id in the connected component.
     Converges in O(graph diameter) driver-loop rounds; each round is one
     join + groupBy on the pair graph only (tiny relative to the corpus).
-    Shared by dedup_connected_components and the LSH cluster summary."""
+    Shared by dedup_connected_components and the LSH cluster summary.
+
+    Size-adaptive execution (the star-CC recipe, graph.py): a SMALL
+    materialized edge set pays more in per-round AQE re-planning and
+    32-way shuffles than in actual work, so below _CC_SMALL_EDGES the
+    loop drops to one partition with AQE off (session confs restored in
+    the finally). A large edge set — the 10x/30x probes' 0.25M/2.4M-pair
+    graphs and any real corpus — keeps AQE and the full shuffle width;
+    the plan shape is identical, only the knobs move."""
+    spark = pairs.sparkSession
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc"))
-        .distinct()
-        .withColumn("lbl", F.col("doc"))
-        .persist()
-    )
-    while True:
-        neigh_min = (
-            edges.join(labels, edges["doc_b"] == labels["doc"])
-            .groupBy(F.col("doc_a").alias("doc"))
-            .agg(F.min("lbl").alias("nl"))
-        )
-        new_labels = (
-            labels.join(neigh_min, "doc", "left")
-            .select(
-                "doc",
-                F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+    n_edges = edges.count()
+    saved: dict[str, str] = {}
+    if n_edges < _CC_SMALL_EDGES:
+        for k, v in (("spark.sql.adaptive.enabled", "false"),
+                     ("spark.sql.shuffle.partitions", "1")):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+        small = pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
+        ).coalesce(1).localCheckpoint(eager=True)
+        edges.unpersist()
+        edges = small
+    try:
+        labels = (
+            edges.select(F.col("doc_a").alias("doc"))
+            .distinct()
+            .withColumn("lbl", F.col("doc"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels
+        while True:
+            neigh_min = (
+                edges.join(labels, edges["doc_b"] == labels["doc"])
+                .groupBy(F.col("doc_a").alias("doc"))
+                .agg(F.min("lbl").alias("nl"))
+            )
+            new_labels = (
+                labels.join(neigh_min, "doc", "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter(F.col("n.lbl") < F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 # --- embedding-cosine near-dedup -------------------------------------------

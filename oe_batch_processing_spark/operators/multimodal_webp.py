@@ -52,7 +52,12 @@ Subset contract — LZ77 + literals + subtract-green VP8L (no cache/meta):
   a deterministic greedy last-occurrence parser (determinism feeds the
   re-encode-roundtrip assertion); plain distances are emitted as
   dist + 120, and the one remaining un-emitted corner — the RFC's <=120
-  pixel-NEIGHBORHOOD distance-map codes — is rejected by name.
+  pixel-NEIGHBORHOOD distance-map codes — is rejected by name. (That map
+  is a fixed NORMATIVE 120-entry (dx, dy) table in the RFC; this
+  environment has no copy of the spec or libwebp to transcribe it from,
+  and a from-memory reconstruction would decode our own streams while
+  silently violating the spec — the by-name rejection is the honest
+  boundary until the table can be transcribed verbatim.)
 
 Lossless means the WHOLE corpus hash-oracles (the GIF precedent): pixels
 are md5-keyed skewed bytes both engines regenerate identically, DuckDB
