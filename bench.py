@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_clusters",  # r11: cluster-summary emit mode
+    "dedup_simhash_clusters",      # r11: clusters mode, simhash relation
     "dedup_jaccard_shingles",
     "text_quality_scores",
     "text_fingerprint_dedup",

@@ -304,6 +304,15 @@ def lsh_dedup(
         return pairs
     if emit != "clusters":
         raise ValueError(f"emit must be 'pairs' or 'clusters', got {emit!r}")
+    return cluster_summaries(pairs)
+
+
+def cluster_summaries(pairs: DataFrame) -> DataFrame:
+    """One summary row per connected component of any (doc_a, doc_b) pair
+    relation: (representative = min member, member_count, sample_members =
+    first {LSH_CLUSTER_SAMPLE_K} ids). The generic clusters half of the
+    emit='pairs'|'clusters' contract — shared by the MinHash-LSH and
+    SimHash cluster queries."""
     labels = cc_labels(pairs.select("doc_a", "doc_b"))
     return labels.groupBy(F.col("lbl").alias("representative")).agg(
         F.count(F.lit(1)).alias("member_count"),
@@ -312,6 +321,37 @@ def lsh_dedup(
             f"{LSH_CLUSTER_SAMPLE_K}), x -> CAST(x AS STRING)), ',')"
         ).alias("sample_members"),
     )
+
+
+def clusters_oracle(pairs_sql: str) -> str:
+    """Recursive transitive-closure CTE over ANY pair-relation SQL, grouped
+    per component — the DuckDB mirror of :func:`cluster_summaries` (DuckDB
+    supports a WITH inside the subquery, so callers pass their pair oracle
+    verbatim)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs_sql})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach(src, dst) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    labels AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT cluster_id AS representative,
+           COUNT(*) AS member_count,
+           array_to_string(
+             (list_sort(list(doc_id)))[1:{LSH_CLUSTER_SAMPLE_K}], ','
+           ) AS sample_members
+    FROM labels GROUP BY cluster_id
+    """
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -441,6 +481,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hd.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= 6)
     )
+
+
+@query("dedup_simhash_clusters", oracle=clusters_oracle(_SIMHASH_ORACLE))
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster summaries over the SimHash near-dup relation —
+    the second pair-emitting dedup operator to get the linear-output
+    clusters mode (r10 verdict item 6): (representative, member_count,
+    sample_members) per connected component of the hamming<=6 pair graph,
+    via the shared :func:`cc_labels` + :func:`cluster_summaries` halves.
+    The oracle is the recursive transitive-closure CTE wrapped around the
+    FULL SimHash pair SQL by :func:`clusters_oracle` — a single wrong
+    fingerprint BIT anywhere changes some pair, hence some component,
+    hence the hash."""
+    return cluster_summaries(dedup_simhash(spark, sf_dir))
 
 
 # True-components oracle: recursive-CTE transitive closure over the

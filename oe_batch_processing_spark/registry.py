@@ -131,6 +131,10 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- semdedup/kmeans persist-before-count; the leak-gate scratch
     # --- cleanup), (3) the 39 remaining r4-era rows — after this window
     # --- no driver row anywhere is older than r5. Round-12 guidance:
+    # --- FIRST the round-11-late addition dedup_simhash_clusters (landed
+    # --- after this window filled — never driver-checked, hash-exact in
+    # --- local runs at all three SFs), then any round-12 additions and
+    # --- changed-code re-checks, then
     # --- continue the oldest-row rotation (the ~50 r5-era rows:
     # --- agg_count_distinct, agg_grouping_sets, agg_rollup_nation_
     # --- priority, array_norm_embeddings, asof_purchase_last_click,
