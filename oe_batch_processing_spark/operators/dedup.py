@@ -544,17 +544,7 @@ CC_TRANSITIVE_ORACLE = _CC_REACH_CTES + """
 # Cluster SUMMARY over the same closure: one row per component — the shape
 # a 100 TB dedup job writes (pair enumerations grow quadratically with
 # duplicate-class size; summaries are linear in the corpus).
-_LSH_CLUSTERS_ORACLE = _CC_REACH_CTES + f"""
-    , labels AS (
-      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
-    )
-    SELECT cluster_id AS representative,
-           COUNT(*) AS member_count,
-           array_to_string(
-             (list_sort(list(doc_id)))[1:{LSH_CLUSTER_SAMPLE_K}], ','
-           ) AS sample_members
-    FROM labels GROUP BY cluster_id
-    """
+_LSH_CLUSTERS_ORACLE = clusters_oracle(_JACCARD_ORACLE)
 
 
 @query("dedup_minhash_lsh_clusters", oracle=_LSH_CLUSTERS_ORACLE)

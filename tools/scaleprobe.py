@@ -100,6 +100,7 @@ PROBES: tuple[str, ...] = (
     "events_hourly_rollup",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_clusters",   # r11: cluster-summary emit mode
+    "dedup_simhash_clusters",       # r11: clusters mode, simhash relation
     "similarity_topk_ivf",
     "similarity_topk_ivfpq",        # r11: sample-trained Lloyd coverage
     "embedding_kmeans_assign",      # r11: centroid-family coverage
