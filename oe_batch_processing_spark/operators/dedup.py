@@ -605,19 +605,20 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     ).persist()
     n_edges = edges.count()
     saved: dict[str, str] = {}
-    if n_edges < _CC_SMALL_EDGES:
-        for k, v in (("spark.sql.adaptive.enabled", "false"),
-                     ("spark.sql.shuffle.partitions", "1")):
-            saved[k] = spark.conf.get(k)
-            spark.conf.set(k, v)
-        small = pairs.union(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        ).coalesce(1).localCheckpoint(eager=True)
-        edges.unpersist()
-        edges = small
     try:
+        # Conf mutation and the eager small-edges checkpoint both live
+        # INSIDE the try: the checkpoint runs a real distributed job, and
+        # a failure there must still restore the session confs in finally.
+        # The checkpoint coalesces the already-persisted edges frame (a
+        # cache read), not a from-scratch rebuild of the upstream pipeline.
+        if n_edges < _CC_SMALL_EDGES:
+            for k, v in (("spark.sql.adaptive.enabled", "false"),
+                         ("spark.sql.shuffle.partitions", "1")):
+                saved[k] = spark.conf.get(k)
+                spark.conf.set(k, v)
+            small = edges.coalesce(1).localCheckpoint(eager=True)
+            edges.unpersist()
+            edges = small
         labels = (
             edges.select(F.col("doc_a").alias("doc"))
             .distinct()
@@ -651,6 +652,10 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
             if changed == 0:
                 break
         edges.unpersist()
+        # labels stays persisted past return BY DESIGN: the caller's
+        # downstream plan (cluster summary join, component grouping) reads
+        # the cached final round instead of replaying the whole loop; the
+        # blocks live until session end or LRU eviction.
         return labels
     finally:
         for k, v in saved.items():

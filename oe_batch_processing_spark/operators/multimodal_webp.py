@@ -1142,8 +1142,12 @@ def encode_webp_vp8l(
             # PREDICTOR transform (type 0): the bitstream signals it AFTER
             # the base (color / subtract-green) transform, so the
             # decoder's reverse-order inverse walk undoes prediction
-            # first, then the base transform — matching libwebp's
-            # base-then-predictor encode order.
+            # first, then the base transform. For subtract-green this
+            # matches libwebp's encode order; for the cross-color
+            # transform libwebp applies it AFTER the predictor (signals
+            # predictor first) — the color-first order here is a
+            # deliberate spec-legal subset choice, and the decoder
+            # inverts in the matching (reverse-of-signal) order either way.
             import numpy as np
 
             g = np.frombuffer(raster, dtype=np.uint8).reshape(h_px, w_px)

@@ -72,7 +72,10 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist BEFORE the adaptive-stride count: the count materializes the
     # quantized projection once into cache, so the assignment scan below
     # reads memory instead of re-scanning the source (the stride is
-    # constant per dataset — don't pay a second source pass for it)
+    # constant per dataset — don't pay a second source pass for it).
+    # Intentionally NOT unpersisted: the returned lazy DataFrame still
+    # reads this cache when the caller materializes it, so the blocks live
+    # until session end (or LRU eviction) by design.
     vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
     # sqrt-scaled stride (no-op at committed SFs; oracle mirrors it)
     cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
@@ -173,7 +176,9 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # goes quadratic — the round-11 10x probe caught exactly that in
     # similarity_topk_ivfpq (26x for 10x input); sqrt-scaled codes keep
     # encode at ~n^1.5. No-op at committed SFs (sqrt(2000)*31//44 == 31);
-    # the oracle mirrors the expression.
+    # the oracle mirrors the expression. The cache is intentionally left
+    # alive after return (the returned lazy plan reads it) — leak-until-
+    # session-end by design, reclaimed by LRU under memory pressure.
     vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
     codes_mod = adaptive_cells_mod(CODES_MOD, vecs.count())
     cents = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
