@@ -134,13 +134,33 @@ _JACCARD_ORACLE = """
 def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word trigram) Jaccard near-dup pairs, J >= 0.8.
 
-    Inverted-index self-join: pairs are generated only for docs sharing at
-    least one shingle — never a full cross join. This is the ground truth the
-    MinHash-LSH variant approximates; at 100 TB use the LSH path and keep
-    this for bucket-level verification.
+    Inverted-index self-join over CONTENT REPRESENTATIVES: docs are first
+    collapsed by identical text (rep = min doc_id per distinct text, an
+    exact-dedup groupBy), the quadratic posting-list join runs on the
+    distinct contents only, and rep-level pairs expand back to doc-level
+    pairs through two membership joins (plus the within-group identical
+    pairs at jaccard exactly 1.0). This is an EXACT algebraic rewrite —
+    jaccard depends only on content, so the emitted relation is
+    bit-identical to the per-doc self-join at every SF — but the
+    intermediate (doc_a, doc_b) aggregate now scales with DISTINCT
+    contents squared, not corpus squared: on a replica-heavy corpus (the
+    30x scale probe: ~1.5e9 intermediate rows, OOMing an 8 GB heap) the
+    aggregate stays at the distinct-content level and only the final
+    expansion — sized like the OUTPUT — fans out. This is the ground truth
+    the MinHash-LSH variant approximates; at 100 TB use the LSH path and
+    keep this for bucket-level verification.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3)
+    # exact-content groups: one shuffle on text (at 100 TB, key the groupBy
+    # on xxhash64(text)/md5 fingerprint instead of full text — same idiom
+    # as dedup_exact_documents). Group sizes are replica counts (bounded),
+    # so collect_list stays rows-per-content-sized, never corpus-sized.
+    groups = docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.collect_list("doc_id").alias("members"),
+    ).persist()
+    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    sh = word_shingles(rep_docs, 3)
     # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
     # AQE would coalesce it to ~1 partition) but the join OUTPUT fans out
     # quadratically per shingle bucket — the cost AQE's input-size heuristic
@@ -163,12 +183,62 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
     nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
+    rep_pairs = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            jac.alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= 0.8)
     )
+    # Expansion 1/2 — cross-group: every member of rep_a's group pairs with
+    # every member of rep_b's group (jaccard is content-determined, so the
+    # rep-level value carries over verbatim); reorder each emitted pair to
+    # (min, max) since group doc_ids interleave.
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("doc_id")
+    )
+    ma = membership.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Expansion 2/2 — within-group: identical texts are jaccard exactly 1.0
+    # with each other, PROVIDED the text has at least one trigram (< 3
+    # words never enters the shingle relation and pairs with nothing).
+    within = (
+        groups.filter(
+            (F.size("members") >= 2)
+            & (F.size(F.split("text", " ")) >= 3)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, "
+                    "x -> transform(members, y -> struct(x, y)))), "
+                    "p -> p.x < p.y)"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x").alias("doc_a"),
+            F.col("p.y").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --- MinHash + LSH ---------------------------------------------------------
