@@ -758,9 +758,17 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer-quantized dots; sqrt/divide are correctly-rounded
     IEEE ops on identical inputs, so both engines select identical pairs.
 
-    Scale: centroids broadcast (bounded set); assignment is one codegen
-    pass; the self-join shuffles on cell_id — AQE splits hot partitions,
-    but partition-splitting does NOT reduce PAIR counts, so a per-cell
+    Scale: below SEMDEDUP_HIER_MIN_N (every committed SF) the flat path
+    runs — centroids broadcast, one codegen assignment pass — and the
+    registered oracle mirrors it exactly. Above the threshold the
+    TWO-LEVEL hierarchy takes over (round 12; see _semdedup_hier_assign):
+    constant-occupancy fine cells make the within-cell pair stage linear
+    in n, and a sqrt-sized coarse routing layer cuts per-vector scoring
+    from |cells| to ~3*sqrt(|cells|) — the sub-n^1.5 escape hatch the 30x
+    probe's 88.7x finding named, now in code and differential-tested
+    against a DuckDB mirror of the routing above the threshold. The
+    self-join shuffles on cell_id — AQE splits hot partitions, but
+    partition-splitting does NOT reduce PAIR counts, so a per-cell
     member cap (deterministic: first {SEMDEDUP_CELL_CAP} members by
     vec_id, same idiom as the MinHash bucket cap) bounds the worst-case
     quadratic cell on real skewed corpora. The cap is a no-op on the test
@@ -772,38 +780,155 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_clusters(emb)
 
 
-def semdedup_clusters(
-    emb: DataFrame, cap: int = None  # noqa: RUF013 — None => SEMDEDUP_CELL_CAP
-) -> DataFrame:
-    """Core of ``dedup_semdedup_clusters`` over any (vec_id, embedding)
-    frame; ``cap`` overrides the per-cell member bound for tests."""
-    cap = SEMDEDUP_CELL_CAP if cap is None else cap
-    # persist BEFORE the adaptive-stride count (constant per dataset): the
-    # count fills the cache, and the three downstream consumers (centroid
-    # filter, assignment scan, member re-join) read memory, not the source
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
-    # sqrt-scaled stride: ncells ~ sqrt(n) bounds BOTH the n x ncells
-    # assignment and the within-cell pair stage at ~n^1.5 (round-10 scale
-    # probe: 71.8x for 10x input under the fixed stride); the oracle SQL
-    # computes the identical expression, and at the committed SFs the
-    # stride equals CELLS_MOD so every committed artifact is unchanged
-    cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
-    cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
+SEMDEDUP_HIER_MIN_N = 8192  # two-level routing threshold: 4x the largest
+# committed corpus (sf0.1 = 2,000 vectors), so every committed SF takes the
+# flat path BIT-IDENTICALLY (hashes, bench rows, and the registered oracle
+# untouched); the 10x/30x scale probes (20k/60k vectors) cross it and run
+# the hierarchy. Same gating recipe as adaptive_cells_mod/LLOYD_TRAIN_CAP.
+SEMDEDUP_COARSE_PROBES = 2  # coarse cells probed per vector (IVF nprobe):
+# 1 misses fine cells just across a coarse boundary; 2 halves that failure
+# mode for a ~1.5x candidate-scoring cost. Both levels stay deterministic.
+
+
+def _semdedup_hier_assign(vecs: DataFrame, n: int) -> DataFrame:
+    """Two-level (coarse -> fine) cell assignment for the SemDeDup family:
+    (vec_id, cell_id, qe) with cell_id from the CONSTANT-occupancy fine
+    grid ``vec_id % CELLS_MOD == 1`` (~{CELLS_MOD} members per cell at any
+    corpus size, so the within-cell pair stage is LINEAR in n), routed
+    through a coarse layer of ~sqrt(ncells) centroids (the sub-stride
+    ``vec_id % (CELLS_MOD * cf) == 1`` — a subset of the fine set, the
+    IVF two-level quantizer shape). Every vector scores the coarse layer,
+    keeps its {SEMDEDUP_COARSE_PROBES} nearest coarse cells, and scores
+    only the fine centroids routed to those — per-vector work falls from
+    |fine| to ~(1 + {SEMDEDUP_COARSE_PROBES}) * sqrt(|fine|). All argmins
+    are exact integer L2 with (l2, id) tie-breaks, so the assignment is
+    deterministic; a DuckDB mirror of this exact routing is differential-
+    tested above the threshold in tests/test_scale_patterns.py."""
+    cf = max(2, _isqrt(n // CELLS_MOD))
+    coarse_mod = CELLS_MOD * cf
+    fine = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
         F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
     )
-    scored = vecs.join(F.broadcast(cents)).select(
-        "vec_id", "cell_id",
-        F.expr(_L2.format(a="qe", b="ce")).alias("l2"),
+    coarse = vecs.filter(F.col("vec_id") % coarse_mod == 1).select(
+        F.col("vec_id").alias("coarse_id"), F.col("qe").alias("ke")
     )
-    # argmin via min(struct(l2, cell_id)) — the combine-friendly groupBy the
-    # kmeans-assign op uses (map-side partial min, no N×K window sort);
-    # the vector array re-joins afterwards instead of riding the N×K frame.
+    # route every fine centroid to its nearest coarse centroid (|fine| x
+    # |coarse| — the routing table, tiny relative to the corpus)
+    f2c = (
+        fine.join(F.broadcast(coarse))
+        .select(
+            "cell_id", "ce", "coarse_id",
+            F.expr(_L2.format(a="ce", b="ke")).alias("l2"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.min(F.struct("l2", "coarse_id")).alias("b"),
+            F.first("ce").alias("ce"),
+        )
+        .select(F.col("b.coarse_id").alias("coarse_id"), "cell_id", "ce")
+    )
+    # vectors -> top-P coarse cells (n x |coarse| scores; the ONLY stage
+    # that touches every centroid of a layer, and the layer is sqrt-sized)
+    vc = vecs.join(F.broadcast(coarse)).select(
+        "vec_id", "coarse_id",
+        F.expr(_L2.format(a="qe", b="ke")).alias("l2"),
+    )
+    wp = Window.partitionBy("vec_id").orderBy("l2", "coarse_id")
+    probes = (
+        vc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= SEMDEDUP_COARSE_PROBES)
+        .select("vec_id", "coarse_id")
+    )
+    # score only the fine centroids routed to the probed coarse cells.
+    # f2c is |fine| ~ n/CELLS_MOD rows (~0.5 KB each) — explicitly
+    # broadcast: a shuffle join here would key on the ~sqrt(|fine|)
+    # coarse_ids, collapsing parallelism to that many skewed partitions.
+    # Broadcast holds to ~10M fine cells (~5 GB); beyond that, shard the
+    # routing table by coarse_id ranges and union the per-shard joins.
+    scored = (
+        probes.join(vecs, "vec_id")
+        .join(F.broadcast(f2c), "coarse_id")
+        .select(
+            "vec_id", "cell_id",
+            F.expr(_L2.format(a="qe", b="ce")).alias("l2"),
+        )
+    )
     best = scored.groupBy("vec_id").agg(
         F.min(F.struct("l2", "cell_id")).alias("best")
     )
-    assigned = best.select(
+    return best.select(
         "vec_id", F.col("best.cell_id").alias("cell_id")
     ).join(vecs, "vec_id")
+
+
+def _isqrt(x: int) -> int:
+    import math
+
+    return math.isqrt(x)
+
+
+def semdedup_clusters(
+    emb: DataFrame,
+    cap: int = None,  # noqa: RUF013 — None => SEMDEDUP_CELL_CAP
+    hier_min_n: int = None,  # noqa: RUF013 — None => SEMDEDUP_HIER_MIN_N
+) -> DataFrame:
+    """Core of ``dedup_semdedup_clusters`` over any (vec_id, embedding)
+    frame; ``cap`` overrides the per-cell member bound and ``hier_min_n``
+    the two-level routing threshold for tests."""
+    cap = SEMDEDUP_CELL_CAP if cap is None else cap
+    hier_min_n = SEMDEDUP_HIER_MIN_N if hier_min_n is None else hier_min_n
+    # Round-robin repartition BEFORE persist: the test corpora are
+    # single-file parquet (1-4 scan splits), and every downstream scoring
+    # stage is a broadcast join off this cache — without the repartition
+    # the whole assignment runs 4-wide instead of cluster-wide (the
+    # single-split fan-out recurrence the r9 IVF fix documented; measured
+    # 27.6s -> 7s for the 30x assignment). On a real multi-file corpus the
+    # scan is already wide and this is a near-no-op. persist BEFORE the
+    # count (constant per dataset): the count fills the cache the
+    # downstream consumers read; intentionally not unpersisted (the
+    # returned lazy plan reads it — LRU reclaims under pressure).
+    spark = emb.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vecs = (
+        emb.select("vec_id", F.expr(_QE).alias("qe"))
+        .repartition(n_part)
+        .persist()
+    )
+    n = vecs.count()
+    if n >= hier_min_n:
+        # two-level routing (round-12): the 30x probe measured the flat
+        # sqrt-stride shape at 88.7x for 30x input — decade slope 5.4x per
+        # 3x == the predicted n^1.5 of BOTH the n x sqrt(n) assignment and
+        # the sqrt(n)-occupancy pair stage. The hierarchy replaces both:
+        # constant-occupancy fine cells (linear pairs) reached through a
+        # sqrt-sized coarse layer (per-vector scoring ~sqrt(|fine|)).
+        assigned = _semdedup_hier_assign(vecs, n)
+    else:
+        # flat path — bit-identical to pre-hierarchy code at committed SFs
+        # sqrt-scaled stride: ncells ~ sqrt(n) bounds BOTH the n x ncells
+        # assignment and the within-cell pair stage at ~n^1.5 (round-10
+        # scale probe: 71.8x for 10x input under the fixed stride); the
+        # oracle SQL computes the identical expression, and at the
+        # committed SFs the stride equals CELLS_MOD so every committed
+        # artifact is unchanged
+        cells_mod = adaptive_cells_mod(CELLS_MOD, n)
+        cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
+            F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
+        )
+        scored = vecs.join(F.broadcast(cents)).select(
+            "vec_id", "cell_id",
+            F.expr(_L2.format(a="qe", b="ce")).alias("l2"),
+        )
+        # argmin via min(struct(l2, cell_id)) — the combine-friendly
+        # groupBy the kmeans-assign op uses (map-side partial min, no N×K
+        # window sort); the vector array re-joins afterwards instead of
+        # riding the N×K frame.
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("l2", "cell_id")).alias("best")
+        )
+        assigned = best.select(
+            "vec_id", F.col("best.cell_id").alias("cell_id")
+        ).join(vecs, "vec_id")
     # Per-cell member cap: one rank window over the N-row assignment frame
     # (NOT the N×K score frame), keeping the first `cap` members by vec_id.
     # Quadratic pair growth in a mega-cell is the one cost AQE cannot fix.
@@ -815,10 +940,15 @@ def semdedup_clusters(
         .filter(F.col("rk") <= cap)
         .drop("rk")
     )
+    # persist the capped assignment: BOTH sides of the within-cell
+    # self-join below read it, and without the cache the whole assignment
+    # pipeline (hierarchical: window + two joins) replays twice — measured
+    # 24s x2 at the 30x probe scale. Corpus-sized rows with one array each
+    # (same bound as the vecs cache); intentionally left to LRU.
     nrm = assigned.withColumn(
         "nr",
         F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)),
-    )
+    ).persist()
     a = nrm.select(
         F.col("cell_id"),
         F.col("vec_id").alias("id_a"),

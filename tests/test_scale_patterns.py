@@ -274,3 +274,113 @@ def test_lloyd_sample_training_engages_and_is_deterministic(spark):
     }
     assert len(out1) >= 2
     vecs.unpersist()
+
+def test_semdedup_two_level_hierarchy_matches_duckdb_mirror(spark, tmp_path):
+    """Round-12: the SemDeDup two-level (coarse -> fine) routing that
+    engages above SEMDEDUP_HIER_MIN_N must be exactly reproducible — a
+    DuckDB mirror of the full hierarchy (fine grid, coarse sub-stride,
+    per-cell routing, top-P coarse probes, restricted fine argmin, then
+    the unchanged pair/summary stages) hash-matches the Spark output on a
+    synthesized 3,700-vector corpus with the threshold overridden. The
+    committed SFs never cross the threshold (asserted), so the registered
+    flat oracle stays the exact contract there."""
+    import hashlib
+
+    import duckdb
+
+    from oe_batch_processing_spark.operators.similarity2 import (
+        CELLS_MOD,
+        EMB_DIM,
+        SEMDEDUP_COARSE_PROBES,
+        SEMDEDUP_HIER_MIN_N,
+        SEMDEDUP_T,
+        semdedup_clusters,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    assert SEMDEDUP_HIER_MIN_N > 4 * 2000  # every committed SF stays flat
+
+    n = 3700  # 100 fine cells -> cf = 10 -> 10 coarse cells: real routing
+
+    def vec(i: int) -> list[float]:
+        bs = b"".join(
+            hashlib.md5(f"sd:{i}:{k}".encode()).digest() for k in range(4)
+        )
+        # (b-127)/256: exactly-representable doubles, centered so cosines
+        # straddle the 0.15 threshold (nonvacuous pair selection)
+        return [(b - 127) / 256.0 for b in bs]
+
+    rows = [(i, vec(i)) for i in range(1, n + 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = str(tmp_path / "emb_hier")
+    emb.coalesce(1).write.parquet(pq)
+
+    out = semdedup_clusters(
+        spark.read.parquet(pq), hier_min_n=1000
+    ).toPandas()
+    assert len(out) > 0  # nonvacuous
+
+    cf = 10  # == max(2, isqrt(n // CELLS_MOD)); pinned so the SQL is static
+    l2 = (
+        "CAST(LIST_SUM([({a}[i]-{b}[i])*({a}[i]-{b}[i]) "
+        f"FOR i IN GENERATE_SERIES(1,{EMB_DIM})]) AS BIGINT)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = f"""
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(ROUND(CAST(x AS DOUBLE)*1e4) AS BIGINT) FOR x IN embedding] AS qe
+      FROM embeddings
+    ),
+    fine AS (SELECT vec_id AS cell_id, qe AS ce FROM q
+             WHERE vec_id % {CELLS_MOD} = 1),
+    coarse AS (SELECT vec_id AS coarse_id, qe AS ke FROM q
+               WHERE vec_id % {CELLS_MOD * cf} = 1),
+    f2c AS (
+      SELECT cell_id, coarse_id, ce FROM (
+        SELECT f.cell_id, c.coarse_id, f.ce,
+               ROW_NUMBER() OVER (PARTITION BY f.cell_id
+                 ORDER BY {l2.format(a='f.ce', b='c.ke')}, c.coarse_id) AS rn
+        FROM fine f CROSS JOIN coarse c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, coarse_id FROM (
+        SELECT v.vec_id, c.coarse_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {l2.format(a='v.qe', b='c.ke')}, c.coarse_id) AS rn
+        FROM q v CROSS JOIN coarse c
+      ) WHERE rn <= {SEMDEDUP_COARSE_PROBES}
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id, qe FROM (
+        SELECT v.vec_id, fc.cell_id, v.qe,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {l2.format(a='v.qe', b='fc.ce')}, fc.cell_id) AS rn
+        FROM probes p JOIN q v USING (vec_id) JOIN f2c fc USING (coarse_id)
+      ) WHERE rn = 1
+    ),
+    nrm AS (
+      SELECT vec_id, cell_id, qe,
+             SQRT(CAST(LIST_SUM([x*x FOR x IN qe]) AS DOUBLE)/1e8) AS nr
+      FROM assigned
+    ),
+    pairs AS (
+      SELECT b.vec_id AS id_b, b.cell_id, a.vec_id AS id_a,
+             (CAST(LIST_SUM([a.qe[i]*b.qe[i]
+                             FOR i IN GENERATE_SERIES(1,{EMB_DIM})])
+                   AS DOUBLE)/1e8)/(a.nr*b.nr) AS cosine
+      FROM nrm a JOIN nrm b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS vec_id, cell_id, MIN(id_a) AS witness_id,
+           CAST(COUNT(*) AS BIGINT) AS n_witnesses
+    FROM pairs WHERE cosine >= {SEMDEDUP_T}
+    GROUP BY id_b, cell_id
+    """
+    odf = con.execute(oracle).fetchdf()
+    con.close()
+    mismatch = compare(out, odf)
+    assert mismatch is None, mismatch
