@@ -858,6 +858,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine_clusters",
+    oracle=clusters_oracle(
+        f"SELECT doc_keep AS doc_a, doc_drop AS doc_b "
+        f"FROM ({_EMB_COSINE_ORACLE})"
+    ),
+)
+def dedup_embedding_cosine_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-summary emit mode over the SEMANTIC (embedding-cosine)
+    near-dup relation: one row per connected component of the cosine pair
+    graph — (representative = min member, member_count, sample_members).
+    The round-11 ``emit='clusters'`` shape (``cluster_summaries`` +
+    ``clusters_oracle``) instantiated for the embedding family: pair
+    output grows with the SQUARE of semantic-duplicate cluster size, the
+    summary is linear in the corpus — the thing a 100 TB semantic-dedup
+    job actually writes. Oracle: the same transitive-closure-per-component
+    CTE wrapped around the cosine pair oracle verbatim."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("doc_keep").alias("doc_a"), F.col("doc_drop").alias("doc_b")
+    )
+    return cluster_summaries(pairs)
+
+
 # Containment (asymmetric Jaccard): |A ∩ B| / |A|. Near-SUBSET duplication —
 # a doc whose shingles are swallowed by a larger doc (boilerplate inclusion,
 # quoted reposts, template wrapping) scores low on symmetric Jaccard (the
@@ -939,6 +964,26 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_common) div nb").alias("cont_b_in_a_ppm"),
         )
     )
+
+
+@query(
+    "dedup_shingle_containment_clusters",
+    oracle=clusters_oracle(_CONTAINMENT_ORACLE),
+)
+def dedup_shingle_containment_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-summary emit mode over the CONTAINMENT (near-subset) pair
+    relation: one row per connected component of the containment graph —
+    boilerplate/template families collapse into single summary rows
+    (representative = min member, member_count, sample_members) instead
+    of a pair list that grows quadratically with family size. Fourth
+    instantiation of the generic ``cluster_summaries``/``clusters_oracle``
+    halves (after LSH, SimHash, and embedding-cosine); the containment
+    pair oracle passes through verbatim since it already emits
+    doc_a/doc_b."""
+    pairs = dedup_shingle_containment(spark, sf_dir).select("doc_a", "doc_b")
+    return cluster_summaries(pairs)
 
 
 @query(
