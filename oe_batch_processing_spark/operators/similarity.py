@@ -28,6 +28,26 @@ from oe_batch_processing_spark.tables import load_table
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % 100 == 0 (deterministic, sf-stable)
 
+QUERY_ID_CAP: int | None = None  # fixed-QPS probe hook (round-12): when
+# set (ONLY by tools/scaleprobe.py's fixed-QPS ANN mode, restored in its
+# finally), the ANN query set is additionally bounded to vec_id < CAP so
+# the probe measures per-query cost at a CONSTANT query count across
+# scale factors — the scale-probe corpora key-shift replicas by +1e9 per
+# replica, so CAP=2000 selects exactly the base corpus's 20 queries at
+# every factor. None (always, outside probes) is a provable no-op: the
+# predicate is unchanged, so committed plans/hashes/bench rows are
+# untouched.
+
+
+def ann_query_pred(col):
+    """The shared ANN-family query-set predicate: ``vec_id % QUERY_MOD ==
+    0``, optionally intersected with the fixed-QPS ``vec_id < CAP`` bound
+    (see QUERY_ID_CAP above)."""
+    pred = col % QUERY_MOD == 0
+    if QUERY_ID_CAP is not None:
+        pred = pred & (col < QUERY_ID_CAP)
+    return pred
+
 
 # Exact-match dot products without a position join: each product is rounded
 # to an integer at 1e-9 resolution and summed as BIGINT (exact, associative,
@@ -89,7 +109,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda col: F.sqrt(  # noqa: E731
         F.expr(_DOT_SCALED_SQL.format(a=col, b=col)) / F.lit(1e9)
     )
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = emb.filter(ann_query_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         norm("embedding").alias("nrm_q"),
@@ -247,7 +267,7 @@ def lsh_topk(
     # outgrows a broadcast, swap this join for a shuffle join on (tbl,
     # bucket) — the corpus side of the plan is unchanged.
     qb = with_buckets(
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        vecs.filter(ann_query_pred(F.col("vec_id")))
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -560,12 +580,12 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding", "nrm", "cell_id")
     )
     probes = (
-        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        scored.filter(ann_query_pred(F.col("vec_id")))
         .withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = vecs.filter(ann_query_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("nrm_q"),

@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from oe_batch_processing_spark.operators.similarity import (
     adaptive_cells_mod,
     adaptive_cells_mod_sql,
+    ann_query_pred,
     lloyd_train_mod,
 )
 from oe_batch_processing_spark.registry import query
@@ -203,7 +204,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "s", F.col("best.cent_id").alias("code"))
     )
     qtab = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        vecs.filter(ann_query_pred(F.col("vec_id")))
         .select(F.col("vec_id").alias("query_id"), "qe", subspaces)
         .join(F.broadcast(cents))
         .select("query_id", "s", "cent_id", sub_l2.alias("qdist"))
@@ -358,7 +359,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_probe = Window.partitionBy("vec_id").orderBy("l2c", "cell_id")
     probes = (
-        cell_scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        cell_scored.filter(ann_query_pred(F.col("vec_id")))
         .withColumn("rk", F.row_number().over(w_probe))
         .filter(F.col("rk") <= IVFPQ_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "cell_id")
@@ -389,7 +390,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "s", F.col("best.cent_id").alias("code"))
     )
     qtab = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        vecs.filter(ann_query_pred(F.col("vec_id")))
         .select(F.col("vec_id").alias("query_id"), "qe", subspaces)
         .join(F.broadcast(codes))
         .select("query_id", "s", "cent_id", sub_l2.alias("qdist"))
@@ -428,7 +429,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact cosine rescore of the shortlist
     raw = vecs.select("vec_id", "qe", nrm.alias("nrm"))
     queries = (
-        raw.filter(F.col("vec_id") % QUERY_MOD == 0)
+        raw.filter(ann_query_pred(F.col("vec_id")))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("qe").alias("q_qe"),
@@ -530,7 +531,7 @@ def similarity_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qpdf = (
-        emb.filter(F.col("vec_id") % _MM_QUERY_MOD == 0)
+        emb.filter(ann_query_pred(F.col("vec_id")))  # _MM_QUERY_MOD == QUERY_MOD
         .select("vec_id", F.expr(_QE5).alias("q"))
         .toPandas()
     )

@@ -384,3 +384,23 @@ def test_semdedup_two_level_hierarchy_matches_duckdb_mirror(spark, tmp_path):
     con.close()
     mismatch = compare(out, odf)
     assert mismatch is None, mismatch
+
+def test_ann_fixed_qps_hook_engages_and_restores(spark, sf_dir):
+    """Round-12: the fixed-QPS probe hook (similarity.QUERY_ID_CAP) must
+    bound the ANN query set when set and be a provable no-op when None —
+    and tools/scaleprobe.py's finally must always restore it, so assert
+    the module default is None too."""
+    from oe_batch_processing_spark.operators import similarity as sim
+
+    assert sim.QUERY_ID_CAP is None  # default: committed plans untouched
+    base = sim.similarity_topk_cosine(spark, "/root/testdata/sf0.01").count()
+    sim.QUERY_ID_CAP = 50
+    try:
+        capped = sim.similarity_topk_cosine(
+            spark, "/root/testdata/sf0.01"
+        ).count()
+    finally:
+        sim.QUERY_ID_CAP = None
+    assert capped < base  # the cap genuinely shrank the query set
+    again = sim.similarity_topk_cosine(spark, "/root/testdata/sf0.01").count()
+    assert again == base  # restored: identical plan again

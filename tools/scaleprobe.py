@@ -103,15 +103,35 @@ PROBES: tuple[str, ...] = (
     "dedup_simhash_clusters",       # r11: clusters mode, simhash relation
     "similarity_topk_ivf",
     "similarity_topk_ivfpq",        # r11: sample-trained Lloyd coverage
+    "similarity_topk_pq",           # r12: PQ codebook (the r11 26x fix)
     "embedding_kmeans_assign",      # r11: centroid-family coverage
     "multimodal_webp_color_decode", # r11: cross-color RGB pipeline
     "similarity_topk_matmul",
+    "dedup_embedding_cosine_clusters",   # r12: clusters emit, cosine
+    "dedup_shingle_containment_clusters",  # r12: clusters emit, containment
     "join_salted_orders_segment",
     "asof_nearest_click",
     "events_session_window_native",
     "text_token_counts",
     "stream_tumbling_counts",
 )
+
+# ANN queries probed a SECOND time with a FIXED 20-query batch (round-12,
+# verdict item 5): the registered queries' query set is vec_id % 100 == 0,
+# which SCALES with the corpus, so their total-time ratios conflate
+# per-query cost with query count. The fixed-QPS pass bounds the set to
+# vec_id < FIXED_QUERY_CAP — the replica key-shift (+1e9/replica) means
+# exactly the base corpus's 20 queries survive at every factor — making
+# the per-query slope a first-class artifact field (fixedq_time_ratio)
+# instead of prose arithmetic.
+ANN_FIXED_QPS: tuple[str, ...] = (
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
+    "similarity_topk_pq",
+    "similarity_topk_matmul",
+)
+FIXED_QUERY_CAP = 2000  # sf0.1 corpus size: 20 queries at every factor
 
 
 # per-table sort applied within the single output file so the scaled data
@@ -287,6 +307,40 @@ def main() -> int:
     print(f"probing at {args.factor}x ({dst}) ...", flush=True)
     scaled = run_probe(spark, names, dst, args.repeat)
 
+    # fixed-QPS second pass for the ANN family (constant 20-query batch)
+    ann = tuple(n for n in names if n in ANN_FIXED_QPS)
+    fq_base: dict[str, dict[str, object]] = {}
+    fq_scaled: dict[str, dict[str, object]] = {}
+    if ann:
+        from oe_batch_processing_spark.operators import similarity as _sim
+
+        print(
+            f"fixed-QPS ANN pass (vec_id < {FIXED_QUERY_CAP}: 20 queries "
+            f"at every factor) ...",
+            flush=True,
+        )
+        _sim.QUERY_ID_CAP = FIXED_QUERY_CAP
+        try:
+            fq_base = run_probe(spark, ann, BASE_DIR, args.repeat)
+            fq_scaled = run_probe(spark, ann, dst, args.repeat)
+        finally:
+            _sim.QUERY_ID_CAP = None
+
+    # 30x (or any non-10x) rows carry their 10x trend point as a first-
+    # class field, read from the newest committed 10x artifact
+    tenx: dict[str, dict[str, object]] | None = None
+    if args.factor != 10:
+        import glob as globmod
+        import re as remod
+
+        tens = globmod.glob("/root/repo/SCALEPROBE_r*.json")
+        if tens:
+            newest = max(
+                tens, key=lambda p: int(remod.search(r"r(\d+)", p).group(1))
+            )
+            with open(newest) as f:
+                tenx = json.load(f)["queries"]
+
     queries: dict[str, dict[str, object]] = {}
     flagged: list[str] = []
     new_sp: list[str] = []
@@ -316,6 +370,17 @@ def main() -> int:
                 and s["sp_exchanges"] > b["sp_exchanges"]
             ):
                 new_sp.append(name)
+        if name in fq_base:
+            fb, fs = fq_base[name], fq_scaled[name]
+            entry["fixedq_queries"] = 20
+            entry["fixedq_t_base"] = fb["t"]
+            entry["fixedq_t_scaled"] = fs["t"]
+            if fb["err"] or fs["err"]:
+                entry["fixedq_err"] = fb["err"] or fs["err"]
+            elif fb["t"]:
+                entry["fixedq_time_ratio"] = round(fs["t"] / fb["t"], 2)
+        if tenx is not None:
+            entry["trend_10x"] = tenx.get(name, {}).get("time_ratio")
         queries[name] = entry
 
     if args.merge:
