@@ -123,77 +123,79 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-11 window, per the r10 rotation guidance: (1) round-11
-    # --- additions (the LSH cluster summary and the cross-color RGB
-    # --- query), (2) changed-code re-checks (VP8L color transform in the
-    # --- default grayscale path; sample-trained Lloyd for IVF/IVFPQ; the
-    # --- lsh_dedup/cc_labels refactor behind the LSH + CC queries; the
-    # --- semdedup/kmeans persist-before-count; the leak-gate scratch
-    # --- cleanup), (3) the 39 remaining r4-era rows — after this window
-    # --- no driver row anywhere is older than r5. Round-12 guidance:
-    # --- FIRST the round-11-late addition dedup_simhash_clusters (landed
-    # --- after this window filled — never driver-checked, hash-exact in
-    # --- local runs at all three SFs), then any round-12 additions and
-    # --- changed-code re-checks, then
-    # --- continue the oldest-row rotation (the ~50 r5-era rows:
-    # --- agg_count_distinct, agg_grouping_sets, agg_rollup_nation_
-    # --- priority, array_norm_embeddings, asof_purchase_last_click,
-    # --- csv_parse_roundtrip, dedup_exact_documents, dedup_jaccard_
-    # --- shingles, events_anomaly_zscore, events_funnel, ...), always
-    # --- placing round-12 additions and changed-code re-checks first.
-    # --- (1) round-11 additions
-    "dedup_minhash_lsh_clusters",       # r11: cluster-summary emit mode
-    "multimodal_webp_color_decode",     # r11: cross-color transform, RGB
+    # --- Round-12 window, per the r11 rotation guidance: (1) the three
+    # --- never-driver-checked queries — the round-11-late
+    # --- dedup_simhash_clusters plus the two round-12 cluster-emit
+    # --- additions; (2) changed-code re-checks — the content-
+    # --- representative rewrite of the exact-Jaccard pair build and its
+    # --- two CC consumers, the SemDeDup two-level hierarchy (+ vecs
+    # --- repartition / nrm persist), the cc_labels try/finally
+    # --- restructure behind the LSH cluster summary, and the whole
+    # --- similarity_topk_* family after the ann_query_pred fixed-QPS
+    # --- refactor (plan-identical with the cap unset, re-checked
+    # --- anyway); (3) 36 of the 49 remaining r5-era rows. Round-13
+    # --- guidance: FIRST any round-13 additions and changed-code
+    # --- re-checks, then the 12 remaining r5-era rows
+    # --- (stream_session_windows, stream_sliding_counts,
+    # --- stream_tumbling_counts, subquery_correlated_max,
+    # --- subquery_scalar_above_avg, udaf_user_value_trend,
+    # --- user_value_trend_native, win_lag_order_gap,
+    # --- win_range_frame_30d_spend, win_running_customer_spend,
+    # --- win_session_gaps, win_topk_orders_per_priority — after those,
+    # --- rotation continues with the r6-era rows).
+    # --- (1) never driver-checked
+    "dedup_simhash_clusters",            # r11-late: clusters, simhash
+    "dedup_embedding_cosine_clusters",   # r12: clusters, cosine relation
+    "dedup_shingle_containment_clusters",  # r12: clusters, containment
     # --- (2) changed-code re-checks
-    "multimodal_webp_lossless_decode",  # r11: color transform now default
-    "multimodal_webp_palette_decode",   # r11: shared codec edits
-    "similarity_topk_ivf",              # r11: sample-trained Lloyd
-    "similarity_topk_ivfpq",            # r11: sample-trained Lloyd
-    "dedup_minhash_lsh",                # r11: lsh_dedup core refactor
-    "dedup_connected_components",       # r11: cc_labels extraction
-    "graph_connected_components_star",  # r11: shared CC oracle recomposed
-    "dedup_semdedup_clusters",          # r11: persist-before-count
-    "stream_split_leakage_gate",        # r11: scratch cleanup in finally
-    # --- (3) the 39 remaining r4-era rows
-    "docs_url_extract",
-    "embedding_kmeans_assign",          # also r11 persist-before-count
-    "events_approx_quantile_stats",
-    "events_histogram_2d",
-    "events_retention_cohorts",
-    "flagship_revenue_by_nation",
-    "join_bucketed_orders_customer",
-    "join_fuzzy_customer_names",
-    "json_parse_roundtrip",
-    "multimodal_byte_features",
-    "pipeline_mix_weighted",
-    "pipeline_pack_sequences",
-    "pipeline_shard_pack",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q1_pricing_summary",
-    "q20_promotion_candidates",
-    "q21_waiting_suppliers",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "scalar_map_ops",
-    "scalar_null_semantics",
-    "scalar_regexp_extract_all",
-    "scalar_struct_ops",
-    "similarity_topk_cosine",
-    "similarity_topk_pq",
-    "stats_percentile_approx",
-    "stream_stateful_user_totals",
-    "stream_static_enrich",
-    "text_contamination_ngrams",
-    "text_frequent_tokens_sketch",
-    "text_gopher_quality",
-    "text_rolling_fingerprint",
-    "win_analytic_battery",
+    "dedup_jaccard_shingles",            # r12: representative rewrite (also r5-era)
+    "dedup_connected_components",        # r12: consumes the rewritten pairs
+    "graph_connected_components_star",   # r12: consumes the rewritten pairs
+    "dedup_semdedup_clusters",           # r12: two-level hierarchy gating
+    "dedup_minhash_lsh_clusters",        # r12: cc_labels try/finally move
+    "similarity_topk_cosine",            # r12: ann_query_pred refactor
+    "similarity_topk_lsh",               # r12: ann_query_pred refactor
+    "similarity_topk_ivf",               # r12: ann_query_pred refactor
+    "similarity_topk_ivfpq",             # r12: ann_query_pred refactor
+    "similarity_topk_pq",                # r12: ann_query_pred refactor
+    "similarity_topk_matmul",            # r12: ann_query_pred refactor
+    # --- (3) 36 of the 49 r5-era rows (rest listed above for r13)
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_rollup_nation_priority",
+    "array_norm_embeddings",
+    "asof_purchase_last_click",
+    "csv_parse_roundtrip",
+    "dedup_exact_documents",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_hourly_rollup",
+    "events_resample_5min",
+    "events_sessionize_batch",
+    "events_user_stats",
+    "events_value_histogram",
+    "fw_parse_roundtrip",
+    "join_anti_customers_without_urgent",
+    "join_left_order_counts",
+    "join_range_ship_latency",
+    "join_semi_urgent_customers",
+    "median_acctbal_by_segment",
+    "multimodal_binary_metadata",
+    "pipeline_quality_filter",
+    "pivot_status_counts",
+    "q3_top_unshipped",
+    "scalar_case_when_customer",
+    "scalar_date_extended",
+    "scalar_date_orders",
+    "scalar_json_events",
+    "scalar_math_lineitem",
+    "scalar_string_part",
+    "set_union_all_measures",
+    "set_union_target_customers",
+    "sort_top20_orders",
+    "stats_exact_moments",
+    "stream_click_purchase_join",
+    "stream_dedup_pairs",
 )
 
 

@@ -317,3 +317,87 @@ def test_scaleprobe_30x_artifact_consistency():
         f"{newest}: flagged >{art['flag_ratio']}x growers without a "
         f"written finding: {unexplained}"
     )
+
+
+def test_scaleprobe_30x_fixedqps_and_trend_fields():
+    """VERDICT r11 item 5 (round-12 guard): from r12 on, every 30x row
+    must carry its 10x trend point as a first-class non-null field
+    (trend_10x), and every ANN row must carry the fixed-QPS per-query
+    ratio fields — per-query slopes are artifact data, not prose."""
+    import json
+
+    paths = glob.glob(os.path.join(REPO, "SCALEPROBE30X_r*.json"))
+    assert paths
+    newest = max(paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    rnd = int(re.search(r"r(\d+)", newest).group(1))
+    if rnd < 12:
+        return  # pre-fixed-QPS artifact layout
+    with open(newest) as f:
+        art = json.load(f)
+    from tools.scaleprobe import ANN_FIXED_QPS
+
+    for n, e in art["queries"].items():
+        assert e.get("trend_10x") is not None, (
+            f"{newest}: {n} missing its 10x trend point (re-run the 10x "
+            f"artifact first, then the 30x probe stamps trend_10x)"
+        )
+        if n in ANN_FIXED_QPS:
+            assert "fixedq_time_ratio" in e, (
+                f"{newest}: ANN row {n} missing fixed-QPS fields"
+            )
+
+
+def test_scaleprobe_coverage_never_shrinks():
+    """VERDICT r11 item 7: the newest scale-probe artifact must cover
+    every query the previous one did — dropped probes hide regressions —
+    unless the drop is disclosed in the artifact's 'dropped' map
+    (name -> reason)."""
+    import json
+
+    for pattern in ("SCALEPROBE_r*.json", "SCALEPROBE30X_r*.json"):
+        paths = sorted(
+            glob.glob(os.path.join(REPO, pattern)),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )
+        if len(paths) < 2:
+            continue
+        prev, newest = paths[-2], paths[-1]
+        with open(prev) as f:
+            prev_q = set(json.load(f)["queries"])
+        with open(newest) as f:
+            art = json.load(f)
+        dropped = set(art.get("dropped", {}))
+        missing = prev_q - set(art["queries"]) - dropped
+        assert not missing, (
+            f"{newest} silently dropped probes {sorted(missing)} that "
+            f"{prev} covered — re-add them or disclose in 'dropped'"
+        )
+
+
+def test_sweep_splices_disclosed_and_capped():
+    """VERDICT r11 item 7: sweep artifacts must carry a machine-readable
+    splice disclosure from r12 on — a header line 'splices: none' or
+    'splices: name, name' (every name registered, at most 10), replacing
+    the prose-only policing of spliced lines."""
+    for pattern in ("CHECK_LOCAL_r*.md", "CHECK_LOCAL_SF0001_r*.md"):
+        paths = glob.glob(os.path.join(REPO, pattern))
+        assert paths
+        newest = max(
+            paths, key=lambda p: int(re.search(r"r(\d+)", p).group(1))
+        )
+        rnd = int(re.search(r"r(\d+)", newest).group(1))
+        if rnd < 12:
+            continue  # prose-disclosure era
+        with open(newest) as f:
+            text = f.read()
+        m = re.search(r"^splices: (.+)$", text, re.MULTILINE)
+        assert m, f"{newest}: missing the 'splices: ...' disclosure line"
+        val = m.group(1).strip()
+        if val != "none":
+            names = [x.strip() for x in val.split(",")]
+            assert len(names) <= 10, (
+                f"{newest}: {len(names)} splices exceeds the cap of 10 — "
+                f"re-run the sweep instead of splicing"
+            )
+            unknown = [x for x in names if x not in registry.QUERIES]
+            assert not unknown, f"{newest}: spliced non-queries {unknown}"
