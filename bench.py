@@ -69,6 +69,8 @@ HEADLINE = [
     "similarity_topk_cosine",
     "similarity_topk_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_clusters",    # r12: clusters mode, cosine
+    "dedup_shingle_containment_clusters", # r12: clusters mode, containment
     "dedup_simhash",
     # TPC-H shapes (fact-fact heavy):
     "q6_forecast_revenue",
