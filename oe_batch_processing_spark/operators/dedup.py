@@ -689,11 +689,24 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
             small = edges.coalesce(1).localCheckpoint(eager=True)
             edges.unpersist()
             edges = small
+        else:
+            # LARGE graphs get their lineage truncated too (round-12: the
+            # 364k-edge 10x cosine pair graph OOM'd the driver during plan
+            # canonicalization — with plain persist the LOGICAL plan of
+            # every round still embeds the full upstream pair pipeline,
+            # since CacheManager substitutes caches only at physical
+            # planning, and each round references edges + previous labels
+            # several times → ~4^rounds plan growth, the exact class the
+            # star-CC loop already checkpointed against). The checkpoint
+            # reads the persisted blocks once, then frees them.
+            big = edges.localCheckpoint(eager=True)
+            edges.unpersist()
+            edges = big
         labels = (
             edges.select(F.col("doc_a").alias("doc"))
             .distinct()
             .withColumn("lbl", F.col("doc"))
-            .persist()
+            .localCheckpoint(eager=True)  # leaf per round — see above
         )
         while True:
             neigh_min = (
@@ -709,7 +722,7 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
                         F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
                     ).alias("lbl"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -717,15 +730,12 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
                 .filter(F.col("n.lbl") < F.col("o.lbl"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
-        edges.unpersist()
-        # labels stays persisted past return BY DESIGN: the caller's
-        # downstream plan (cluster summary join, component grouping) reads
-        # the cached final round instead of replaying the whole loop; the
-        # blocks live until session end or LRU eviction.
+        # labels is an eager checkpoint — the caller's downstream plan
+        # (cluster summary join, component grouping) reads its blocks
+        # instead of replaying the loop; blocks are freed on GC.
         return labels
     finally:
         for k, v in saved.items():

@@ -180,7 +180,16 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle mirrors the expression. The cache is intentionally left
     # alive after return (the returned lazy plan reads it) — leak-until-
     # session-end by design, reclaimed by LRU under memory pressure.
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
+    # Round-robin repartition BEFORE persist (round-12, the semdedup/r9-IVF
+    # recipe): the single-file test parquet yields 1-4 scan splits, and the
+    # n x ncodes x 8-subspace encode — the heaviest HOF stage in the repo —
+    # otherwise runs on that many cores instead of cluster-wide.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    vecs = (
+        emb.select("vec_id", F.expr(_QE).alias("qe"))
+        .repartition(n_part)
+        .persist()
+    )
     codes_mod = adaptive_cells_mod(CODES_MOD, vecs.count())
     cents = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
