@@ -106,6 +106,36 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8  # subspaces
 PQ_SUBD = EMB_DIM // PQ_M  # dims per subspace
 CODES_MOD = 31  # codebook vectors: vec_id % 31 == 1 (~16 codes per subspace)
+_CODEBOOK_REF_N = 2000  # the sf0.1 corpus — the size every committed
+# codebook geometry was fixed on, so the capped stride below is an exact
+# no-op at every committed SF (2000 // (2000 // 31) == 31).
+_CODEBOOK_TARGET = _CODEBOOK_REF_N // CODES_MOD  # ~64 codebook entries
+
+
+def codebook_mod(n: int) -> int:
+    """PQ codebook stride with a CONSTANT-size target — the FAISS shape:
+    real product quantizers train a FIXED number of codes per subspace
+    (k* = 256) on a sample, regardless of corpus size, so encode cost is
+    linear in n. The r11 sqrt-scaled stride (adaptive_cells_mod) kept the
+    codebook at ~sqrt(n) entries, which bounds encode at n^1.5 — correct
+    for IVF CELL counts (the FAISS nlist heuristic) but not for PQ
+    codebooks; the round-12 10x probe measured the pq encode at 18.2x for
+    10x input (within its n^1.5 bound, and still the dominant term).
+    ``max(CODES_MOD, n // {_CODEBOOK_TARGET})`` pins the codebook at
+    ~{_CODEBOOK_TARGET} entries at every scale. Mirrored in SQL by
+    :func:`codebook_mod_sql`."""
+    return max(CODES_MOD, n // _CODEBOOK_TARGET)
+
+
+def codebook_mod_sql(table: str = "embeddings") -> str:
+    """DuckDB spelling of :func:`codebook_mod` (BIGINT floor-div of
+    non-negative counts — engine-exact)."""
+    return (
+        f"GREATEST({CODES_MOD}, "
+        f"(SELECT COUNT(*) FROM {table}) // {_CODEBOOK_TARGET})"
+    )
+
+
 PQ_TOP_K = 5
 QUERY_MOD = 100  # query set matches the other similarity ops
 
@@ -123,7 +153,7 @@ _DUCK_SUBL2 = (
       SELECT vec_id, {_DUCK_QE} AS qe FROM embeddings
     ),
     cents AS (SELECT vec_id AS cent_id, qe AS ce FROM q
-              WHERE vec_id % ({adaptive_cells_mod_sql(CODES_MOD)}) = 1),
+              WHERE vec_id % ({codebook_mod_sql()}) = 1),
     enc AS (
       SELECT vec_id, s, cent_id AS code FROM (
         SELECT v.vec_id, t.s, c.cent_id,
@@ -190,7 +220,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part)
         .persist()
     )
-    codes_mod = adaptive_cells_mod(CODES_MOD, vecs.count())
+    codes_mod = codebook_mod(vecs.count())
     cents = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
     )
@@ -377,7 +407,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PQ codes (same codebook subset + integer sub-L2 as similarity_topk_pq;
     # same sqrt-scaled stride — with a FIXED stride the n x ncodes encode
     # is the quadratic stage the round-11 10x probe flagged at 26x)
-    codes_mod = adaptive_cells_mod(CODES_MOD, n_vecs)
+    codes_mod = codebook_mod(n_vecs)
     codes = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
     )
