@@ -792,26 +792,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure int64 sum — exact and order-free — so both engines produce
     bit-identical cosines and the threshold selects identical pairs.
 
-    Scale shape: the all-pairs ground truth runs as a GRID BLOCK JOIN, not a
-    nested-loop: each side explodes G block keys so every pair meets exactly
-    once in one of G² hash-join cells. This keeps the per-pair dot product
-    (a flat 64-term int multiply-add) inside whole-stage codegen — a
+    Scale shape: the all-pairs ground truth runs as a GRID BLOCK JOIN over
+    CONTENT REPRESENTATIVES, not a nested-loop: vectors first collapse by
+    identical quantized array (rep = min vec_id per distinct ``qe`` — an
+    exact-dedup groupBy; cosine depends only on the two quantized arrays,
+    so the rep-level value carries to every member pair verbatim), then
+    each rep side explodes G block keys so every rep pair meets exactly
+    once in one of G² hash-join cells. Rep pairs expand back to vec-level
+    pairs through two membership joins, plus the within-group pairs of
+    identical vectors (cosine = sumsq/1e8 / nrm², the SAME IEEE expression
+    the pair path evaluates — not a 1.0 literal — so the emitted doubles
+    are bit-identical). The grid join keeps the per-pair dot product (a
+    flat 64-term int multiply-add) inside whole-stage codegen — a
     BroadcastNestedLoopJoin variant ran ~10× slower because nothing
-    downstream of BNLJ is code-generated — and spreads the O(N²/2) work
-    across G² tasks instead of one. At 100 TB the candidate generator swaps
-    for the LSH bucketer (similarity_topk_lsh) or IVF cells with THIS exact
+    downstream of BNLJ is code-generated — and spreads the O(D²/2) work
+    (D = distinct contents) across G² tasks instead of one; on a
+    replica-heavy corpus the quadratic term scales with distinct vectors,
+    not corpus size. The keep/drop decision is per-DOCUMENT (n_chars
+    differs inside a content group), so it applies after expansion, on the
+    member-level pairs. At 100 TB the candidate generator swaps for the
+    LSH bucketer (similarity_topk_lsh) or IVF cells with THIS exact
     rescore + keep-rule applied only inside buckets; pairs then feed
     dedup_connected_components for cluster-level canonicalization.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     qe = F.expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
-    nrm = F.sqrt(
-        F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)
-    )
-    vecs = (
+    sumsq = F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)")
+    nrm = F.sqrt(sumsq / F.lit(1e8))
+    groups = (
         emb.select("vec_id", qe.alias("qe"))
-        .select("vec_id", "qe", nrm.alias("nrm"), (F.col("vec_id") % EMB_GRID).alias("g"))
+        .groupBy("qe")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.collect_list("vec_id").alias("members"),
+        )
+        .persist()
+    )
+    vecs = groups.select(F.col("rep_id").alias("vec_id"), "qe").select(
+        "vec_id", "qe", nrm.alias("nrm"), (F.col("vec_id") % EMB_GRID).alias("g")
     )
     # A meets every B-block j; B meets every A-block i; cell key = i*G + j.
     a = vecs.select(
@@ -841,19 +860,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(N²/G) pair stream would run in ONE task — AQE can't split it because
     # the explosion happens join-side, invisible to input-size heuristics.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    pairs = (
+    rep_pairs = (
         a.repartition(n_part, "cell")
         .join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a",
-            "id_b",
+            F.col("id_a").alias("rep_a"),
+            F.col("id_b").alias("rep_b"),
             ((F.expr(dot) / F.lit(1e8)) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
                 "cosine"
             ),
         )
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )
+    # Expansion 1/2 — cross-group: cosine is content-determined, so the
+    # rep-level value carries to every (member_a, member_b) pair verbatim;
+    # reorder to (min, max) since group vec_ids interleave. (Swapping the
+    # pair is IEEE-safe: the dot products are the same elementwise
+    # multiplies in the same fold order, and nrm_a*nrm_b commutes.)
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("vec_id")
+    )
+    ma = membership.select(
+        F.col("rep_id").alias("rep_a"), F.col("vec_id").alias("va")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("rep_b"), F.col("vec_id").alias("vb")
+    )
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("va", "vb").alias("id_a"),
+            F.greatest("va", "vb").alias("id_b"),
+            "cosine",
+        )
+    )
+    # Expansion 2/2 — within-group: identical quantized vectors. The self
+    # cosine is evaluated with the pair path's exact IEEE expression
+    # (sumsq/1e8 divided by nrm*nrm — sqrt(s)² is not always s in float64,
+    # so a 1.0 literal would NOT be bit-identical), and the threshold
+    # filter still applies (an all-zero vector folds to NULL, never 1.0).
+    cos_self = (sumsq / F.lit(1e8)) / (nrm * nrm)
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(cos_self.alias("cosine"), "members")
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, "
+                    "x -> transform(members, y -> struct(x, y)))), "
+                    "p -> p.x < p.y)"
+                )
+            ).alias("p"),
+            "cosine",
+        )
+        .select(
+            F.col("p.x").alias("id_a"),
+            F.col("p.y").alias("id_b"),
+            "cosine",
+        )
+    )
+    pairs = cross.unionByName(within)
     da = docs.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("chars_a"))
     db = docs.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("chars_b"))
     longer_b = F.col("chars_b") > F.col("chars_a")
@@ -937,13 +1006,30 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop policy downstream can distinguish "A is a fragment of B"
     from mutual near-equality.
 
-    Scale: identical candidate structure to ``dedup_jaccard_shingles`` —
-    inverted-index self-join, pairs only for docs sharing a shingle; the
-    LSH scale path applies unchanged (MinHash estimates containment via
-    J and the two set sizes, both already in the signature join).
+    Scale: same content-representative rewrite as ``dedup_jaccard_shingles``
+    — docs collapse to one representative per distinct text (shingle sets,
+    and therefore both containment ratios, depend only on content), the
+    quadratic inverted-index self-join runs over distinct contents only,
+    and rep-level pairs expand back through two membership joins. The
+    expansion is ASYMMETRIC: the emitted pair is reordered to
+    (min doc_id, max doc_id), and whenever that reorder flips which side
+    came from rep_a's content group the two direction ratios swap with it.
+    Within-group pairs (identical texts) are containment exactly
+    1,000,000 ppm both ways, admitted iff the shared content has >= 10
+    distinct shingles (the same min-10 filter, applied once per content).
+    Exact algebraic rewrite — the emitted relation is bit-identical at
+    every SF, but the intermediate (doc_a, doc_b) aggregate scales with
+    distinct contents squared instead of corpus squared. The LSH scale
+    path applies unchanged (MinHash estimates containment via J and the
+    two set sizes, both already in the signature join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs, 3)
+    groups = docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.collect_list("doc_id").alias("members"),
+    ).persist()
+    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    sh = word_shingles(rep_docs, 3)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sh_keyed = sh.repartition(n_part, "sh")
     counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -960,7 +1046,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
     nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
-    return (
+    rep_pairs = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .filter(
@@ -968,12 +1054,61 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.expr("(1000000 * n_common) div least(na, nb)") >= 800000)
         )
         .select(
-            "doc_a",
-            "doc_b",
-            F.expr("(1000000 * n_common) div na").alias("cont_a_in_b_ppm"),
-            F.expr("(1000000 * n_common) div nb").alias("cont_b_in_a_ppm"),
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            F.expr("(1000000 * n_common) div na").alias("ppm_a"),
+            F.expr("(1000000 * n_common) div nb").alias("ppm_b"),
         )
     )
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("doc_id")
+    )
+    ma = membership.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    # Reorder each expanded pair to (min, max); the direction ratios are
+    # role-bound (numerator side), so they swap exactly when the reorder
+    # swaps which member carries rep_a's content.
+    flip = F.col("da") > F.col("db")
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.when(flip, F.col("ppm_b")).otherwise(F.col("ppm_a")).alias("cont_a_in_b_ppm"),
+            F.when(flip, F.col("ppm_a")).otherwise(F.col("ppm_b")).alias("cont_b_in_a_ppm"),
+        )
+    )
+    # Within-group: identical texts share the shingle set, so n_common =
+    # na = nb and both ratios floor-divide to exactly 1,000,000 ppm — iff
+    # the content clears the min-10 distinct-shingle gate (texts under 3
+    # words have no counts row and are dropped by the inner join, exactly
+    # as they never enter the shingle relation in the per-doc form).
+    rep_counts = counts.withColumnRenamed("doc_id", "rep_id")
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .join(rep_counts.filter(F.col("n") >= 10), "rep_id")
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, "
+                    "x -> transform(members, y -> struct(x, y)))), "
+                    "p -> p.x < p.y)"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x").alias("doc_a"),
+            F.col("p.y").alias("doc_b"),
+            F.lit(1000000).cast("long").alias("cont_a_in_b_ppm"),
+            F.lit(1000000).cast("long").alias("cont_b_in_a_ppm"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @query(
