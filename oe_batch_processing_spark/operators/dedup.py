@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table
+from oe_batch_processing_spark.tables import load_table, persist_once
 
 # --- shared shingling ------------------------------------------------------
 
@@ -155,10 +155,10 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on xxhash64(text)/md5 fingerprint instead of full text — same idiom
     # as dedup_exact_documents). Group sizes are replica counts (bounded),
     # so collect_list stays rows-per-content-sized, never corpus-sized.
-    groups = docs.groupBy("text").agg(
+    groups = persist_once(docs.groupBy("text").agg(
         F.min("doc_id").alias("rep_id"),
         F.collect_list("doc_id").alias("members"),
-    ).persist()
+    ))
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sh = word_shingles(rep_docs, 3)
     # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
@@ -272,7 +272,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-partition width so the CPU-heavy signature stage runs 32-wide
     # (a second caller-side repartition here was redundant — one exchange,
     # removed). At 100 TB natural input splits provide this parallelism.
-    sh_arrays = shingle_arrays(docs, 3).persist()
+    sh_arrays = persist_once(shingle_arrays(docs, 3))
     # Each shingle STRING is hashed once; the 64 signature slots re-hash the
     # resulting 8-byte int with per-slot seeds — a true independent family
     # (unlike an affine multiply-mix over one hash, which was tried and
@@ -518,7 +518,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold on both join inputs and dragged the arrays through the pair
     # distinct. Candidates dedup as bare id pairs; the hamming verify
     # re-joins the (tiny, cached) fingerprint frame per side.
-    fp = fp.persist()
+    fp = persist_once(fp)
     slim = fp.select(
         "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_val")
     )
@@ -653,6 +653,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_SMALL_EDGES = 100_000  # below this, the loop runs 1-partition/no-AQE
+_CC_PLAIN_PERSIST_ROUNDS = 6  # small-graph rounds that may keep plain
+# persists before falling back to lineage-truncating checkpoints
+# (4^6 ≈ 4k logical-plan nodes — far below the canonicalization cliff)
 
 
 def cc_labels(pairs: DataFrame) -> DataFrame:
@@ -668,20 +671,40 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     loop drops to one partition with AQE off (session confs restored in
     the finally). A large edge set — the 10x/30x probes' 0.25M/2.4M-pair
     graphs and any real corpus — keeps AQE and the full shuffle width;
-    the plan shape is identical, only the knobs move."""
+    the plan shape is identical, only the knobs move.
+
+    Lineage discipline is size-adaptive too: LARGE graphs localCheckpoint
+    every round (plain persist leaves ~4^rounds LOGICAL-plan growth —
+    CacheManager substitutes caches only at physical planning — which
+    OOM'd plan canonicalization on the 364k-edge 10x cosine graph in
+    round 12), but each eager checkpoint is a real distributed job worth
+    ~0.1-0.2 s, so SMALL graphs keep plain per-round persists (their
+    near-clique components converge in 2-4 rounds, far from plan
+    explosion) and fall back to checkpointing only past
+    _CC_PLAIN_PERSIST_ROUNDS, where 4^rounds stops being hypothetical."""
     spark = pairs.sparkSession
-    edges = pairs.union(
+    edges = persist_once(pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ))
     n_edges = edges.count()
+    small_graph = n_edges < _CC_SMALL_EDGES
     saved: dict[str, str] = {}
+    pinned: list[DataFrame] = []  # plain persists to release before return
+
+    def _pin(df: DataFrame, rnd: int) -> DataFrame:
+        if small_graph and rnd <= _CC_PLAIN_PERSIST_ROUNDS:
+            df = df.persist()
+            pinned.append(df)
+            return df
+        return df.localCheckpoint(eager=True)
+
     try:
         # Conf mutation and the eager small-edges checkpoint both live
         # INSIDE the try: the checkpoint runs a real distributed job, and
         # a failure there must still restore the session confs in finally.
         # The checkpoint coalesces the already-persisted edges frame (a
         # cache read), not a from-scratch rebuild of the upstream pipeline.
-        if n_edges < _CC_SMALL_EDGES:
+        if small_graph:
             for k, v in (("spark.sql.adaptive.enabled", "false"),
                          ("spark.sql.shuffle.partitions", "1")):
                 saved[k] = spark.conf.get(k)
@@ -690,39 +713,34 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
             edges.unpersist()
             edges = small
         else:
-            # LARGE graphs get their lineage truncated too (round-12: the
-            # 364k-edge 10x cosine pair graph OOM'd the driver during plan
-            # canonicalization — with plain persist the LOGICAL plan of
-            # every round still embeds the full upstream pair pipeline,
-            # since CacheManager substitutes caches only at physical
-            # planning, and each round references edges + previous labels
-            # several times → ~4^rounds plan growth, the exact class the
-            # star-CC loop already checkpointed against). The checkpoint
-            # reads the persisted blocks once, then frees them.
+            # The checkpoint reads the persisted blocks once, then frees
+            # them — edges becomes a leaf for every round below.
             big = edges.localCheckpoint(eager=True)
             edges.unpersist()
             edges = big
-        labels = (
+        labels = _pin(
             edges.select(F.col("doc_a").alias("doc"))
             .distinct()
-            .withColumn("lbl", F.col("doc"))
-            .localCheckpoint(eager=True)  # leaf per round — see above
+            .withColumn("lbl", F.col("doc")),
+            0,
         )
+        rnd = 0
         while True:
+            rnd += 1
             neigh_min = (
                 edges.join(labels, edges["doc_b"] == labels["doc"])
                 .groupBy(F.col("doc_a").alias("doc"))
                 .agg(F.min("lbl").alias("nl"))
             )
-            new_labels = (
+            new_labels = _pin(
                 labels.join(neigh_min, "doc", "left")
                 .select(
                     "doc",
                     F.least(
                         F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
                     ).alias("lbl"),
-                )
-                .localCheckpoint(eager=True)
+                ),
+                rnd,
             )
             changed = (
                 new_labels.alias("n")
@@ -733,9 +751,14 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
-        # labels is an eager checkpoint — the caller's downstream plan
-        # (cluster summary join, component grouping) reads its blocks
-        # instead of replaying the loop; blocks are freed on GC.
+        # labels is pinned (checkpoint blocks or a materialized persist the
+        # changed-count above forced) — the caller's downstream plan reads
+        # it instead of replaying the loop; blocks are freed on GC. The
+        # FINAL round's persist must survive the return, so only the
+        # superseded rounds release here.
+        for df in pinned:
+            if df is not labels:
+                df.unpersist()
         return labels
     finally:
         for k, v in saved.items():
@@ -820,14 +843,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = F.expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
     sumsq = F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)")
     nrm = F.sqrt(sumsq / F.lit(1e8))
-    groups = (
+    groups = persist_once(
         emb.select("vec_id", qe.alias("qe"))
         .groupBy("qe")
         .agg(
             F.min("vec_id").alias("rep_id"),
             F.collect_list("vec_id").alias("members"),
         )
-        .persist()
     )
     vecs = groups.select(F.col("rep_id").alias("vec_id"), "qe").select(
         "vec_id", "qe", nrm.alias("nrm"), (F.col("vec_id") % EMB_GRID).alias("g")
@@ -1024,10 +1046,10 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     two set sizes, both already in the signature join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    groups = docs.groupBy("text").agg(
+    groups = persist_once(docs.groupBy("text").agg(
         F.min("doc_id").alias("rep_id"),
         F.collect_list("doc_id").alias("members"),
-    ).persist()
+    ))
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sh = word_shingles(rep_docs, 3)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1242,7 +1264,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-join path when LSH recall guarantees aren't acceptable.
     """
     docs = load_table(spark, sf_dir, "documents")
-    arrs = shingle_arrays(docs, 3).persist()
+    arrs = persist_once(shingle_arrays(docs, 3))
     exploded = arrs.select("doc_id", F.explode("shingles").alias("sh"))
     # document frequency per shingle; (dfreq, sh) IS the shared total
     # order — no materialized global rank (a row_number over the whole
@@ -1749,7 +1771,7 @@ def dedup_minhash_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample of pairs per Jaccard band — the math is per-pair independent.
     """
     docs = load_table(spark, sf_dir, "documents")
-    arrs = shingle_arrays(docs, 3).persist()
+    arrs = persist_once(shingle_arrays(docs, 3))
     counts = arrs.select("doc_id", F.size("shingles").alias("n"))
     sigs = arrs.select(
         "doc_id",

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table
+from oe_batch_processing_spark.tables import load_table, persist_once
 
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % 100 == 0 (deterministic, sf-stable)
@@ -478,7 +478,7 @@ def _lloyd_refine(
     train = vecs
     made_sample = sample_mod > 1
     if made_sample:
-        train = vecs.filter(F.col("vec_id") % sample_mod == 1).persist()
+        train = persist_once(vecs.filter(F.col("vec_id") % sample_mod == 1))
     unit = F.expr(
         "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
     )
@@ -550,9 +550,8 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below (interpreted HOF dots) would run in a single task without this
     # bounded round-robin fan-out (same fix as the codec pipelines)
     vecs = (
-        emb.select("vec_id", "embedding", norm.alias("nrm"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+        persist_once(emb.select("vec_id", "embedding", norm.alias("nrm"))
+        .repartition(spark.sparkContext.defaultParallelism))
     )
     # sqrt-scaled stride (no-op at the committed SFs): ncells ~ sqrt(n),
     # so the n x ncells assignment stays ~n^1.5 instead of n^2

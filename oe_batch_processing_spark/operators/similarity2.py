@@ -21,7 +21,7 @@ from oe_batch_processing_spark.operators.similarity import (
     lloyd_train_mod,
 )
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table
+from oe_batch_processing_spark.tables import load_table, persist_once
 
 CELLS_MOD = 37  # centroid subset: vec_id % 37 == 1 (matches similarity_topk_ivf)
 EMB_DIM = 64
@@ -77,7 +77,7 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Intentionally NOT unpersisted: the returned lazy DataFrame still
     # reads this cache when the caller materializes it, so the blocks live
     # until session end (or LRU eviction) by design.
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe")).persist()
+    vecs = persist_once(emb.select("vec_id", F.expr(_QE).alias("qe")))
     # sqrt-scaled stride (no-op at committed SFs; oracle mirrors it)
     cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
     cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
@@ -216,9 +216,8 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise runs on that many cores instead of cluster-wide.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     vecs = (
-        emb.select("vec_id", F.expr(_QE).alias("qe"))
-        .repartition(n_part)
-        .persist()
+        persist_once(emb.select("vec_id", F.expr(_QE).alias("qe"))
+        .repartition(n_part))
     )
     codes_mod = codebook_mod(vecs.count())
     cents = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
@@ -315,7 +314,7 @@ def _lloyd_refine_l2(
     train = vecs
     made_sample = sample_mod > 1
     if made_sample:
-        train = vecs.filter(F.col("vec_id") % sample_mod == 1).persist()
+        train = persist_once(vecs.filter(F.col("vec_id") % sample_mod == 1))
     for _ in range(rounds):
         l2 = F.expr(_L2D.format(a="qe", b="ce"))
         assigned = (
@@ -368,9 +367,8 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-split test parquet -> bounded round-robin fan-out before the
     # interpreted HOF scoring stages (same fix as the codec pipelines)
     vecs = (
-        emb.select("vec_id", F.expr(_QE).alias("qe"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+        persist_once(emb.select("vec_id", F.expr(_QE).alias("qe"))
+        .repartition(spark.sparkContext.defaultParallelism))
     )
     nrm = F.sqrt(
         F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)
@@ -930,9 +928,8 @@ def semdedup_clusters(
     spark = emb.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     vecs = (
-        emb.select("vec_id", F.expr(_QE).alias("qe"))
-        .repartition(n_part)
-        .persist()
+        persist_once(emb.select("vec_id", F.expr(_QE).alias("qe"))
+        .repartition(n_part))
     )
     n = vecs.count()
     if n >= hier_min_n:
@@ -985,10 +982,10 @@ def semdedup_clusters(
     # pipeline (hierarchical: window + two joins) replays twice — measured
     # 24s x2 at the 30x probe scale. Corpus-sized rows with one array each
     # (same bound as the vecs cache); intentionally left to LRU.
-    nrm = assigned.withColumn(
+    nrm = persist_once(assigned.withColumn(
         "nr",
         F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)),
-    ).persist()
+    ))
     a = nrm.select(
         F.col("cell_id"),
         F.col("vec_id").alias("id_a"),

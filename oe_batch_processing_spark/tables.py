@@ -67,3 +67,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so recipes can use spark.sql."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def persist_once(df: DataFrame) -> DataFrame:
+    """Persist ``df`` unless an identical plan is already cached.
+
+    Several operators persist structurally identical sub-plans (the
+    exact-content ``groups`` aggregate shared by the jaccard and
+    containment rewrites, the quantized-vector projections shared across
+    the ANN family, the shingle arrays shared by the MinHash/tiered
+    pipelines). Spark's CacheManager already dedups these by analyzed
+    plan — the second ``.persist()`` reuses the first cache — but it logs
+    ``WARN CacheManager: Asked to cache already cached data`` per hit,
+    which buries real cache-policy bugs in sweep logs. ``df.storageLevel``
+    performs the same CacheManager plan lookup without side effects, so
+    this helper keeps the logs clean with identical semantics: the frame
+    is cached after the call either way.
+    """
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
+    return df.persist()
