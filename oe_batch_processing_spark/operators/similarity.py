@@ -433,24 +433,50 @@ def adaptive_cells_mod_sql(base: int, table: str = "embeddings") -> str:
     )
 
 
+IVF_HIER_MIN_N = 8192  # two-level coarse-quantizer threshold (shared by the
+# IVF and IVFPQ builds): 4x the largest committed corpus, so every committed
+# SF takes the flat n x ncells assignment BIT-IDENTICALLY (hashes, bench
+# rows, recall numbers untouched); the 10x/30x probes (20k/60k vectors)
+# cross it and run the hierarchy. Same gating recipe as
+# SEMDEDUP_HIER_MIN_N / adaptive_cells_mod / LLOYD_TRAIN_CAP.
+
 LLOYD_TRAIN_CAP = 2000  # == the sf0.1 corpus, so sampling is an exact no-op
 # at every committed SF (train == full corpus, bit-identical centroids to
 # the unsampled code; every committed recall and bench number is untouched)
 
 
-def lloyd_train_mod(n: int) -> int:
+LLOYD_TRAIN_PER_CELL = 8  # minimum training points per centroid. Round-13
+# finding: the r11 FIXED ~2000-point sample starved the sqrt-scaled cell
+# count at scale (834 init cells at 30x got ~2.4 train points each, and 3
+# Lloyd rounds COLLAPSED them to 142 survivors — each probed cell then
+# held ~423 members, so every query's candidate list covered ~a quarter of
+# the corpus and the IVFPQ ADC join exploded to ~73M rows: the real driver
+# of the 46.1x/210s 30x row, not the assignment pass). FAISS warns below
+# ~39 points/centroid; 8 keeps survival near-complete (1 - e^-8) at a
+# training cost that stays ~linear: rounds x (8 * ncells) x ncells =
+# O(n) for ncells ~ sqrt(n).
+
+
+def lloyd_train_mod(n: int, cells_mod: int | None = None) -> int:
     """Training-sample stride for the Lloyd refinement rounds: ``max(1,
-    n // LLOYD_TRAIN_CAP)``, i.e. a deterministic ``vec_id % mod == 1``
-    sample of ~{LLOYD_TRAIN_CAP} vectors. With full-corpus training the
-    3 Lloyd passes dominate the index BUILD at scale (the round-10 probe
-    measured similarity_topk_ivf at 18.0x for 10x input — 3 train passes
-    + 1 assignment pass, all n x ncells); training on a bounded sample
-    makes the build 1 full assignment pass + 3 passes over a CONSTANT-size
-    sample — the standard FAISS train/add split. Centroid quality is a
-    sample-accuracy question (k ~ sqrt(n) cells estimated from
-    {LLOYD_TRAIN_CAP} points), not a correctness one: both IVF consumers
-    are rows-only ANN queries whose recall is tracked by tools/recall.py."""
-    return max(1, n // LLOYD_TRAIN_CAP)
+    n // cap)`` with ``cap = max(LLOYD_TRAIN_CAP, LLOYD_TRAIN_PER_CELL *
+    (n // cells_mod))`` — a deterministic ``vec_id % mod == 1`` sample of
+    ~cap vectors that SCALES WITH THE CELL COUNT (the FAISS train/add
+    split sized to its nlist; see LLOYD_TRAIN_PER_CELL for the round-13
+    cell-collapse finding a fixed cap caused). With full-corpus training
+    the 3 Lloyd passes dominate the index BUILD at scale (the round-10
+    probe measured similarity_topk_ivf at 18.0x for 10x input); the
+    sample bounds them while keeping ~{LLOYD_TRAIN_PER_CELL} points per
+    centroid. EXACT NO-OP at every committed SF: n <= LLOYD_TRAIN_CAP
+    keeps cap >= n, so mod == 1 == the unsampled plan, bit-identical —
+    recall and bench rows are untouched. ``cells_mod=None`` keeps the r11
+    fixed-cap behavior for callers without a cell geometry. Centroid
+    quality is a sample-accuracy question, not a correctness one: the IVF
+    consumers are rows-only ANN queries tracked by tools/recall.py."""
+    cap = LLOYD_TRAIN_CAP
+    if cells_mod is not None:
+        cap = max(cap, LLOYD_TRAIN_PER_CELL * (n // cells_mod))
+    return max(1, n // cap)
 
 
 def _lloyd_refine(
@@ -530,6 +556,82 @@ def _lloyd_refine(
     return cents
 
 
+def _ivf_hier_cell_scores(
+    vecs: DataFrame, cents: DataFrame, cells_mod: int
+) -> DataFrame:
+    """Two-level (super -> cell) scoring for the IVF coarse quantizer —
+    the restricted (vec_id, embedding, nrm, cell_id, cs) frame that
+    replaces the flat n x ncells crossJoin above IVF_HIER_MIN_N (the
+    semdedup ``_semdedup_hier_assign`` recipe applied to the quantizer
+    BUILD, which the round-12 30x probe named as the remaining n^1.5
+    term: one full assignment over ncells ~ sqrt(n) centroids).
+
+    A sqrt-sized SUPER layer (deterministic sub-stride of the refined
+    centroid ids — cell_ids are the init vec_ids, so ``cell_id %
+    (cells_mod * cf) == 1`` picks ~ncells/cf of them) routes both sides:
+    every cell centroid joins its best super (|cells| x |supers| — tiny),
+    and every vector scores only the supers (n x sqrt(ncells)) plus the
+    cells routed to its top supers (~2*NPROBE cells, sized so query
+    probing keeps its breadth). Per-vector work falls from ncells ~
+    sqrt(n) to ~n^(1/4) + 2*NPROBE — the build drops under n^1.5. All
+    orderings are (score, id) ties, so the restriction is deterministic;
+    the downstream argmax/top-NPROBE code is unchanged — only the
+    candidate set shrinks (rows-only ANN: recall at committed SFs is
+    untouched because the flat path runs there)."""
+    import math
+
+    ncells = cents.count()  # centroid-table action: sqrt(n) rows, cached
+    cf = max(2, math.isqrt(max(1, ncells)))
+    super_mod = cells_mod * cf
+    sup = cents.filter(F.col("cell_id") % super_mod == 1).select(
+        F.col("cell_id").alias("super_id"),
+        F.col("c_emb").alias("s_emb"),
+        F.col("c_nrm").alias("s_nrm"),
+    )
+    c2s = (
+        F.expr(_DOT_SCALED_SQL.format(a="c_emb", b="s_emb")) / F.lit(1e9)
+    ) / (F.col("c_nrm") * F.col("s_nrm"))
+    f2s = (
+        cents.crossJoin(F.broadcast(sup))
+        .select("cell_id", "c_emb", "c_nrm", "super_id", c2s.alias("cs"))
+        .groupBy("cell_id")
+        .agg(
+            F.max(F.struct("cs", (-F.col("super_id")).alias("ns"))).alias("b"),
+            F.first("c_emb").alias("c_emb"),
+            F.first("c_nrm").alias("c_nrm"),
+        )
+        .select((-F.col("b.ns")).alias("super_id"), "cell_id", "c_emb", "c_nrm")
+    )
+    v2s = (
+        F.expr(_DOT_SCALED_SQL.format(a="embedding", b="s_emb")) / F.lit(1e9)
+    ) / (F.col("nrm") * F.col("s_nrm"))
+    vs = vecs.crossJoin(F.broadcast(sup)).select(
+        "vec_id", v2s.alias("cs"), "super_id"
+    )
+    # enough probed supers that ~2x NPROBE cells stay reachable per query
+    n_sup_probes = max(2, (2 * N_PROBE + cf - 1) // cf)
+    wp = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "super_id")
+    probed = (
+        vs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_sup_probes)
+        .select("vec_id", "super_id")
+    )
+    cs_cell = (
+        F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb")) / F.lit(1e9)
+    ) / (F.col("nrm") * F.col("c_nrm"))
+    # each cell routes to exactly one super and supers are distinct per
+    # vector, so (vec_id, cell_id) rows are already unique — no dedup.
+    # SLIM output (no embedding/nrm riding along) + persist: the frame
+    # feeds BOTH the assignment argmax and the query probes — without the
+    # persist each consumer would replay the two-shuffle routing pipeline.
+    return (
+        probed.join(vecs, "vec_id")
+        .join(F.broadcast(f2s), "super_id")
+        .select("vec_id", "cell_id", cs_cell.alias("cs"))
+        .persist()
+    )
+
+
 @query("similarity_topk_ivf")  # approximate candidate gen => rows-only
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a deterministic centroid subset stands in for k-means
@@ -566,24 +668,54 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds run over a ~LLOYD_TRAIN_CAP-vector deterministic sample, so
     # the index BUILD is one full n x ncells assignment pass instead of
     # four (the round-10 probe's 18.0x grower)
-    cents = _lloyd_refine(vecs, cents, _IVF_LLOYD, lloyd_train_mod(n_vecs))
-    dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
-    sim_to_cent = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "nrm", "cell_id", sim_to_cent.alias("cs")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cell_id")
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "nrm", "cell_id")
-    )
-    probes = (
-        scored.filter(ann_query_pred(F.col("vec_id")))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
-    )
+    cents = _lloyd_refine(vecs, cents, _IVF_LLOYD, lloyd_train_mod(n_vecs, cells_mod))
+    if n_vecs >= IVF_HIER_MIN_N:
+        # two-level quantizer build (round-13): the flat n x ncells
+        # assignment is the n^1.5 term the 30x probe flagged at 46.1x on
+        # the IVFPQ twin; the super layer drops it under n^1.5 while the
+        # committed SFs stay on the flat path bit-identically. The slim
+        # restricted frame assigns via a HASH-AGG argmax (map-side
+        # combine) instead of the flat path's window — no array-laden
+        # n x cells shuffle — and embedding/nrm re-join per VECTOR (n
+        # rows), not per (vector, cell).
+        slim = _ivf_hier_cell_scores(vecs, cents, cells_mod)
+        best = (
+            slim.groupBy("vec_id")
+            .agg(F.max(F.struct("cs", (-F.col("cell_id")).alias("nc"))).alias("b"))
+            .select("vec_id", (-F.col("b.nc")).alias("cell_id"))
+        )
+        assigned = best.join(vecs, "vec_id").select(
+            "vec_id", "embedding", "nrm", "cell_id"
+        )
+        w_hier = Window.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), "cell_id"
+        )
+        probes = (
+            slim.filter(ann_query_pred(F.col("vec_id")))
+            .withColumn("rk", F.row_number().over(w_hier))
+            .filter(F.col("rk") <= N_PROBE)
+            .select(F.col("vec_id").alias("query_id"), "cell_id")
+        )
+    else:
+        dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
+        sim_to_cent = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "nrm", "cell_id", sim_to_cent.alias("cs")
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), "cell_id"
+        )
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w_assign))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "nrm", "cell_id")
+        )
+        probes = (
+            scored.filter(ann_query_pred(F.col("vec_id")))
+            .withColumn("rk", F.row_number().over(w_assign))
+            .filter(F.col("rk") <= N_PROBE)
+            .select(F.col("vec_id").alias("query_id"), "cell_id")
+        )
     queries = vecs.filter(ann_query_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -594,6 +726,16 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")
     )
+    if n_vecs >= IVF_HIER_MIN_N:
+        # the probe-cell join EXPLODES output ~|cell| per probe row while
+        # its shuffle INPUT stays small, so AQE coalesces the rescore to a
+        # handful of tasks (measured: the 5.4M-candidate exact rescore at
+        # 30x ran 9-wide, 27 s of the 68 s wall). Keyed repartition spreads
+        # it cluster-wide AND pre-satisfies the final top-k window's
+        # partitioning (same key — no extra exchange). Gated with the
+        # hierarchy so every committed-SF plan is byte-identical.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        cand = cand.repartition(n_part, "query_id")
     qdot = F.expr(_DOT_SCALED_SQL.format(a="q_emb", b="embedding"))
     sims = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oe_batch_processing_spark.operators.similarity import (
+    IVF_HIER_MIN_N,
     adaptive_cells_mod,
     adaptive_cells_mod_sql,
     ann_query_pred,
@@ -345,6 +346,65 @@ def _lloyd_refine_l2(
     return coarse
 
 
+def _ivfpq_hier_cell_scores(
+    vecs: DataFrame, coarse: DataFrame, cells_mod: int
+) -> DataFrame:
+    """Two-level (super -> cell) L2 scoring for the IVFPQ coarse quantizer
+    — the restricted (vec_id, cell_id, l2c) frame that replaces the flat
+    n x ncells broadcast join above IVF_HIER_MIN_N. Same construction as
+    similarity._ivf_hier_cell_scores (see its docstring for the shape and
+    cost argument) with the family's integer-vs-double L2 metric: a
+    sub-stride super layer of ~sqrt(ncells) refined centroids routes both
+    the cell centroids (cell -> best super, argmin (l2, id)) and the
+    vectors (top supers by L2, then score only the routed cells). The 30x
+    artifact's own finding named this build's full n x ncells assignment
+    as the n^1.5 bound (46.1x total at 30x); committed SFs stay on the
+    flat path bit-identically below the gate."""
+    import math
+
+    ncells = coarse.count()  # centroid-table action: sqrt(n) rows, cached
+    cf = max(2, math.isqrt(max(1, ncells)))
+    super_mod = cells_mod * cf
+    sup = coarse.filter(F.col("cell_id") % super_mod == 1).select(
+        F.col("cell_id").alias("super_id"), F.col("ce").alias("se")
+    )
+    f2s = (
+        coarse.join(F.broadcast(sup))
+        .select(
+            "cell_id", "ce", "super_id",
+            F.expr(_L2D.format(a="ce", b="se")).alias("l2"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.min(F.struct("l2", "super_id")).alias("b"),
+            F.first("ce").alias("ce"),
+        )
+        .select(F.col("b.super_id").alias("super_id"), "cell_id", "ce")
+    )
+    vs = vecs.join(F.broadcast(sup)).select(
+        "vec_id", "super_id",
+        F.expr(_L2D.format(a="qe", b="se")).alias("l2"),
+    )
+    n_sup_probes = max(2, (2 * IVFPQ_NPROBE + cf - 1) // cf)
+    wp = Window.partitionBy("vec_id").orderBy("l2", "super_id")
+    probed = (
+        vs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_sup_probes)
+        .select("vec_id", "super_id")
+    )
+    # persist: the frame feeds BOTH the assignment argmin and the query
+    # probes — without it each consumer replays the two-shuffle routing
+    return (
+        probed.join(vecs, "vec_id")
+        .join(F.broadcast(f2s), "super_id")
+        .select(
+            "vec_id", "cell_id",
+            F.expr(_L2D.format(a="qe", b="ce")).alias("l2c"),
+        )
+        .persist()
+    )
+
+
 @query("similarity_topk_ivfpq")  # approximate candidate gen => rows-only
 def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ hybrid ANN — the production billion-vector search shape
@@ -384,11 +444,15 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"),
         F.expr("transform(qe, x -> CAST(x AS DOUBLE))").alias("ce"),
     )
-    coarse = _lloyd_refine_l2(vecs, coarse, IVFPQ_LLOYD, lloyd_train_mod(n_vecs))
-    cell_l2 = F.expr(_L2D.format(a="qe", b="ce")).alias("l2c")
-    cell_scored = vecs.join(F.broadcast(coarse)).select(
-        "vec_id", "cell_id", cell_l2
-    )
+    coarse = _lloyd_refine_l2(vecs, coarse, IVFPQ_LLOYD, lloyd_train_mod(n_vecs, cells_mod))
+    if n_vecs >= IVF_HIER_MIN_N:
+        # two-level quantizer build (round-13) — see _ivfpq_hier_cell_scores
+        cell_scored = _ivfpq_hier_cell_scores(vecs, coarse, cells_mod)
+    else:
+        cell_l2 = F.expr(_L2D.format(a="qe", b="ce")).alias("l2c")
+        cell_scored = vecs.join(F.broadcast(coarse)).select(
+            "vec_id", "cell_id", cell_l2
+        )
     assigned = (
         cell_scored.groupBy("vec_id")
         .agg(F.min(F.struct("l2c", "cell_id")).alias("best"))
@@ -439,6 +503,15 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
+    if n_vecs >= IVF_HIER_MIN_N:
+        # same AQE-coalesce trap as the IVF rescore (see similarity.py):
+        # the probe-cell join explodes ~|cell|x while its shuffle input
+        # stays small, so the ADC's map side would run a few tasks wide.
+        # Keyed on vec_id — the enc join's key, so no extra exchange.
+        cand = cand.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+            "vec_id",
+        )
     qtab2 = qtab.select(
         F.col("query_id").alias("q2"),
         F.col("s").alias("s2"),

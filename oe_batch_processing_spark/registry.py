@@ -123,79 +123,87 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-12 window, per the r11 rotation guidance: (1) the three
-    # --- never-driver-checked queries — the round-11-late
-    # --- dedup_simhash_clusters plus the two round-12 cluster-emit
-    # --- additions; (2) changed-code re-checks — the content-
-    # --- representative rewrite of the exact-Jaccard pair build and its
-    # --- two CC consumers, the SemDeDup two-level hierarchy (+ vecs
-    # --- repartition / nrm persist), the cc_labels try/finally
-    # --- restructure behind the LSH cluster summary, and the whole
-    # --- similarity_topk_* family after the ann_query_pred fixed-QPS
-    # --- refactor (plan-identical with the cap unset, re-checked
-    # --- anyway); (3) 36 of the 49 remaining r5-era rows. Round-13
-    # --- guidance: FIRST any round-13 additions and changed-code
-    # --- re-checks, then the 12 remaining r5-era rows
-    # --- (stream_session_windows, stream_sliding_counts,
-    # --- stream_tumbling_counts, subquery_correlated_max,
-    # --- subquery_scalar_above_avg, udaf_user_value_trend,
-    # --- user_value_trend_native, win_lag_order_gap,
-    # --- win_range_frame_30d_spend, win_running_customer_spend,
-    # --- win_session_gaps, win_topk_orders_per_priority — after those,
-    # --- rotation continues with the r6-era rows).
-    # --- (1) never driver-checked
-    "dedup_simhash_clusters",            # r11-late: clusters, simhash
-    "dedup_embedding_cosine_clusters",   # r12: clusters, cosine relation
-    "dedup_shingle_containment_clusters",  # r12: clusters, containment
-    # --- (2) changed-code re-checks
-    "dedup_jaccard_shingles",            # r12: representative rewrite (also r5-era)
-    "dedup_connected_components",        # r12: consumes the rewritten pairs
-    "graph_connected_components_star",   # r12: consumes the rewritten pairs
-    "dedup_semdedup_clusters",           # r12: two-level hierarchy gating
-    "dedup_minhash_lsh_clusters",        # r12: cc_labels try/finally move
-    "similarity_topk_cosine",            # r12: ann_query_pred refactor
-    "similarity_topk_lsh",               # r12: ann_query_pred refactor
-    "similarity_topk_ivf",               # r12: ann_query_pred refactor
-    "similarity_topk_ivfpq",             # r12: ann_query_pred refactor
-    "similarity_topk_pq",                # r12: ann_query_pred refactor
-    "similarity_topk_matmul",            # r12: ann_query_pred refactor
-    # --- (3) 36 of the 49 r5-era rows (rest listed above for r13)
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_rollup_nation_priority",
-    "array_norm_embeddings",
-    "asof_purchase_last_click",
-    "csv_parse_roundtrip",
-    "dedup_exact_documents",
-    "events_anomaly_zscore",
-    "events_funnel",
-    "events_hourly_rollup",
-    "events_resample_5min",
-    "events_sessionize_batch",
-    "events_user_stats",
-    "events_value_histogram",
-    "fw_parse_roundtrip",
-    "join_anti_customers_without_urgent",
-    "join_left_order_counts",
-    "join_range_ship_latency",
-    "join_semi_urgent_customers",
-    "median_acctbal_by_segment",
-    "multimodal_binary_metadata",
-    "pipeline_quality_filter",
-    "pivot_status_counts",
-    "q3_top_unshipped",
-    "scalar_case_when_customer",
-    "scalar_date_extended",
-    "scalar_date_orders",
-    "scalar_json_events",
-    "scalar_math_lineitem",
-    "scalar_string_part",
-    "set_union_all_measures",
-    "set_union_target_customers",
-    "sort_top20_orders",
-    "stats_exact_moments",
-    "stream_click_purchase_join",
-    "stream_dedup_pairs",
+    # --- Round-13 window, per the r12 rotation guidance: (1) changed-code
+    # --- re-checks — the content-representative rewrite of the
+    # --- containment and embedding-cosine exact-pair builds (+ their
+    # --- clusters consumers), every cc_labels consumer after the
+    # --- size-adaptive lineage change (plain persists below
+    # --- _CC_SMALL_EDGES, round-capped), every query that crossed a
+    # --- persist_once() conversion, and the IVF/IVFPQ family after the
+    # --- two-level coarse-quantizer build + cell-scaled Lloyd training
+    # --- sample + gated candidate repartitions (all gated at
+    # --- IVF_HIER_MIN_N=8192 — plan-identical at committed SFs,
+    # --- re-checked anyway); (2) the 12 remaining r5-era rows;
+    # --- (3) the 19 alphabetically-first r6-era rows. Round-14
+    # --- guidance: FIRST any round-14 additions and changed-code
+    # --- re-checks, then the 26 remaining r6-era rows
+    # --- (itemsets_frequent_pairs, layout_zorder_events,
+    # --- merge_upsert_customer_balance, multimodal_audio_pcm_features,
+    # --- multimodal_image_ahash, multimodal_raster_gradients,
+    # --- multimodal_rle_roundtrip, orders_forecast_holt,
+    # --- pipeline_curriculum_order, profile_documents_columns,
+    # --- pyds_synthetic_events, regression_multivar_normal_eq,
+    # --- scd2_point_in_time_join, scd2_user_value_tiers,
+    # --- sketch_countmin_user_counts, sketch_hll_user_rollup,
+    # --- sketch_theta_segment_overlap, sql_scripting_vars,
+    # --- stream_changepoint_cusum, stream_docs_quality_gate,
+    # --- text_bigram_lm_score, text_bpe_apply_fertility,
+    # --- text_rake_keywords, text_readability_forcast,
+    # --- text_repetition_ratios, xml_parse_roundtrip), then the
+    # --- r7-era rows.
+    # --- (1) changed-code re-checks (round-13)
+    "dedup_shingle_containment",          # r13: representative rewrite
+    "dedup_shingle_containment_clusters",  # r13: inherits the rewrite
+    "dedup_embedding_cosine",             # r13: representative rewrite
+    "dedup_embedding_cosine_clusters",    # r13: inherits the rewrite
+    "dedup_jaccard_shingles",             # r13: persist_once on shared groups
+    "dedup_connected_components",         # r13: cc_labels size-adaptive lineage
+    "graph_connected_components_star",    # r13: consumes the jaccard pairs
+    "dedup_cluster_canonical",            # r13: consumes connected_components
+    "dedup_minhash_lsh",                  # r13: persist_once shingle arrays
+    "dedup_minhash_lsh_clusters",         # r13: cc_labels consumer
+    "dedup_simhash",                      # r13: persist_once fingerprints
+    "dedup_simhash_clusters",             # r13: cc_labels consumer
+    "dedup_jaccard_prefix_filter",        # r13: persist_once shingle arrays
+    "dedup_minhash_error_profile",        # r13: persist_once shingle arrays
+    "similarity_topk_ivf",                # r13: two-level build (gated)
+    "similarity_topk_ivfpq",              # r13: two-level build (gated)
+    "similarity_topk_pq",                 # r13: persist_once vecs
+    "dedup_semdedup_clusters",            # r13: persist_once vecs/nrm
+    "embedding_kmeans_assign",            # r13: persist_once vecs
+    # --- (2) the final 12 r5-era rows
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "subquery_correlated_max",
+    "subquery_scalar_above_avg",
+    "udaf_user_value_trend",
+    "user_value_trend_native",
+    "win_lag_order_gap",
+    "win_range_frame_30d_spend",
+    "win_running_customer_spend",
+    "win_session_gaps",
+    "win_topk_orders_per_priority",
+    # --- (3) 19 of the 48 r6-era rows (rest listed above for r14)
+    "agg_bitmap_exact_distinct",
+    "dedup_incremental_vs_history",
+    "dedup_pipeline_tiered",
+    "docs_bigram_novelty",
+    "docs_chunk_overlap",
+    "docs_duplicate_ngram_spans",
+    "docs_lang_tvd_drift",
+    "docs_tfidf_topterms",
+    "docs_url_canonical_dedup",
+    "dq_constraint_report",
+    "embedding_knn_classify",
+    "events_cdc_latest_state",
+    "events_changepoint_cusum",
+    "events_lagged_crosscorr",
+    "graph_bfs_levels",
+    "graph_link_prediction_cn",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "ingest_orc_roundtrip",
 )
 
 

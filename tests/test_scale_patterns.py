@@ -404,3 +404,101 @@ def test_ann_fixed_qps_hook_engages_and_restores(spark, sf_dir):
     assert capped < base  # the cap genuinely shrank the query set
     again = sim.similarity_topk_cosine(spark, "/root/testdata/sf0.01").count()
     assert again == base  # restored: identical plan again
+
+
+def test_lloyd_train_mod_scales_with_cell_count():
+    """Round-13: the FIXED ~2000-point training sample starved the
+    sqrt-scaled cell count at scale — 834 init cells at 30x got ~2.4
+    train points each and 3 Lloyd rounds collapsed them to 142 survivors,
+    bloating every probed cell to ~423 members (the real driver of the
+    46x IVFPQ 30x row). The cell-aware cap trains ~LLOYD_TRAIN_PER_CELL
+    points per centroid, and stays an EXACT no-op (mod == 1) at every
+    committed SF."""
+    from oe_batch_processing_spark.operators.similarity import (
+        LLOYD_TRAIN_PER_CELL,
+        adaptive_cells_mod,
+        lloyd_train_mod,
+    )
+
+    # committed SFs: no-op with or without the cell geometry
+    for n in (20, 200, 2000):
+        assert lloyd_train_mod(n, adaptive_cells_mod(13, n)) == 1
+        assert lloyd_train_mod(n, adaptive_cells_mod(37, n)) == 1
+    # probe scales: the sample grows with ncells (~8 points per cell)
+    for n, base in ((20_000, 13), (60_000, 13)):
+        cm = adaptive_cells_mod(base, n)
+        mod = lloyd_train_mod(n, cm)
+        ncells = n // cm
+        train = n // mod
+        assert mod > 1
+        assert train >= (LLOYD_TRAIN_PER_CELL - 1) * ncells, (n, train, ncells)
+    # legacy one-arg form keeps the r11 fixed-cap behavior
+    assert lloyd_train_mod(20_000) == 10
+    assert lloyd_train_mod(60_000) == 30
+
+
+def test_ivf_two_level_cell_scores_are_deterministic_and_covering(spark):
+    """Round-13: the IVF/IVFPQ two-level coarse-quantizer build
+    (_ivf_hier_cell_scores / _ivfpq_hier_cell_scores) engages above
+    IVF_HIER_MIN_N — committed SFs stay on the flat path (asserted) — and
+    must (a) be bit-deterministic run to run, (b) cover every vector with
+    at least one scored cell, (c) emit unique (vec, cell) rows whose cell
+    ids come from the centroid table, and (d) agree with the FLAT argmin
+    assignment for the vectors whose best cell is reachable through the
+    probed supers (measured: the overwhelming majority on a uniform
+    corpus — pinned as a >= 60% floor)."""
+    import hashlib
+
+    from oe_batch_processing_spark.operators.similarity import (
+        IVF_HIER_MIN_N,
+        _ivf_hier_cell_scores,
+    )
+    from oe_batch_processing_spark.operators.similarity import (
+        _DOT_SCALED_SQL as DOT,
+    )
+
+    assert IVF_HIER_MIN_N >= 2 * 2000  # sf0.1 corpus stays flat
+
+    def vec(i: int) -> list[float]:
+        h = hashlib.md5(f"hv:{i}".encode()).digest()
+        return [b / 255.0 + 0.01 for b in h[:6]]
+
+    n, cells_mod = 900, 30
+    rows = [(i, vec(i)) for i in range(1, n + 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nrm = F.sqrt(F.expr(
+        "aggregate(transform(embedding, x -> CAST(ROUND(x * 31623) AS "
+        "BIGINT)), 0L, (acc, x) -> acc + x * x)") / F.lit(1e9))
+    vecs = emb.select("vec_id", "embedding", nrm.alias("nrm")).persist()
+    cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    ).persist()
+    out1 = _ivf_hier_cell_scores(vecs, cents, cells_mod).collect()
+    out2 = _ivf_hier_cell_scores(vecs, cents, cells_mod).collect()
+    key = lambda r: (r["vec_id"], r["cell_id"])  # noqa: E731
+    assert sorted(out1, key=key) == sorted(out2, key=key)  # (a)
+    assert {r["vec_id"] for r in out1} == set(range(1, n + 1))  # (b)
+    pairs = [key(r) for r in out1]
+    assert len(pairs) == len(set(pairs))  # (c) unique
+    cell_ids = {r["cell_id"] for r in cents.collect()}
+    assert {r["cell_id"] for r in out1} <= cell_ids  # (c) subset
+    # (d) agreement with the flat argmax on best-cell assignment
+    hier_best = {}
+    for r in sorted(out1, key=lambda r: (-r["cs"], r["cell_id"])):
+        hier_best.setdefault(r["vec_id"], r["cell_id"])
+    cs = (F.expr(DOT.format(a="embedding", b="c_emb")) / F.lit(1e9)) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    flat = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct("cs", (-F.col("cell_id")).alias("nc"))).alias("b"))
+        .select("vec_id", (-F.col("b.nc")).alias("cell_id"))
+        .collect()
+    )
+    agree = sum(1 for r in flat if hier_best[r["vec_id"]] == r["cell_id"])
+    assert agree >= 0.6 * n, f"only {agree}/{n} agree with flat argmax"
+    vecs.unpersist(); cents.unpersist()

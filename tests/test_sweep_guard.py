@@ -401,3 +401,48 @@ def test_sweep_splices_disclosed_and_capped():
             )
             unknown = [x for x in names if x not in registry.QUERIES]
             assert not unknown, f"{newest}: spliced non-queries {unknown}"
+
+
+def test_documented_probe_ratios_match_committed_artifacts():
+    """VERDICT r12 'minor' + r13 item 4 (the number-drift cousin of the
+    count guards): any scale-probe ratio quoted in a COVERAGE round
+    summary must match the COMMITTED artifact within rounding — round 12
+    quoted a mid-round semdedup re-probe (24.5x) while the committed
+    artifact read 37.1x. Each quoted (artifact, query) claim is pinned by
+    a regex over COVERAGE.md; quoting a new ratio means adding its row
+    here (same forcing function as the sweep-coverage guard)."""
+    import json
+
+    body = open(os.path.join(REPO, "COVERAGE.md")).read()
+    claims = [
+        (
+            "SCALEPROBE30X_r12.json",
+            "dedup_semdedup_clusters",
+            r"30x 88\.7x -> \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE_r12.json",
+            "dedup_semdedup_clusters",
+            r"10x 16\.5x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r12.json",
+            "dedup_jaccard_shingles",
+            r"committed-\s+artifact ratio 133\.8x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r12.json",
+            "graph_connected_components_star",
+            r"141x ->\s+([\d.]+)x",
+        ),
+    ]
+    for artifact, qname, rx in claims:
+        m = re.search(rx, body)
+        assert m, f"COVERAGE.md lost the {qname} ratio claim ({rx})"
+        quoted = float(m.group(1))
+        row = json.load(open(os.path.join(REPO, artifact)))["queries"][qname]
+        actual = row["time_ratio"]
+        assert abs(quoted - actual) <= 0.06 + 0.005 * actual, (
+            f"COVERAGE.md quotes {quoted}x for {qname} but the committed "
+            f"{artifact} reads {actual}x — quote the committed artifact"
+        )
