@@ -88,6 +88,7 @@ PROBES: tuple[str, ...] = (
     "recursive_cte_custkey_tree",
     "docs_duplicate_ngram_spans",
     "dedup_jaccard_shingles",
+    "dedup_shingle_containment",     # r13: representative-rewrite coverage
     "dedup_semdedup_clusters",
     "similarity_topk_lsh",
     "dedup_embedding_cosine",
@@ -264,7 +265,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--flag-ratio", type=float, default=15.0)
+    ap.add_argument("--flag-ratio", type=float, default=None)  # None -> 1.5 * factor (15 at 10x, 45 at 30x — the r12 convention)
     ap.add_argument("--skip-synth", action="store_true")
     ap.add_argument("--only", nargs="*", help="probe only these queries")
     ap.add_argument(
@@ -276,6 +277,8 @@ def main() -> int:
     ap.add_argument("--out", default="SCALEPROBE_r10.json")
     args = ap.parse_args()
 
+    if args.flag_ratio is None:
+        args.flag_ratio = 1.5 * args.factor
     dst = os.path.join(DATA_DIR, f"x{args.factor}")
     spark = get_spark("scaleprobe")
     names = tuple(args.only) if args.only else PROBES
@@ -397,6 +400,7 @@ def main() -> int:
             - set(names)
             | set(new_sp)
         )
+        artifact["flag_ratio"] = args.flag_ratio
         artifact["flagged_over_ratio"] = flagged
         artifact["new_single_partition_exchanges_at_scale"] = new_sp
         with open(args.out, "w") as f:
