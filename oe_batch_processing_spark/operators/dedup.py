@@ -683,10 +683,17 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     explosion) and fall back to checkpointing only past
     _CC_PLAIN_PERSIST_ROUNDS, where 4^rounds stops being hypothetical."""
     spark = pairs.sparkSession
-    edges = persist_once(pairs.union(
+    # Materialize the pair relation ONCE before the symmetric-closure
+    # union: the union's two branches are separate subtrees, so without
+    # the persist+count their tasks race to evaluate the full upstream
+    # pair pipeline TWICE (measured: the r13 containment rewrite made
+    # that pipeline ~3 s at sf0.1 and its clusters consumer paid ~6 s).
+    # The edge count is 2x the pair count — no second action needed.
+    pairs = persist_once(pairs)
+    n_edges = 2 * pairs.count()
+    edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ))
-    n_edges = edges.count()
+    )
     small_graph = n_edges < _CC_SMALL_EDGES
     saved: dict[str, str] = {}
     pinned: list[DataFrame] = []  # plain persists to release before return
@@ -699,25 +706,22 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
 
     try:
-        # Conf mutation and the eager small-edges checkpoint both live
-        # INSIDE the try: the checkpoint runs a real distributed job, and
-        # a failure there must still restore the session confs in finally.
-        # The checkpoint coalesces the already-persisted edges frame (a
-        # cache read), not a from-scratch rebuild of the upstream pipeline.
+        # Conf mutation and the eager edges checkpoint both live INSIDE
+        # the try: the checkpoint runs a real distributed job, and a
+        # failure there must still restore the session confs in finally.
+        # Both checkpoint branches read the materialized pairs cache
+        # (each union branch a cache scan), never rebuild the upstream
+        # pipeline; the pairs cache is released right after.
         if small_graph:
             for k, v in (("spark.sql.adaptive.enabled", "false"),
                          ("spark.sql.shuffle.partitions", "1")):
                 saved[k] = spark.conf.get(k)
                 spark.conf.set(k, v)
-            small = edges.coalesce(1).localCheckpoint(eager=True)
-            edges.unpersist()
-            edges = small
+            edges = edges.coalesce(1).localCheckpoint(eager=True)
         else:
-            # The checkpoint reads the persisted blocks once, then frees
-            # them — edges becomes a leaf for every round below.
-            big = edges.localCheckpoint(eager=True)
-            edges.unpersist()
-            edges = big
+            # edges becomes a leaf for every round below
+            edges = edges.localCheckpoint(eager=True)
+        pairs.unpersist()
         labels = _pin(
             edges.select(F.col("doc_a").alias("doc"))
             .distinct()
