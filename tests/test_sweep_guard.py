@@ -435,6 +435,21 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "graph_connected_components_star",
             r"141x ->\s+([\d.]+)x",
         ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "dedup_simhash_clusters",
+            r"re-probed 30x 109\.28x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "dedup_minhash_lsh",
+            r"re-probed 30x: pairs\s+15\.7x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "dedup_minhash_lsh_clusters",
+            r"clusters 20\.15x ->\s+([\d.]+)x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
