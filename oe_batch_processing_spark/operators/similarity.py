@@ -49,6 +49,68 @@ def ann_query_pred(col):
     return pred
 
 
+ANN_REP_MIN_N = 8192  # corpus content-collapse threshold for the exact ANN
+# rewrites (round-13, the IVF_HIER_MIN_N / SEMDEDUP_HIER_MIN_N gating
+# recipe): 4x the largest committed corpus, so every committed SF keeps its
+# flat plan BIT-IDENTICALLY (hashes, bench rows, recall numbers untouched);
+# the 10x/30x probe corpora (20k/60k vectors, replica-heavy by design)
+# cross it and run the collapsed corpus side. Tests force both paths by
+# patching this module attribute (restored in finally).
+
+
+def ann_rep_expand_topk(
+    rep_cand: DataFrame,
+    groups: DataFrame,
+    k: int,
+    score_col: str,
+    ascending: bool,
+) -> DataFrame:
+    """Expand rep-level ANN candidates back to vector-level rows covering
+    the global per-query top-k EXACTLY — the membership-expansion half of
+    the content-representative collapse (round-13; the dedup-family recipe
+    applied to ANN corpora, where replica-heavy inputs make every
+    bucket/scan candidate list grow with replica count while scores depend
+    only on vector CONTENT).
+
+    Correctness of the prune (a superset argument, not a heuristic): the
+    final output orders rows by (score, neighbor_id). A rep's BEST
+    expanded row is (score, min eligible member); best rows of distinct
+    reps are distinct rows, and if j reps rank ahead of rep r in best-row
+    order then at least j rows beat r's best row — so any rep contributing
+    a global top-k row ranks <= k among reps. Keeping dense_rank <= k over
+    (score, best_id) therefore keeps a SUPERSET of the contributing reps;
+    rows of dropped reps are all strictly outside the top-k, and ranks of
+    surviving rows only count better rows, which all belong to kept reps —
+    the caller's final ranking window reproduces the flat output
+    bit-identically.
+
+    ``rep_cand``: (query_id, rep_id, <score_col>) — exact duplicate rows
+    are fine (multi-table LSH). ``groups``: (rep_id, members). The
+    query's own vec_id is excluded POST-expansion (its content class may
+    hold other corpus vectors, which the flat path keeps), so callers on
+    the collapsed path must NOT pre-filter neighbor != query at rep level.
+    """
+    direction = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy("query_id").orderBy(
+        direction, F.col("best_id").asc()
+    )
+    kept = (
+        rep_cand.join(groups.select("rep_id", "members"), "rep_id")
+        .withColumn(
+            "best_id",
+            F.expr("array_min(filter(members, m -> m != query_id))"),
+        )
+        .filter(F.col("best_id").isNotNull())
+        .withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rep_id", score_col, "members")
+        .distinct()
+    )
+    return kept.select(
+        "query_id", score_col, F.explode("members").alias("neighbor_id")
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+
 # Exact-match dot products without a position join: each product is rounded
 # to an integer at 1e-9 resolution and summed as BIGINT (exact, associative,
 # order-independent) — both engines produce the identical integer, and the
@@ -223,10 +285,36 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_topk(
     spark: SparkSession, sf_dir: str, n_planes: int, n_tables: int
 ) -> DataFrame:
-    """Parameterized core of ``similarity_topk_lsh`` (geometry sweeps)."""
+    """Parameterized core of ``similarity_topk_lsh`` (geometry sweeps).
+
+    Above ANN_REP_MIN_N the CORPUS side runs on content representatives
+    (round-13): bucket ids and rescore cosines depend only on the
+    embedding array, so identical vectors share every (table, bucket) key
+    and per-query candidates grow linearly with replica count — the 30x
+    probe measured 97x total / 11.97x per fixed query from exactly that
+    term. Distinct embeddings bucket + rescore once; the top-k prune and
+    membership expansion (:func:`ann_rep_expand_topk`) reproduce the flat
+    output bit-identically. Below the gate (all committed SFs) the flat
+    plan is unchanged.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(F.expr(_hof_dot("embedding", "embedding")))
-    vecs = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    vecs = persist_once(emb.select("vec_id", "embedding", nrm.alias("nrm")))
+    n_vecs = vecs.count()
+    collapse = n_vecs >= ANN_REP_MIN_N
+    groups = None
+    corpus = vecs
+    if collapse:
+        groups = persist_once(
+            vecs.groupBy("embedding").agg(
+                F.min("vec_id").alias("rep_id"),
+                F.min("nrm").alias("nrm"),  # nrm is a function of embedding
+                F.collect_list("vec_id").alias("members"),
+            )
+        )
+        corpus = groups.select(
+            F.col("rep_id").alias("vec_id"), "embedding", "nrm"
+        )
 
     def proj(t: int, p: int) -> str:
         entries = _sparse_plane(t, p)
@@ -275,25 +363,31 @@ def lsh_topk(
         "tbl",
         "bucket",
     )
-    db = with_buckets(vecs).select(
+    db = with_buckets(corpus).select(
         F.col("vec_id").alias("neighbor_id"),
         "embedding",
         F.col("nrm").alias("nrm_d"),
         "tbl",
         "bucket",
     )
-    sims = (
-        db.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                F.expr(_hof_dot("q_emb", "embedding"))
-                / (F.col("nrm_q") * F.col("nrm_d"))
-            ).alias("cosine"),
+    cos = (
+        F.expr(_hof_dot("q_emb", "embedding"))
+        / (F.col("nrm_q") * F.col("nrm_d"))
+    ).alias("cosine")
+    joined = db.join(F.broadcast(qb), ["tbl", "bucket"])
+    if collapse:
+        # self-exclusion happens POST-expansion (the query's content class
+        # may hold other corpus vectors the flat path keeps as neighbors)
+        rep_cand = joined.select(
+            "query_id", F.col("neighbor_id").alias("rep_id"), cos
         )
-    )
+        sims = ann_rep_expand_topk(
+            rep_cand, groups, TOP_K, "cosine", ascending=False
+        )
+    else:
+        sims = joined.filter(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select("query_id", "neighbor_id", cos)
     # A pair surfaced by several tables appears as EXACT duplicate rows, and
     # the window orders by (cosine, neighbor_id) — unique per distinct pair —
     # so dense_rank collapses duplicates to one rank. Deduping after the

@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oe_batch_processing_spark.operators.similarity import (
+    ANN_REP_MIN_N,
     IVF_HIER_MIN_N,
     adaptive_cells_mod,
     adaptive_cells_mod_sql,
     ann_query_pred,
+    ann_rep_expand_topk,
     lloyd_train_mod,
 )
 from oe_batch_processing_spark.registry import query
@@ -220,7 +222,28 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_once(emb.select("vec_id", F.expr(_QE).alias("qe"))
         .repartition(n_part))
     )
-    codes_mod = codebook_mod(vecs.count())
+    n_vecs = vecs.count()
+    codes_mod = codebook_mod(n_vecs)
+    # Content-representative collapse of the SCAN side (round-13, the
+    # dedup/LSH recipe): codes are content-determined (deterministic
+    # integer sub-L2 argmin), so identical vectors encode identically and
+    # the per-query ADC scan pays every replica — the 30x probe read 53.6x
+    # total / 9.36x per fixed query. Above ANN_REP_MIN_N the encode + ADC
+    # run on distinct vectors only; the top-k prune + membership expansion
+    # (ann_rep_expand_topk) reproduce the flat output bit-identically.
+    # The CODEBOOK stays id-selected from the FULL corpus (vec_id stride —
+    # mirrored in the oracle SQL), so cents are unchanged by the collapse.
+    collapse = n_vecs >= ANN_REP_MIN_N
+    groups = None
+    enc_src = vecs
+    if collapse:
+        groups = persist_once(
+            vecs.groupBy("qe").agg(
+                F.min("vec_id").alias("rep_id"),
+                F.collect_list("vec_id").alias("members"),
+            )
+        )
+        enc_src = groups.select(F.col("rep_id").alias("vec_id"), "qe")
     cents = vecs.filter(F.col("vec_id") % codes_mod == 1).select(
         F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce")
     )
@@ -233,7 +256,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspaces = F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("s")
 
     scored = (
-        vecs.select("vec_id", "qe", subspaces)
+        enc_src.select("vec_id", "qe", subspaces)
         .join(F.broadcast(cents))
         .select("vec_id", "s", "cent_id", sub_l2.alias("subdist"))
     )
@@ -248,15 +271,25 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cents))
         .select("query_id", "s", "cent_id", sub_l2.alias("qdist"))
     )
-    adc = (
-        enc.join(
-            F.broadcast(qtab),
-            (enc["s"] == qtab["s"]) & (enc["code"] == qtab["cent_id"]),
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("qdist").alias("approx_dist"))
+    adc_join = enc.join(
+        F.broadcast(qtab),
+        (enc["s"] == qtab["s"]) & (enc["code"] == qtab["cent_id"]),
     )
+    if not collapse:
+        # self-exclusion at rep level is wrong on the collapsed path (the
+        # query's content class may hold other corpus vectors); it moves
+        # into ann_rep_expand_topk's post-expansion filter there.
+        adc_join = adc_join.filter(F.col("vec_id") != F.col("query_id"))
+    adc = adc_join.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(F.sum("qdist").alias("approx_dist"))
+    if collapse:
+        rep_cand = adc.select(
+            "query_id", F.col("neighbor_id").alias("rep_id"), "approx_dist"
+        )
+        adc = ann_rep_expand_topk(
+            rep_cand, groups, PQ_TOP_K, "approx_dist", ascending=True
+        )
     w = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w).cast("int"))

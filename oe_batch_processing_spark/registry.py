@@ -126,7 +126,10 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- Round-13 window, per the r12 rotation guidance: (1) changed-code
     # --- re-checks — the content-representative rewrite of the
     # --- containment and embedding-cosine exact-pair builds (+ their
-    # --- clusters consumers), every cc_labels consumer after the
+    # --- clusters consumers), the same collapse transferred in-round to
+    # --- the SimHash and MinHash-LSH candidate builds and (gated at
+    # --- ANN_REP_MIN_N) to the LSH/PQ ANN corpus sides, every cc_labels
+    # --- consumer after the
     # --- size-adaptive lineage change (plain persists below
     # --- _CC_SMALL_EDGES, round-capped), every query that crossed a
     # --- persist_once() conversion, and the IVF/IVFPQ family after the
@@ -136,8 +139,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- re-checked anyway); (2) the 12 remaining r5-era rows;
     # --- (3) the 19 alphabetically-first r6-era rows. Round-14
     # --- guidance: FIRST any round-14 additions and changed-code
-    # --- re-checks, then the 26 remaining r6-era rows
-    # --- (itemsets_frequent_pairs, layout_zorder_events,
+    # --- re-checks, then the 27 remaining r6-era rows
+    # --- (ingest_orc_roundtrip, itemsets_frequent_pairs, layout_zorder_events,
     # --- merge_upsert_customer_balance, multimodal_audio_pcm_features,
     # --- multimodal_image_ahash, multimodal_raster_gradients,
     # --- multimodal_rle_roundtrip, orders_forecast_holt,
@@ -160,15 +163,16 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",         # r13: cc_labels size-adaptive lineage
     "graph_connected_components_star",    # r13: consumes the jaccard pairs
     "dedup_cluster_canonical",            # r13: consumes connected_components
-    "dedup_minhash_lsh",                  # r13: persist_once shingle arrays
-    "dedup_minhash_lsh_clusters",         # r13: cc_labels consumer
-    "dedup_simhash",                      # r13: persist_once fingerprints
-    "dedup_simhash_clusters",             # r13: cc_labels consumer
+    "dedup_minhash_lsh",                  # r13: representative rewrite
+    "dedup_minhash_lsh_clusters",         # r13: inherits the rewrite
+    "dedup_simhash",                      # r13: representative rewrite
+    "dedup_simhash_clusters",             # r13: inherits the rewrite
     "dedup_jaccard_prefix_filter",        # r13: persist_once shingle arrays
     "dedup_minhash_error_profile",        # r13: persist_once shingle arrays
     "similarity_topk_ivf",                # r13: two-level build (gated)
     "similarity_topk_ivfpq",              # r13: two-level build (gated)
-    "similarity_topk_pq",                 # r13: persist_once vecs
+    "similarity_topk_pq",                 # r13: corpus rep collapse (gated)
+    "similarity_topk_lsh",                # r13: corpus rep collapse (gated)
     "dedup_semdedup_clusters",            # r13: persist_once vecs/nrm
     "embedding_kmeans_assign",            # r13: persist_once vecs
     # --- (2) the final 12 r5-era rows
@@ -184,7 +188,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "win_running_customer_spend",
     "win_session_gaps",
     "win_topk_orders_per_priority",
-    # --- (3) 19 of the 48 r6-era rows (rest listed above for r14)
+    # --- (3) 18 of the 48 r6-era rows (rest listed above for r14)
     "agg_bitmap_exact_distinct",
     "dedup_incremental_vs_history",
     "dedup_pipeline_tiered",
@@ -203,7 +207,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "graph_link_prediction_cn",
     "graph_pagerank_trade",
     "graph_triangle_count",
-    "ingest_orc_roundtrip",
 )
 
 

@@ -502,3 +502,67 @@ def test_ivf_two_level_cell_scores_are_deterministic_and_covering(spark):
     agree = sum(1 for r in flat if hier_best[r["vec_id"]] == r["cell_id"])
     assert agree >= 0.6 * n, f"only {agree}/{n} agree with flat argmax"
     vecs.unpersist(); cents.unpersist()
+
+
+def test_ann_rep_collapse_matches_flat(spark, tmp_path):
+    """Round-13: above ANN_REP_MIN_N the LSH and PQ corpus sides run on
+    content representatives (bucket keys / PQ codes / rescore scores are
+    content-determined, so replica-heavy corpora pay every replica in the
+    candidate scan for identical results). The collapse + top-k prune +
+    membership expansion must reproduce the FLAT output bit-identically —
+    both operators run both paths (threshold patched both ways, restored
+    in finally) on a replica-heavy corpus whose query vectors belong to
+    multi-member content classes (exercising the post-expansion
+    self-exclusion and the massive score-tie ordering)."""
+    import hashlib
+
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators import similarity as sim
+    from oe_batch_processing_spark.operators import similarity2 as sim2
+    from oe_batch_processing_spark.operators.similarity import lsh_topk
+    from oe_batch_processing_spark.operators.similarity2 import (
+        similarity_topk_pq,
+    )
+
+    # every committed SF (<= 2000 vectors) stays on the flat plan
+    assert sim.ANN_REP_MIN_N > 2000 and sim2.ANN_REP_MIN_N > 2000
+
+    n_base, n_rep = 250, 8  # 2000 rows, 250 distinct contents
+
+    def vec(b: int) -> list[float]:
+        bs = b"".join(
+            hashlib.md5(f"rc:{b}:{k}".encode()).digest() for k in range(4)
+        )
+        # (x-127)/256 is float32-exact, so replicas are byte-identical
+        return [(x - 127) / 256.0 for x in bs]
+
+    rows = [
+        (r * 10_000 + b, vec(b)) for r in range(n_rep) for b in range(n_base)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+    # queries: vec_id % 100 == 0 -> contents {0, 100, 200} x 8 replicas
+
+    def run(fn, threshold):
+        old_s, old_s2 = sim.ANN_REP_MIN_N, sim2.ANN_REP_MIN_N
+        sim.ANN_REP_MIN_N = sim2.ANN_REP_MIN_N = threshold
+        try:
+            df = fn(spark, sf_dir)
+            pdf = df.toPandas()
+        finally:
+            sim.ANN_REP_MIN_N, sim2.ANN_REP_MIN_N = old_s, old_s2
+            spark.catalog.clearCache()  # flat/collapsed share plan prefixes
+        cols = list(pdf.columns)
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    for fn in (
+        lambda sp, sd: lsh_topk(sp, sd, sim.N_PLANES, sim.N_TABLES),
+        similarity_topk_pq,
+    ):
+        flat = run(fn, 10**12)
+        collapsed = run(fn, 1)
+        assert len(flat) > 0
+        # replica classes guarantee score ties -> nonvacuous expansion
+        pd.testing.assert_frame_equal(flat, collapsed)

@@ -450,6 +450,26 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "dedup_minhash_lsh_clusters",
             r"clusters 20\.15x ->\s+([\d.]+)x",
         ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "similarity_topk_lsh",
+            r"LSH total 97\.0x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "similarity_topk_pq",
+            r"PQ\s+53\.6x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE_r13.json",
+            "similarity_topk_lsh",
+            r"10x: LSH 11\.55x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE_r13.json",
+            "similarity_topk_pq",
+            r"PQ 9\.7x ->\s+([\d.]+)x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
