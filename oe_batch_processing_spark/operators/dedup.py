@@ -74,6 +74,86 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
     )
 
 
+def content_rep_groups(docs: DataFrame) -> DataFrame:
+    """Exact-content groups for the representative collapse (round 12/13):
+    (rep_id = min doc_id per distinct text, members). The aggregate plan
+    is IDENTICAL across every caller (jaccard, containment, MinHash-LSH,
+    SimHash, prefix-filter), so persist_once shares one cache entry per
+    sweep. Group sizes are replica counts (bounded), so collect_list stays
+    rows-per-content-sized, never corpus-sized; at 100 TB key the groupBy
+    on xxhash64(text)/md5 instead of full text (the dedup_exact_documents
+    idiom)."""
+    return persist_once(
+        docs.groupBy("text").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.collect_list("doc_id").alias("members"),
+        )
+    )
+
+
+def expand_rep_pairs(
+    groups: DataFrame,
+    rep_pairs: DataFrame,
+    payload: str,
+    within_payload,
+) -> DataFrame:
+    """Membership expansion of a content-representative SYMMETRIC pair
+    relation back to the per-doc relation — the shared second half of the
+    collapse rewrites (the asymmetric containment expansion stays local
+    to dedup_shingle_containment):
+
+    1. cross-group: every member of rep_a's group pairs with every member
+       of rep_b's group; the payload is content-determined, so the
+       rep-level value carries over verbatim (symmetric — reordering each
+       emitted pair to (min, max) is safe since group doc_ids interleave);
+    2. within-group: identical texts pair at ``within_payload`` (jaccard
+       exactly 1.0 / hamming exactly 0), admitted iff the text has at
+       least one trigram (< 3 words never enters the shingle relation and
+       pairs with nothing).
+
+    ``rep_pairs``: (rep_a, rep_b, <payload>).
+    """
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("doc_id")
+    )
+    ma = membership.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            payload,
+        )
+    )
+    within = (
+        groups.filter(
+            (F.size("members") >= 2)
+            & (F.size(F.split("text", " ")) >= 3)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, "
+                    "x -> transform(members, y -> struct(x, y)))), "
+                    "p -> p.x < p.y)"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x").alias("doc_a"),
+            F.col("p.y").alias("doc_b"),
+            within_payload.alias(payload),
+        )
+    )
+    return cross.unionByName(within)
+
+
 # --- exact dedup -----------------------------------------------------------
 
 @query(
@@ -151,14 +231,7 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep this for bucket-level verification.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # exact-content groups: one shuffle on text (at 100 TB, key the groupBy
-    # on xxhash64(text)/md5 fingerprint instead of full text — same idiom
-    # as dedup_exact_documents). Group sizes are replica counts (bounded),
-    # so collect_list stays rows-per-content-sized, never corpus-sized.
-    groups = persist_once(docs.groupBy("text").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.collect_list("doc_id").alias("members"),
-    ))
+    groups = content_rep_groups(docs)
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sh = word_shingles(rep_docs, 3)
     # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
@@ -193,52 +266,7 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
     )
-    # Expansion 1/2 — cross-group: every member of rep_a's group pairs with
-    # every member of rep_b's group (jaccard is content-determined, so the
-    # rep-level value carries over verbatim); reorder each emitted pair to
-    # (min, max) since group doc_ids interleave.
-    membership = groups.select(
-        F.col("rep_id"), F.explode("members").alias("doc_id")
-    )
-    ma = membership.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
-    )
-    mb = membership.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
-    )
-    cross = (
-        rep_pairs.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # Expansion 2/2 — within-group: identical texts are jaccard exactly 1.0
-    # with each other, PROVIDED the text has at least one trigram (< 3
-    # words never enters the shingle relation and pairs with nothing).
-    within = (
-        groups.filter(
-            (F.size("members") >= 2)
-            & (F.size(F.split("text", " ")) >= 3)
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(members, "
-                    "x -> transform(members, y -> struct(x, y)))), "
-                    "p -> p.x < p.y)"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.x").alias("doc_a"),
-            F.col("p.y").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
+    return expand_rep_pairs(groups, rep_pairs, "jaccard", F.lit(1.0))
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -282,13 +310,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with distinct near-dup classes, not replica counts.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # exact-content groups: identical plan to the jaccard/containment
-    # rewrites' aggregate, so persist_once shares one cache entry across
-    # all three pipelines in a sweep.
-    groups = persist_once(docs.groupBy("text").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.collect_list("doc_id").alias("members"),
-    ))
+    groups = content_rep_groups(docs)
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     # shingle_arrays already round-robins the single-row-group test scan to
     # shuffle-partition width so the CPU-heavy signature stage runs 32-wide
@@ -363,50 +385,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
     )
-    # Expansion (the dedup_jaccard_shingles recipe): cross-group pairs carry
-    # the content-determined rep jaccard verbatim, reordered to (min, max)
-    # since group doc_ids interleave; within-group identical texts are
-    # jaccard exactly 1.0, gated on the >=3-word trigram rule (< 3 words
-    # never enters the shingle relation and pairs with nothing).
-    membership = groups.select(
-        F.col("rep_id"), F.explode("members").alias("doc_id")
-    )
-    ma = membership.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
-    )
-    mb = membership.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
-    )
-    cross = (
-        rep_pairs.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    within = (
-        groups.filter(
-            (F.size("members") >= 2)
-            & (F.size(F.split("text", " ")) >= 3)
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(members, "
-                    "x -> transform(members, y -> struct(x, y)))), "
-                    "p -> p.x < p.y)"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.x").alias("doc_a"),
-            F.col("p.y").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    return cross.unionByName(within)
+    return expand_rep_pairs(groups, rep_pairs, "jaccard", F.lit(1.0))
 
 
 @query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
@@ -559,10 +538,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hamming verbatim (symmetric — reordering to (min, max) is safe),
     # within-group pairs are hamming exactly 0, admitted iff the text has
     # at least one trigram (< 3 words never produces a fingerprint row).
-    groups = persist_once(docs.groupBy("text").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.collect_list("doc_id").alias("members"),
-    ))
+    groups = content_rep_groups(docs)
     # single-row-group scan => repartition before the CPU-heavy fingerprint
     # fold (see dedup_minhash_lsh note)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -641,45 +617,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
-    membership = groups.select(
-        F.col("rep_id"), F.explode("members").alias("doc_id")
+    return expand_rep_pairs(
+        groups, rep_pairs, "hamming", F.lit(0).cast("int")
     )
-    ma = membership.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
-    )
-    mb = membership.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
-    )
-    cross = (
-        rep_pairs.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "hamming",
-        )
-    )
-    within = (
-        groups.filter(
-            (F.size("members") >= 2)
-            & (F.size(F.split("text", " ")) >= 3)
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(members, "
-                    "x -> transform(members, y -> struct(x, y)))), "
-                    "p -> p.x < p.y)"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.x").alias("doc_a"),
-            F.col("p.y").alias("doc_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
-    )
-    return cross.unionByName(within)
 
 
 @query("dedup_simhash_clusters", oracle=clusters_oracle(_SIMHASH_ORACLE))
@@ -1179,10 +1119,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     two set sizes, both already in the signature join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    groups = persist_once(docs.groupBy("text").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.collect_list("doc_id").alias("members"),
-    ))
+    groups = content_rep_groups(docs)
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sh = word_shingles(rep_docs, 3)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1395,9 +1332,22 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     real corpora where boilerplate shingles make bucket fan-out
     quadratic, exactly what the prefix excludes. This is the production
     exact-join path when LSH recall guarantees aren't acceptable.
+
+    Content-representative collapse (round-13, shared recipe): prefix
+    filtering is defenseless against EXACT replicas — identical texts
+    share their whole (rarity-ordered) prefix, so every duplicate class
+    of size k contributes k(k-1)/2 candidates per prefix shingle. Docs
+    collapse to reps before the DF counts and the prefix join (the
+    rep-level (dfreq, shingle) order is still a shared total order —
+    soundness only needs SOME shared order — and the true-Jaccard
+    verification makes the emitted relation independent of the candidate
+    set), then the standard membership expansion rebuilds the per-doc
+    relation exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
-    arrs = persist_once(shingle_arrays(docs, 3))
+    groups = content_rep_groups(docs)
+    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    arrs = persist_once(shingle_arrays(rep_docs, 3))
     exploded = arrs.select("doc_id", F.explode("shingles").alias("sh"))
     # document frequency per shingle; (dfreq, sh) IS the shared total
     # order — no materialized global rank (a row_number over the whole
@@ -1449,8 +1399,8 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
             F.expr(
                 "size(array_intersect(sh_a, sh_b)) / "
                 "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)))"
@@ -1458,7 +1408,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
     )
-    return verified
+    return expand_rep_pairs(groups, verified, "jaccard", F.lit(1.0))
 
 
 @query(

@@ -934,7 +934,9 @@ SEMDEDUP_COARSE_PROBES = 2  # coarse cells probed per vector (IVF nprobe):
 # mode for a ~1.5x candidate-scoring cost. Both levels stay deterministic.
 
 
-def _semdedup_hier_assign(vecs: DataFrame, n: int) -> DataFrame:
+def _semdedup_hier_assign(
+    vecs: DataFrame, n: int, route: DataFrame = None  # noqa: RUF013
+) -> DataFrame:
     """Two-level (coarse -> fine) cell assignment for the SemDeDup family:
     (vec_id, cell_id, qe) with cell_id from the CONSTANT-occupancy fine
     grid ``vec_id % CELLS_MOD == 1`` (~{CELLS_MOD} members per cell at any
@@ -947,7 +949,16 @@ def _semdedup_hier_assign(vecs: DataFrame, n: int) -> DataFrame:
     |fine| to ~(1 + {SEMDEDUP_COARSE_PROBES}) * sqrt(|fine|). All argmins
     are exact integer L2 with (l2, id) tie-breaks, so the assignment is
     deterministic; a DuckDB mirror of this exact routing is differential-
-    tested above the threshold in tests/test_scale_patterns.py."""
+    tested above the threshold in tests/test_scale_patterns.py.
+
+    ``route`` (round-13 content-collapse): the frame actually routed
+    through the hierarchy — defaults to ``vecs``; the collapsed SemDeDup
+    path passes the content representatives while BOTH centroid layers
+    stay derived from the full corpus's vec_id strides, so a rep routes
+    exactly where each of its members would (routing depends only on the
+    qe content and the centroid tables)."""
+    if route is None:
+        route = vecs
     cf = max(2, _isqrt(n // CELLS_MOD))
     coarse_mod = CELLS_MOD * cf
     fine = vecs.filter(F.col("vec_id") % CELLS_MOD == 1).select(
@@ -973,7 +984,7 @@ def _semdedup_hier_assign(vecs: DataFrame, n: int) -> DataFrame:
     )
     # vectors -> top-P coarse cells (n x |coarse| scores; the ONLY stage
     # that touches every centroid of a layer, and the layer is sqrt-sized)
-    vc = vecs.join(F.broadcast(coarse)).select(
+    vc = route.join(F.broadcast(coarse)).select(
         "vec_id", "coarse_id",
         F.expr(_L2.format(a="qe", b="ke")).alias("l2"),
     )
@@ -990,7 +1001,7 @@ def _semdedup_hier_assign(vecs: DataFrame, n: int) -> DataFrame:
     # Broadcast holds to ~10M fine cells (~5 GB); beyond that, shard the
     # routing table by coarse_id ranges and union the per-shard joins.
     scored = (
-        probes.join(vecs, "vec_id")
+        probes.join(route, "vec_id")
         .join(F.broadcast(f2c), "coarse_id")
         .select(
             "vec_id", "cell_id",
@@ -1002,7 +1013,7 @@ def _semdedup_hier_assign(vecs: DataFrame, n: int) -> DataFrame:
     )
     return best.select(
         "vec_id", F.col("best.cell_id").alias("cell_id")
-    ).join(vecs, "vec_id")
+    ).join(route, "vec_id")
 
 
 def _isqrt(x: int) -> int:
@@ -1011,16 +1022,44 @@ def _isqrt(x: int) -> int:
     return math.isqrt(x)
 
 
+SEMDEDUP_REP_MIN_N = 8192  # content-collapse threshold (round-13, the
+# ANN_REP_MIN_N recipe): above it, identical qe arrays collapse to content
+# representatives before assignment and the within-cell pair stage —
+# replica-heavy corpora otherwise pay replica² in every cell's self-join
+# for witness sets that are pure membership arithmetic. Every committed SF
+# stays below it (flat, bit-identical, oracle untouched).
+
+
 def semdedup_clusters(
     emb: DataFrame,
     cap: int = None,  # noqa: RUF013 — None => SEMDEDUP_CELL_CAP
     hier_min_n: int = None,  # noqa: RUF013 — None => SEMDEDUP_HIER_MIN_N
+    rep_min_n: int = None,  # noqa: RUF013 — None => SEMDEDUP_REP_MIN_N
 ) -> DataFrame:
     """Core of ``dedup_semdedup_clusters`` over any (vec_id, embedding)
-    frame; ``cap`` overrides the per-cell member bound and ``hier_min_n``
-    the two-level routing threshold for tests."""
+    frame; ``cap`` overrides the per-cell member bound, ``hier_min_n``
+    the two-level routing threshold, and ``rep_min_n`` the
+    content-collapse threshold for tests.
+
+    The collapse (round-13) is an exact rewrite of the uncapped relation:
+    assignment is content-determined given the full-corpus centroid
+    strides (reps route exactly where their members would), and the
+    output's witness stats are membership arithmetic — for a member ``b``
+    of class ``i``, the witness set is {a < b} drawn from the members of
+    every same-cell class ``j`` with cos(i, j) >= T (including ``i``
+    itself when its self-cosine clears T — computed with the pair
+    expression, not assumed). Per qualifying class the sorted member
+    union ``w`` gives witness_id = w[1] and n_witnesses = #(w < b) by
+    array arithmetic — output-sized work instead of replica² pair rows.
+    Divergence note: above the collapse gate the per-cell cap bounds
+    DISTINCT CONTENTS per cell rather than members — the quantity the
+    pair stage is actually quadratic in; the cap is a no-op at every
+    committed and probed scale in both readings (asserted no-op on the
+    test corpora; the flat capped semantics below the gate are
+    unchanged)."""
     cap = SEMDEDUP_CELL_CAP if cap is None else cap
     hier_min_n = SEMDEDUP_HIER_MIN_N if hier_min_n is None else hier_min_n
+    rep_min_n = SEMDEDUP_REP_MIN_N if rep_min_n is None else rep_min_n
     # Round-robin repartition BEFORE persist: the test corpora are
     # single-file parquet (1-4 scan splits), and every downstream scoring
     # stage is a broadcast join off this cache — without the repartition
@@ -1038,6 +1077,16 @@ def semdedup_clusters(
         .repartition(n_part))
     )
     n = vecs.count()
+    groups = None
+    route = None
+    if n >= rep_min_n:
+        groups = persist_once(
+            vecs.groupBy("qe").agg(
+                F.min("vec_id").alias("rep_id"),
+                F.collect_list("vec_id").alias("members"),
+            )
+        )
+        route = groups.select(F.col("rep_id").alias("vec_id"), "qe")
     if n >= hier_min_n:
         # two-level routing (round-12): the 30x probe measured the flat
         # sqrt-stride shape at 88.7x for 30x input — decade slope 5.4x per
@@ -1045,7 +1094,9 @@ def semdedup_clusters(
         # the sqrt(n)-occupancy pair stage. The hierarchy replaces both:
         # constant-occupancy fine cells (linear pairs) reached through a
         # sqrt-sized coarse layer (per-vector scoring ~sqrt(|fine|)).
-        assigned = _semdedup_hier_assign(vecs, n)
+        # Both centroid layers derive from the FULL corpus strides; only
+        # the routed side collapses to reps (content-determined routing).
+        assigned = _semdedup_hier_assign(vecs, n, route=route)
     else:
         # flat path — bit-identical to pre-hierarchy code at committed SFs
         # sqrt-scaled stride: ncells ~ sqrt(n) bounds BOTH the n x ncells
@@ -1058,7 +1109,8 @@ def semdedup_clusters(
         cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
             F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
         )
-        scored = vecs.join(F.broadcast(cents)).select(
+        src = vecs if route is None else route
+        scored = src.join(F.broadcast(cents)).select(
             "vec_id", "cell_id",
             F.expr(_L2.format(a="qe", b="ce")).alias("l2"),
         )
@@ -1071,7 +1123,7 @@ def semdedup_clusters(
         )
         assigned = best.select(
             "vec_id", F.col("best.cell_id").alias("cell_id")
-        ).join(vecs, "vec_id")
+        ).join(src, "vec_id")
     # Per-cell member cap: one rank window over the N-row assignment frame
     # (NOT the N×K score frame), keeping the first `cap` members by vec_id.
     # Quadratic pair growth in a mega-cell is the one cost AQE cannot fix.
@@ -1114,12 +1166,70 @@ def semdedup_clusters(
              / (F.col("nr_a") * F.col("nr_b"))).alias("cosine"),
         )
     )
-    return (
-        pairs.filter(F.col("cosine") >= SEMDEDUP_T)
-        .groupBy(F.col("id_b").alias("vec_id"), "cell_id")
-        .agg(
+    qualifying = pairs.filter(F.col("cosine") >= SEMDEDUP_T)
+    if route is None:
+        return qualifying.groupBy(F.col("id_b").alias("vec_id"), "cell_id").agg(
             F.min("id_a").alias("witness_id"),
             F.count(F.lit(1)).alias("n_witnesses"),
+        )
+    # Collapsed expansion: witness stats are membership arithmetic. The
+    # DIRECTED qualifying-class relation is the symmetric closure of the
+    # rep pairs (members interleave, so a member of the larger-rep class
+    # can still precede one of the smaller-rep class) plus the self edge
+    # when the class's self-cosine — computed with the SAME pair
+    # expression, not assumed to be 1.0 — clears the threshold.
+    # Materialized ONCE before the union (the cc_labels lesson: the two
+    # union branches are separate subtrees and would race to evaluate the
+    # rep pair pipeline twice).
+    sym = persist_once(qualifying.select("cell_id", "id_a", "id_b"))
+    sym.count()  # fill the cache before the branches fork (collapse-only
+    # path — never reached at committed SFs, so no extra committed job)
+    directed = sym.select(
+        "cell_id", F.col("id_a").alias("dst"), F.col("id_b").alias("src")
+    ).unionByName(
+        sym.select(
+            "cell_id", F.col("id_b").alias("dst"), F.col("id_a").alias("src")
+        )
+    )
+    self_dot = "aggregate(zip_with(qe, qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    self_edges = (
+        nrm.withColumn(
+            "self_cos",
+            F.expr(self_dot).cast("double") / F.lit(1e8)
+            / (F.col("nr") * F.col("nr")),
+        )
+        .filter(F.col("self_cos") >= SEMDEDUP_T)
+        .select(
+            "cell_id",
+            F.col("vec_id").alias("dst"),
+            F.col("vec_id").alias("src"),
+        )
+    )
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("m")
+    )
+    # per destination class: the sorted union of all qualifying classes'
+    # members — the witness pool. Output-sized: every pool element below a
+    # class's max member IS some member's witness, so the collect is
+    # bounded by the relation the flat path enumerates as pair rows.
+    pools = (
+        directed.unionByName(self_edges)
+        .join(membership.withColumnRenamed("rep_id", "src"), "src")
+        .groupBy(F.col("dst").alias("rep_id"), "cell_id")
+        .agg(F.sort_array(F.collect_list("m")).alias("w"))
+    )
+    return (
+        pools.join(membership, "rep_id")
+        .withColumn(
+            "n_witnesses",
+            F.expr("size(filter(w, x -> x < m))").cast("long"),
+        )
+        .filter(F.col("n_witnesses") >= 1)
+        .select(
+            F.col("m").alias("vec_id"),
+            "cell_id",
+            F.element_at("w", 1).alias("witness_id"),
+            "n_witnesses",
         )
     )
 

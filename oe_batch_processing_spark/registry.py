@@ -167,7 +167,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_clusters",         # r13: inherits the rewrite
     "dedup_simhash",                      # r13: representative rewrite
     "dedup_simhash_clusters",             # r13: inherits the rewrite
-    "dedup_jaccard_prefix_filter",        # r13: persist_once shingle arrays
+    "dedup_jaccard_prefix_filter",        # r13: representative rewrite
     "dedup_minhash_error_profile",        # r13: persist_once shingle arrays
     "similarity_topk_ivf",                # r13: two-level build (gated)
     "similarity_topk_ivfpq",              # r13: two-level build (gated)

@@ -566,3 +566,53 @@ def test_ann_rep_collapse_matches_flat(spark, tmp_path):
         assert len(flat) > 0
         # replica classes guarantee score ties -> nonvacuous expansion
         pd.testing.assert_frame_equal(flat, collapsed)
+
+
+def test_semdedup_rep_collapse_matches_uncollapsed(spark, tmp_path):
+    """Round-13: above SEMDEDUP_REP_MIN_N the SemDeDup corpus collapses to
+    content representatives before assignment and the within-cell pair
+    stage; the witness-set expansion (directed qualifying classes +
+    computed self-cosine edges + sorted member pools) must reproduce the
+    uncollapsed hierarchy output BIT-IDENTICALLY on a replica-heavy
+    corpus. Both runs sit above SEMDEDUP_HIER_MIN_N so the routed
+    hierarchy (full-corpus centroid strides, rep-routed side) is the
+    code path under test."""
+    import hashlib
+
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators import similarity2 as sim2
+    from oe_batch_processing_spark.operators.similarity2 import (
+        semdedup_clusters,
+    )
+
+    # every committed SF (<= 2000 vectors) stays below both gates
+    assert sim2.SEMDEDUP_REP_MIN_N > 2000
+
+    n_base, n_rep = 1200, 8  # 9600 rows > both 8192 gates, 1200 contents
+
+    def vec(b: int) -> list[float]:
+        bs = b"".join(
+            hashlib.md5(f"sc:{b}:{k}".encode()).digest() for k in range(4)
+        )
+        return [(x - 127) / 256.0 for x in bs]
+
+    rows = [
+        (r * 100_000 + b, vec(b))
+        for r in range(n_rep)
+        for b in range(1, n_base + 1)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(rep_min_n):
+        pdf = semdedup_clusters(emb, rep_min_n=rep_min_n).toPandas()
+        spark.catalog.clearCache()  # both paths share plan prefixes
+        cols = list(pdf.columns)
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    uncollapsed = run(10**12)
+    collapsed = run(None)  # default gate: engages at 9600
+    assert len(uncollapsed) > 0
+    # replica classes guarantee multi-member pools and self-edges
+    assert (uncollapsed["n_witnesses"] > 1).any()
+    pd.testing.assert_frame_equal(uncollapsed, collapsed)

@@ -470,6 +470,26 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "similarity_topk_pq",
             r"PQ 9\.7x ->\s+([\d.]+)x",
         ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "dedup_semdedup_clusters",
+            r"30x 72\.4x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE_r13.json",
+            "dedup_semdedup_clusters",
+            r"10x 11\.34x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE_r13.json",
+            "dedup_jaccard_prefix_filter",
+            r"first probe rows ([\d.]+)x at 10x",
+        ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "dedup_jaccard_prefix_filter",
+            r"first probe rows [\d.]+x at 10x / ([\d.]+)x\s+at 30x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)

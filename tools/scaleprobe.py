@@ -88,6 +88,8 @@ PROBES: tuple[str, ...] = (
     "recursive_cte_custkey_tree",
     "docs_duplicate_ngram_spans",
     "dedup_jaccard_shingles",
+    "dedup_jaccard_prefix_filter",   # r13: representative-rewrite coverage
+    "dedup_simhash",                 # r13: pairs-side rewrite coverage
     "dedup_shingle_containment",     # r13: representative-rewrite coverage
     "dedup_semdedup_clusters",
     "similarity_topk_lsh",
