@@ -651,7 +651,10 @@ def _lloyd_refine(
 
 
 def _ivf_hier_cell_scores(
-    vecs: DataFrame, cents: DataFrame, cells_mod: int
+    vecs: DataFrame,
+    cents: DataFrame,
+    cells_mod: int,
+    route: DataFrame = None,  # noqa: RUF013
 ) -> DataFrame:
     """Two-level (super -> cell) scoring for the IVF coarse quantizer —
     the restricted (vec_id, embedding, nrm, cell_id, cs) frame that
@@ -671,9 +674,17 @@ def _ivf_hier_cell_scores(
     orderings are (score, id) ties, so the restriction is deterministic;
     the downstream argmax/top-NPROBE code is unchanged — only the
     candidate set shrinks (rows-only ANN: recall at committed SFs is
-    untouched because the flat path runs there)."""
+    untouched because the flat path runs there).
+
+    ``route`` (round-13 content-collapse): the frame actually scored and
+    routed — defaults to ``vecs``; the collapsed path passes content
+    representatives while both centroid layers stay derived from the full
+    corpus's vec_id strides (scoring depends only on vector content and
+    the centroid tables, so a rep scores exactly as each member would)."""
     import math
 
+    if route is None:
+        route = vecs
     ncells = cents.count()  # centroid-table action: sqrt(n) rows, cached
     cf = max(2, math.isqrt(max(1, ncells)))
     super_mod = cells_mod * cf
@@ -699,7 +710,7 @@ def _ivf_hier_cell_scores(
     v2s = (
         F.expr(_DOT_SCALED_SQL.format(a="embedding", b="s_emb")) / F.lit(1e9)
     ) / (F.col("nrm") * F.col("s_nrm"))
-    vs = vecs.crossJoin(F.broadcast(sup)).select(
+    vs = route.crossJoin(F.broadcast(sup)).select(
         "vec_id", v2s.alias("cs"), "super_id"
     )
     # enough probed supers that ~2x NPROBE cells stay reachable per query
@@ -719,7 +730,7 @@ def _ivf_hier_cell_scores(
     # feeds BOTH the assignment argmax and the query probes — without the
     # persist each consumer would replay the two-shuffle routing pipeline.
     return (
-        probed.join(vecs, "vec_id")
+        probed.join(route, "vec_id")
         .join(F.broadcast(f2s), "super_id")
         .select("vec_id", "cell_id", cs_cell.alias("cs"))
         .persist()
@@ -752,6 +763,31 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt-scaled stride (no-op at the committed SFs): ncells ~ sqrt(n),
     # so the n x ncells assignment stays ~n^1.5 instead of n^2
     n_vecs = vecs.count()
+    # Content-collapse of the corpus side (round-13, the LSH/PQ recipe):
+    # centroid INIT and Lloyd TRAINING stay id-selected from the full
+    # corpus (unchanged index), but assignment, probing, and the exact
+    # rescore are content-determined given the centroid tables, so they
+    # run on distinct embeddings; a query's probe cells equal its rep's
+    # (same content), and the final top-k expands back through
+    # ann_rep_expand_topk. Gated so committed SFs keep the flat plan.
+    collapse = n_vecs >= ANN_REP_MIN_N
+    groups = None
+    membership = None
+    src = vecs
+    if collapse:
+        groups = persist_once(
+            vecs.groupBy("embedding").agg(
+                F.min("vec_id").alias("rep_id"),
+                F.min("nrm").alias("nrm"),  # nrm is a function of embedding
+                F.collect_list("vec_id").alias("members"),
+            )
+        )
+        src = groups.select(
+            F.col("rep_id").alias("vec_id"), "embedding", "nrm"
+        )
+        membership = groups.select(
+            "rep_id", F.explode("members").alias("member")
+        )
     cells_mod = adaptive_cells_mod(N_CELLS_MOD, n_vecs)
     cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
@@ -772,28 +808,30 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # combine) instead of the flat path's window — no array-laden
         # n x cells shuffle — and embedding/nrm re-join per VECTOR (n
         # rows), not per (vector, cell).
-        slim = _ivf_hier_cell_scores(vecs, cents, cells_mod)
+        slim = _ivf_hier_cell_scores(
+            vecs, cents, cells_mod, route=src if collapse else None
+        )
         best = (
             slim.groupBy("vec_id")
             .agg(F.max(F.struct("cs", (-F.col("cell_id")).alias("nc"))).alias("b"))
             .select("vec_id", (-F.col("b.nc")).alias("cell_id"))
         )
-        assigned = best.join(vecs, "vec_id").select(
+        assigned = best.join(src, "vec_id").select(
             "vec_id", "embedding", "nrm", "cell_id"
         )
         w_hier = Window.partitionBy("vec_id").orderBy(
             F.col("cs").desc(), "cell_id"
         )
-        probes = (
-            slim.filter(ann_query_pred(F.col("vec_id")))
+        src_probes = (
+            (slim if collapse else slim.filter(ann_query_pred(F.col("vec_id"))))
             .withColumn("rk", F.row_number().over(w_hier))
             .filter(F.col("rk") <= N_PROBE)
-            .select(F.col("vec_id").alias("query_id"), "cell_id")
+            .select("vec_id", "cell_id")
         )
     else:
         dot = F.expr(_DOT_SCALED_SQL.format(a="embedding", b="c_emb"))
         sim_to_cent = (dot / F.lit(1e9)) / (F.col("nrm") * F.col("c_nrm"))
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
+        scored = src.crossJoin(F.broadcast(cents)).select(
             "vec_id", "embedding", "nrm", "cell_id", sim_to_cent.alias("cs")
         )
         w_assign = Window.partitionBy("vec_id").orderBy(
@@ -804,21 +842,38 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("vec_id", "embedding", "nrm", "cell_id")
         )
-        probes = (
-            scored.filter(ann_query_pred(F.col("vec_id")))
+        src_probes = (
+            (scored if collapse else scored.filter(ann_query_pred(F.col("vec_id"))))
             .withColumn("rk", F.row_number().over(w_assign))
             .filter(F.col("rk") <= N_PROBE)
-            .select(F.col("vec_id").alias("query_id"), "cell_id")
+            .select("vec_id", "cell_id")
         )
+    if collapse:
+        # a query's probe cells are its rep's probe cells (content-
+        # determined); the rep-level top-NPROBE rows fan out to member
+        # queries through the membership relation
+        probes = (
+            membership.filter(ann_query_pred(F.col("member")))
+            .join(src_probes.withColumnRenamed("vec_id", "rep_id"), "rep_id")
+            .select(F.col("member").alias("query_id"), "cell_id")
+        )
+    else:
+        probes = src_probes.filter(
+            ann_query_pred(F.col("vec_id"))
+        ).select(F.col("vec_id").alias("query_id"), "cell_id")
     queries = vecs.filter(ann_query_pred(F.col("vec_id"))).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("nrm_q"),
     )
-    cand = (
-        probes.join(assigned, "cell_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")
+    cand = probes.join(assigned, "cell_id")
+    if not collapse:
+        # self-exclusion moves into ann_rep_expand_topk's post-expansion
+        # filter on the collapsed path (the query's content class may
+        # hold other corpus vectors the flat path keeps)
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"
     )
     if n_vecs >= IVF_HIER_MIN_N:
         # the probe-cell join EXPLODES output ~|cell| per probe row while
@@ -836,6 +891,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         ((qdot / F.lit(1e9)) / (F.col("nrm_q") * F.col("nrm"))).alias("cosine"),
     )
+    if collapse:
+        sims = ann_rep_expand_topk(
+            sims.withColumnRenamed("neighbor_id", "rep_id"),
+            groups,
+            TOP_K,
+            "cosine",
+            ascending=False,
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         sims.withColumn("rnk", F.row_number().over(w))

@@ -380,7 +380,10 @@ def _lloyd_refine_l2(
 
 
 def _ivfpq_hier_cell_scores(
-    vecs: DataFrame, coarse: DataFrame, cells_mod: int
+    vecs: DataFrame,
+    coarse: DataFrame,
+    cells_mod: int,
+    route: DataFrame = None,  # noqa: RUF013
 ) -> DataFrame:
     """Two-level (super -> cell) L2 scoring for the IVFPQ coarse quantizer
     — the restricted (vec_id, cell_id, l2c) frame that replaces the flat
@@ -392,9 +395,14 @@ def _ivfpq_hier_cell_scores(
     vectors (top supers by L2, then score only the routed cells). The 30x
     artifact's own finding named this build's full n x ncells assignment
     as the n^1.5 bound (46.1x total at 30x); committed SFs stay on the
-    flat path bit-identically below the gate."""
+    flat path bit-identically below the gate. ``route`` (round-13
+    content-collapse): the frame actually scored — defaults to ``vecs``;
+    the collapsed path passes content representatives while the centroid
+    layers stay full-corpus id-strides."""
     import math
 
+    if route is None:
+        route = vecs
     ncells = coarse.count()  # centroid-table action: sqrt(n) rows, cached
     cf = max(2, math.isqrt(max(1, ncells)))
     super_mod = cells_mod * cf
@@ -414,7 +422,7 @@ def _ivfpq_hier_cell_scores(
         )
         .select(F.col("b.super_id").alias("super_id"), "cell_id", "ce")
     )
-    vs = vecs.join(F.broadcast(sup)).select(
+    vs = route.join(F.broadcast(sup)).select(
         "vec_id", "super_id",
         F.expr(_L2D.format(a="qe", b="se")).alias("l2"),
     )
@@ -428,7 +436,7 @@ def _ivfpq_hier_cell_scores(
     # persist: the frame feeds BOTH the assignment argmin and the query
     # probes — without it each consumer replays the two-shuffle routing
     return (
-        probed.join(vecs, "vec_id")
+        probed.join(route, "vec_id")
         .join(F.broadcast(f2s), "super_id")
         .select(
             "vec_id", "cell_id",
@@ -472,6 +480,29 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a bounded deterministic sample (also a committed-SF no-op): the
     # build pays ONE full n x ncells assignment pass, not LLOYD+1 of them
     n_vecs = vecs.count()
+    # Content-collapse of the scan side (round-13, the LSH/PQ recipe):
+    # the coarse quantizer INIT + Lloyd training and the PQ codebook stay
+    # id-selected from the full corpus (unchanged index), but assignment,
+    # probing, PQ encode, and the ADC scan are content-determined given
+    # those tables, so they run on distinct qe arrays; the ADC shortlist
+    # expands back through ann_rep_expand_topk at the RERANK boundary and
+    # is re-truncated member-level, so the exact rescore sees the
+    # identical shortlist. Gated so committed SFs keep the flat plan.
+    collapse = n_vecs >= ANN_REP_MIN_N
+    groups = None
+    membership = None
+    src = vecs
+    if collapse:
+        groups = persist_once(
+            vecs.groupBy("qe").agg(
+                F.min("vec_id").alias("rep_id"),
+                F.collect_list("vec_id").alias("members"),
+            )
+        )
+        src = groups.select(F.col("rep_id").alias("vec_id"), "qe")
+        membership = groups.select(
+            "rep_id", F.explode("members").alias("member")
+        )
     cells_mod = adaptive_cells_mod(IVFPQ_CELLS_MOD, n_vecs)
     coarse = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
@@ -480,10 +511,12 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _lloyd_refine_l2(vecs, coarse, IVFPQ_LLOYD, lloyd_train_mod(n_vecs, cells_mod))
     if n_vecs >= IVF_HIER_MIN_N:
         # two-level quantizer build (round-13) — see _ivfpq_hier_cell_scores
-        cell_scored = _ivfpq_hier_cell_scores(vecs, coarse, cells_mod)
+        cell_scored = _ivfpq_hier_cell_scores(
+            vecs, coarse, cells_mod, route=src if collapse else None
+        )
     else:
         cell_l2 = F.expr(_L2D.format(a="qe", b="ce")).alias("l2c")
-        cell_scored = vecs.join(F.broadcast(coarse)).select(
+        cell_scored = src.join(F.broadcast(coarse)).select(
             "vec_id", "cell_id", cell_l2
         )
     assigned = (
@@ -492,12 +525,25 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("best.cell_id").alias("cell_id"))
     )
     w_probe = Window.partitionBy("vec_id").orderBy("l2c", "cell_id")
-    probes = (
-        cell_scored.filter(ann_query_pred(F.col("vec_id")))
-        .withColumn("rk", F.row_number().over(w_probe))
-        .filter(F.col("rk") <= IVFPQ_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell_id")
-    )
+    if collapse:
+        # a query's probe cells are its rep's (content-determined)
+        src_probes = (
+            cell_scored.withColumn("rk", F.row_number().over(w_probe))
+            .filter(F.col("rk") <= IVFPQ_NPROBE)
+            .select("vec_id", "cell_id")
+        )
+        probes = (
+            membership.filter(ann_query_pred(F.col("member")))
+            .join(src_probes.withColumnRenamed("vec_id", "rep_id"), "rep_id")
+            .select(F.col("member").alias("query_id"), "cell_id")
+        )
+    else:
+        probes = (
+            cell_scored.filter(ann_query_pred(F.col("vec_id")))
+            .withColumn("rk", F.row_number().over(w_probe))
+            .filter(F.col("rk") <= IVFPQ_NPROBE)
+            .select(F.col("vec_id").alias("query_id"), "cell_id")
+        )
 
     # PQ codes (same codebook subset + integer sub-L2 as similarity_topk_pq;
     # same sqrt-scaled stride — with a FIXED stride the n x ncodes encode
@@ -514,7 +560,7 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     subspaces = F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("s")
     sub_scored = (
-        vecs.select("vec_id", "qe", subspaces)
+        src.select("vec_id", "qe", subspaces)
         .join(F.broadcast(codes))
         .select("vec_id", "s", "cent_id", sub_l2.alias("subdist"))
     )
@@ -531,11 +577,12 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ADC over probed cells only
-    cand = (
-        probes.join(assigned, "cell_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
+    cand = probes.join(assigned, "cell_id")
+    if not collapse:
+        # self-exclusion moves into ann_rep_expand_topk's post-expansion
+        # filter on the collapsed path
+        cand = cand.filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.select("query_id", "vec_id")
     if n_vecs >= IVF_HIER_MIN_N:
         # same AQE-coalesce trap as the IVF rescore (see similarity.py):
         # the probe-cell join explodes ~|cell|x while its shuffle input
@@ -562,6 +609,18 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qdist").alias("approx_dist"))
     )
+    if collapse:
+        # expand the rep-level ADC ranking at the RERANK boundary (the
+        # superset prune covers the member-level top-RERANK), then
+        # re-truncate member-level so the exact rescore sees the
+        # identical shortlist the flat path would build
+        adc = ann_rep_expand_topk(
+            adc.withColumnRenamed("neighbor_id", "rep_id"),
+            groups,
+            IVFPQ_RERANK,
+            "approx_dist",
+            ascending=True,
+        )
     w_adc = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
     shortlist = (
         adc.withColumn("rk", F.row_number().over(w_adc))

@@ -169,8 +169,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_clusters",             # r13: inherits the rewrite
     "dedup_jaccard_prefix_filter",        # r13: representative rewrite
     "dedup_minhash_error_profile",        # r13: persist_once shingle arrays
-    "similarity_topk_ivf",                # r13: two-level build (gated)
-    "similarity_topk_ivfpq",              # r13: two-level build (gated)
+    "similarity_topk_ivf",                # r13: two-level build + rep collapse (gated)
+    "similarity_topk_ivfpq",              # r13: two-level build + rep collapse (gated)
     "similarity_topk_pq",                 # r13: corpus rep collapse (gated)
     "similarity_topk_lsh",                # r13: corpus rep collapse (gated)
     "dedup_semdedup_clusters",            # r13: persist_once vecs/nrm

@@ -520,8 +520,12 @@ def test_ann_rep_collapse_matches_flat(spark, tmp_path):
 
     from oe_batch_processing_spark.operators import similarity as sim
     from oe_batch_processing_spark.operators import similarity2 as sim2
-    from oe_batch_processing_spark.operators.similarity import lsh_topk
+    from oe_batch_processing_spark.operators.similarity import (
+        lsh_topk,
+        similarity_topk_ivf,
+    )
     from oe_batch_processing_spark.operators.similarity2 import (
+        similarity_topk_ivfpq,
         similarity_topk_pq,
     )
 
@@ -545,14 +549,18 @@ def test_ann_rep_collapse_matches_flat(spark, tmp_path):
     sf_dir = str(tmp_path)
     # queries: vec_id % 100 == 0 -> contents {0, 100, 200} x 8 replicas
 
-    def run(fn, threshold):
+    def run(fn, threshold, hier=None):
         old_s, old_s2 = sim.ANN_REP_MIN_N, sim2.ANN_REP_MIN_N
+        old_h, old_h2 = sim.IVF_HIER_MIN_N, sim2.IVF_HIER_MIN_N
         sim.ANN_REP_MIN_N = sim2.ANN_REP_MIN_N = threshold
+        if hier is not None:
+            sim.IVF_HIER_MIN_N = sim2.IVF_HIER_MIN_N = hier
         try:
             df = fn(spark, sf_dir)
             pdf = df.toPandas()
         finally:
             sim.ANN_REP_MIN_N, sim2.ANN_REP_MIN_N = old_s, old_s2
+            sim.IVF_HIER_MIN_N, sim2.IVF_HIER_MIN_N = old_h, old_h2
             spark.catalog.clearCache()  # flat/collapsed share plan prefixes
         cols = list(pdf.columns)
         return pdf.sort_values(cols).reset_index(drop=True)
@@ -560,12 +568,22 @@ def test_ann_rep_collapse_matches_flat(spark, tmp_path):
     for fn in (
         lambda sp, sd: lsh_topk(sp, sd, sim.N_PLANES, sim.N_TABLES),
         similarity_topk_pq,
+        similarity_topk_ivf,
+        similarity_topk_ivfpq,
     ):
         flat = run(fn, 10**12)
         collapsed = run(fn, 1)
         assert len(flat) > 0
         # replica classes guarantee score ties -> nonvacuous expansion
         pd.testing.assert_frame_equal(flat, collapsed)
+    # collapse + two-level quantizer combined (the shape the 10x/30x
+    # probes actually run): hier forced on for BOTH runs, identical
+    # assignment rule, collapse the only variable
+    for fn in (similarity_topk_ivf, similarity_topk_ivfpq):
+        flat_h = run(fn, 10**12, hier=1000)
+        collapsed_h = run(fn, 1, hier=1000)
+        assert len(flat_h) > 0
+        pd.testing.assert_frame_equal(flat_h, collapsed_h)
 
 
 def test_semdedup_rep_collapse_matches_uncollapsed(spark, tmp_path):

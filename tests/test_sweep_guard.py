@@ -490,6 +490,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "dedup_jaccard_prefix_filter",
             r"first probe rows [\d.]+x at 10x / ([\d.]+)x\s+at 30x",
         ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "similarity_topk_ivf",
+            r"IVF 12\.73x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "similarity_topk_ivfpq",
+            r"IVFPQ 10\.08x ->\s+([\d.]+)x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
