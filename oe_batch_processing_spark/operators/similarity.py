@@ -166,6 +166,12 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle is the final per-query top-k window (which Spark
     group-limits to K rows per partition before the exchange). This is the
     reranker primitive; the LSH variant below bounds Q×N at scale.
+
+    The corpus side runs on content representatives (round-13, always-on
+    like dedup_embedding_cosine — the full hash oracle checks the whole
+    rewrite at committed SFs): identical embeddings score identically, so
+    the Q-dot scan covers distinct vectors and the per-query top-k
+    expands back through :func:`ann_rep_expand_topk`.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     norm = lambda col: F.sqrt(  # noqa: E731
@@ -176,23 +182,24 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         norm("embedding").alias("nrm_q"),
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "embedding",
-        norm("embedding").alias("nrm_d"),
-    )
-    dot_scaled = F.expr(_DOT_SCALED_SQL.format(a="q_emb", b="embedding"))
-    sims = (
-        corpus.crossJoin(F.broadcast(queries))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            ((dot_scaled / F.lit(1e9)) / (F.col("nrm_q") * F.col("nrm_d"))).alias(
-                "cosine"
-            ),
+    groups = persist_once(
+        emb.groupBy("embedding").agg(
+            F.min("vec_id").alias("rep_id"),
+            F.collect_list("vec_id").alias("members"),
         )
     )
+    corpus = groups.select(
+        "rep_id", "embedding", norm("embedding").alias("nrm_d")
+    )
+    dot_scaled = F.expr(_DOT_SCALED_SQL.format(a="q_emb", b="embedding"))
+    rep_cand = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "rep_id",
+        ((dot_scaled / F.lit(1e9)) / (F.col("nrm_q") * F.col("nrm_d"))).alias(
+            "cosine"
+        ),
+    )
+    sims = ann_rep_expand_topk(rep_cand, groups, TOP_K, "cosine", ascending=False)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
         sims.withColumn("rnk", F.row_number().over(w))
@@ -436,14 +443,28 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     block equi-join (codegen-friendly, parallel — never a position-explode
     join on the dimension index, which shuffles 64 rows per vector, nor a
     nested-loop cross join, which drops out of codegen), and the dot product
-    is an integer zip_with/aggregate fold.
+    is an integer zip_with/aggregate fold — over CONTENT REPRESENTATIVES
+    (round-13, the dedup_embedding_cosine recipe, always-on and checked by
+    the full hash oracle): the quadratic grid join runs on distinct ``qe``
+    arrays, rep pairs expand back through two membership joins, and
+    within-group pairs emit cosine = sumsq/1e8 / nrm² — the SAME IEEE
+    expression the pair path evaluates, not a 1.0 literal.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
     qe = F.expr(
         "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))"
     )
-    nrm = F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8))
-    vecs = emb.select("vec_id", qe.alias("qe")).select(
+    sumsq = F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)")
+    nrm = F.sqrt(sumsq / F.lit(1e8))
+    groups = persist_once(
+        emb.select("vec_id", qe.alias("qe"))
+        .groupBy("qe")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.collect_list("vec_id").alias("members"),
+        )
+    )
+    vecs = groups.select(F.col("rep_id").alias("vec_id"), "qe").select(
         "vec_id", "qe", nrm.alias("nrm"), (F.col("vec_id") % PAIRS_GRID).alias("g")
     )
     a = vecs.select(
@@ -464,19 +485,57 @@ def similarity_pairs_above(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = "aggregate(zip_with(qe_a, qe_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (
+    rep_pairs = (
         a.repartition(n_part, "cell")
         .join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a",
-            "vec_b",
+            F.col("vec_a").alias("rep_a"),
+            F.col("vec_b").alias("rep_b"),
             ((F.expr(dot) / F.lit(1e8)) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
                 "cosine"
             ),
         )
         .filter(F.col("cosine") >= 0.2)
     )
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("vec_id")
+    )
+    ma = membership.select(
+        F.col("rep_id").alias("rep_a"), F.col("vec_id").alias("va")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("rep_b"), F.col("vec_id").alias("vb")
+    )
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("va", "vb").alias("vec_a"),
+            F.greatest("va", "vb").alias("vec_b"),
+            "cosine",
+        )
+    )
+    within = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, "
+                    "x -> transform(members, y -> struct(x, y)))), "
+                    "p -> p.x < p.y)"
+                )
+            ).alias("p"),
+            (sumsq / F.lit(1e8) / (nrm * nrm)).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .select(
+            F.col("p.x").alias("vec_a"),
+            F.col("p.y").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return cross.unionByName(within)
 
 
 # Round-10 geometry (tools/recall.py --ivf-geometry sweep at sf0.1, equal

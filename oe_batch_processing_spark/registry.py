@@ -139,8 +139,9 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- re-checked anyway); (2) the 12 remaining r5-era rows;
     # --- (3) the 19 alphabetically-first r6-era rows. Round-14
     # --- guidance: FIRST any round-14 additions and changed-code
-    # --- re-checks, then the 27 remaining r6-era rows
-    # --- (ingest_orc_roundtrip, itemsets_frequent_pairs, layout_zorder_events,
+    # --- re-checks, then the 29 remaining r6-era rows
+    # --- (graph_pagerank_trade, graph_triangle_count,
+    # --- ingest_orc_roundtrip, itemsets_frequent_pairs, layout_zorder_events,
     # --- merge_upsert_customer_balance, multimodal_audio_pcm_features,
     # --- multimodal_image_ahash, multimodal_raster_gradients,
     # --- multimodal_rle_roundtrip, orders_forecast_holt,
@@ -173,6 +174,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "similarity_topk_ivfpq",              # r13: two-level build + rep collapse (gated)
     "similarity_topk_pq",                 # r13: corpus rep collapse (gated)
     "similarity_topk_lsh",                # r13: corpus rep collapse (gated)
+    "similarity_topk_cosine",             # r13: rep collapse (always-on)
+    "similarity_pairs_above",             # r13: rep collapse (always-on)
     "dedup_semdedup_clusters",            # r13: persist_once vecs/nrm
     "embedding_kmeans_assign",            # r13: persist_once vecs
     # --- (2) the final 12 r5-era rows
@@ -188,7 +191,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "win_running_customer_spend",
     "win_session_gaps",
     "win_topk_orders_per_priority",
-    # --- (3) 18 of the 48 r6-era rows (rest listed above for r14)
+    # --- (3) 16 of the 48 r6-era rows (rest listed above for r14)
     "agg_bitmap_exact_distinct",
     "dedup_incremental_vs_history",
     "dedup_pipeline_tiered",
@@ -205,8 +208,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "events_lagged_crosscorr",
     "graph_bfs_levels",
     "graph_link_prediction_cn",
-    "graph_pagerank_trade",
-    "graph_triangle_count",
 )
 
 

@@ -500,6 +500,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "similarity_topk_ivfpq",
             r"IVFPQ 10\.08x ->\s+([\d.]+)x",
         ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "similarity_topk_cosine",
+            r"topk_cosine [\d.]+x at 10x /\s+([\d.]+)x at 30x",
+        ),
+        (
+            "SCALEPROBE30X_r13.json",
+            "similarity_pairs_above",
+            r"pairs_above [\d.]+x at\s+10x / ([\d.]+)x at 30x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
