@@ -634,3 +634,88 @@ def test_semdedup_rep_collapse_matches_uncollapsed(spark, tmp_path):
     # replica classes guarantee multi-member pools and self-edges
     assert (uncollapsed["n_witnesses"] > 1).any()
     pd.testing.assert_frame_equal(uncollapsed, collapsed)
+
+
+def test_ann_rep_expand_topk_matches_bruteforce_reference(spark):
+    """Property test for the expansion helper itself (round-13): on
+    randomized class structures — duplicate rep_cand rows (multi-table
+    LSH), deliberate score ties across classes, queries inside and
+    outside candidate classes, singleton query-only classes — the
+    helper's output, re-ranked by the caller's window, must equal the
+    brute-force top-k over the fully expanded member rows (query's own
+    id excluded). Seeded loop, both orderings."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oe_batch_processing_spark.operators.similarity import (
+        ann_rep_expand_topk,
+    )
+
+    rng = random.Random(1307)
+    for case in range(6):
+        ascending = case % 2 == 0
+        k = rng.choice([1, 3, 5])
+        # disjoint member classes with interleaved ids
+        n_classes = rng.randint(3, 7)
+        ids = list(range(1, 60))
+        rng.shuffle(ids)
+        classes, i = [], 0
+        for _ in range(n_classes):
+            size = rng.randint(1, 5)
+            classes.append(sorted(ids[i : i + size]))
+            i += size
+        reps = [min(c) for c in classes]
+        queries = rng.sample(
+            [m for c in classes for m in c], min(3, n_classes)
+        )
+        # rep-level candidates: a random subset of (query, class) with
+        # tie-heavy scores; duplicate some rows verbatim
+        rows = []
+        for q in queries:
+            for r_i, r in enumerate(reps):
+                if rng.random() < 0.8:
+                    score = float(rng.choice([0.1, 0.2, 0.3]))
+                    rows.append((q, r, score))
+                    if rng.random() < 0.3:
+                        rows.append((q, r, score))  # multi-table dup
+        if not rows:
+            continue
+        rep_cand = spark.createDataFrame(
+            rows, "query_id long, rep_id long, score double"
+        )
+        groups = spark.createDataFrame(
+            [(r, c) for r, c in zip(reps, classes)],
+            "rep_id long, members array<long>",
+        )
+        got = ann_rep_expand_topk(
+            rep_cand, groups, k, "score", ascending=ascending
+        )
+        direction = (
+            F.col("score").asc() if ascending else F.col("score").desc()
+        )
+        w = Window.partitionBy("query_id").orderBy(direction, "neighbor_id")
+        got_topk = {
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in got.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        }
+        # brute force: expand EVERY candidate class fully, exclude the
+        # query id, rank by (score, neighbor_id)
+        expect = set()
+        by_rep = dict(zip(reps, classes))
+        for q in queries:
+            expanded = sorted(
+                {
+                    (s, m)
+                    for (qq, r, s) in rows
+                    if qq == q
+                    for m in by_rep[r]
+                    if m != q
+                },
+                key=lambda t: (t[0] if ascending else -t[0], t[1]),
+            )
+            expect |= {(q, m, s) for s, m in expanded[:k]}
+        assert got_topk == expect, f"case {case}: {got_topk ^ expect}"
