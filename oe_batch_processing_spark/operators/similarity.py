@@ -89,13 +89,36 @@ def ann_rep_expand_topk(
     query's own vec_id is excluded POST-expansion (its content class may
     hold other corpus vectors, which the flat path keeps), so callers on
     the collapsed path must NOT pre-filter neighbor != query at rep level.
+
+    Two-stage prune (round-13 refinement): the groups join carries
+    replica-count-sized members arrays, so joining the FULL candidate set
+    would multiply candidate bytes by the replica factor before any
+    pruning. Stage 1 ranks candidates by (score, rep_id) — no join — and
+    keeps dense_rank <= k+1: rep_id == best_id for every class except
+    possibly the query's own (rep_id = min member <= best eligible
+    member, with equality unless the query IS the min member), so at
+    most ONE rep per query sits earlier under (score, rep_id) than under
+    (score, best_id), displacing the others by at most one rank — every
+    rep with best-rank <= k has rep_id-rank <= k+1. Stage 2 joins groups
+    on the <= (k+1)-reps-per-query survivors and applies the exact
+    (score, best_id) dense_rank <= k; ranks are unchanged by the
+    restriction because any rep better than a surviving top-k rep also
+    survives stage 1.
     """
     direction = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w_pre = Window.partitionBy("query_id").orderBy(
+        direction, F.col("rep_id").asc()
+    )
+    pre = (
+        rep_cand.withColumn("rk0", F.dense_rank().over(w_pre))
+        .filter(F.col("rk0") <= k + 1)
+        .drop("rk0")
+    )
     w = Window.partitionBy("query_id").orderBy(
         direction, F.col("best_id").asc()
     )
     kept = (
-        rep_cand.join(groups.select("rep_id", "members"), "rep_id")
+        pre.join(groups.select("rep_id", "members"), "rep_id")
         .withColumn(
             "best_id",
             F.expr("array_min(filter(members, m -> m != query_id))"),

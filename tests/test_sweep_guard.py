@@ -453,7 +453,7 @@ def test_documented_probe_ratios_match_committed_artifacts():
         (
             "SCALEPROBE30X_r13.json",
             "similarity_topk_lsh",
-            r"LSH total 97\.0x -> ([\d.]+)x",
+            r"LSH\s+total 97\.0x -> ([\d.]+)x",
         ),
         (
             "SCALEPROBE30X_r13.json",
@@ -493,7 +493,7 @@ def test_documented_probe_ratios_match_committed_artifacts():
         (
             "SCALEPROBE30X_r13.json",
             "similarity_topk_ivf",
-            r"IVF 12\.73x -> ([\d.]+)x",
+            r"IVF 30x 12\.73x -> ([\d.]+)x",
         ),
         (
             "SCALEPROBE30X_r13.json",
