@@ -635,6 +635,19 @@ def test_semdedup_rep_collapse_matches_uncollapsed(spark, tmp_path):
     assert (uncollapsed["n_witnesses"] > 1).any()
     pd.testing.assert_frame_equal(uncollapsed, collapsed)
 
+    # the FLAT-assignment + collapse combination (unreachable with the
+    # default equal gates, but the route-aware flat branch must still be
+    # exact): hier forced off for both runs, collapse the only variable
+    def run_flat(rep_min_n):
+        pdf = semdedup_clusters(
+            emb, hier_min_n=10**12, rep_min_n=rep_min_n
+        ).toPandas()
+        spark.catalog.clearCache()
+        cols = list(pdf.columns)
+        return pdf.sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run_flat(10**12), run_flat(1))
+
 
 def test_ann_rep_expand_topk_matches_bruteforce_reference(spark):
     """Property test for the expansion helper itself (round-13): on
