@@ -160,24 +160,52 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB); hashed fixed-width windows need one shuffle and lose only
     sub-window-length matches.
 
-    Scale: tokens explode to ~L windows per doc (bounded by corpus token
-    count); the gram groupBy is the single heavy shuffle and its key is
-    a hash — salting-free because gram frequencies are Zipfian but the
-    HAVING filter runs map-side partial first. The island pass
-    repartitions by doc_id (second narrow shuffle); everything is
-    integer window math in codegen. At 100 TB, replace the raw gram
-    string with xxhash64(gram) to shrink shuffle bytes ~10x (kept as
-    the readable string here so the oracle can share the key).
+    Content-representative collapse (round-14, the jaccard/containment
+    recipe — always-on, so the full DuckDB hash oracle checks the whole
+    rewrite at committed SFs): identical texts yield identical gram
+    sequences AND identical per-doc span statistics, so the gram build,
+    the duplicated-gram window, and the interval-island pass all run
+    once per DISTINCT content and the per-rep stats expand verbatim
+    through the membership join. The duplicated-gram criterion counts
+    distinct DOCUMENTS, which at rep level is the group-size-weighted
+    count: a gram row of rep r is duplicated iff
+    ``sum(group_size over reps containing the gram) >= 2``, which is
+    exactly ``(nd_reps >= 2) OR (group_size(r) >= 2)`` — if r's own
+    group holds >= 2 docs the sum clears 2 by itself; if r is a
+    singleton the sum clears 2 iff a second rep shares the gram; and
+    the predicate never fires on a singleton-only gram (sum = 1). The
+    30x probe corpus is replica-heavy by design (every doc has 30
+    byte-identical copies), where the flat shape paid the full gram
+    shuffle + island pass per replica (18.95x at 30x, slope x3.47 per
+    3x input — the r13 verdict's item-1 watch item).
+
+    Scale: tokens explode to ~L windows per DISTINCT content (bounded by
+    distinct corpus token count); the gram groupBy is the single heavy
+    shuffle and its key is a hash — salting-free because gram
+    frequencies are Zipfian but the dense_rank window runs after a
+    map-side-combinable exchange. The island pass repartitions by
+    rep_id (second narrow shuffle); the final membership join is
+    output-sized. At 100 TB, replace the raw gram string with
+    xxhash64(gram) to shrink shuffle bytes ~10x (kept as the readable
+    string here so the oracle can share the key).
     """
     docs = load_table(spark, sf_dir, "documents")
     w = _NGRAM_W
-    # round-robin the single-split test scan so the (string-building) gram
-    # explosion runs core-wide — same rationale as shingle_arrays
-    toks = docs.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ).select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    from oe_batch_processing_spark.operators.dedup import content_rep_groups
+
+    groups = content_rep_groups(docs)
+    # round-robin before the (string-building) gram explosion so it runs
+    # core-wide — the groupBy above leaves few, possibly skewed partitions
+    # at test scale; same rationale as shingle_arrays
+    reps = groups.select(
+        "rep_id", F.size("members").alias("gsz"), "text"
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    toks = reps.select(
+        "rep_id", "gsz", F.split(F.lower("text"), " ").alias("tk")
+    )
     grams = toks.select(
-        "doc_id",
+        "rep_id",
+        "gsz",
         F.size("tk").alias("n_tokens"),
         F.expr(
             f"CASE WHEN size(tk) >= {w} THEN "
@@ -186,26 +214,29 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE array() END"
         ).alias("gs"),
     ).select(
-        "doc_id", "n_tokens", F.explode("gs").alias("g")
-    ).select("doc_id", "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        "rep_id", "gsz", "n_tokens", F.explode("gs").alias("g")
+    ).select(
+        "rep_id", "gsz", "n_tokens",
+        F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"),
+    )
 
-    # Distinct-doc count per gram WITHOUT a second gram build: the old
+    # Distinct-rep count per gram WITHOUT a second gram build: the old
     # aggregate-then-join-back shape recomputed the (expensive) gram
     # explosion on both sides of the join and shuffled the gram stream
-    # twice; one (gram, doc_id)-sorted window pass gets the same count via
+    # twice; one (gram, rep_id)-sorted window pass gets the same count via
     # max(dense_rank) — single shuffle, single gram build, and none of the
     # collect_set memory risk on a hot boilerplate gram (r6 rework,
     # measured 2x at sf0.1: hits stage 8.7 s -> 2.5 s warm).
-    wg = Window.partitionBy("gram").orderBy("doc_id")
+    wg = Window.partitionBy("gram").orderBy("rep_id")
     wga = Window.partitionBy("gram")
     hits = (
         grams.withColumn("nd", F.max(F.dense_rank().over(wg)).over(wga))
-        .filter(F.col("nd") >= 2)
-        .select("doc_id", "pos", "n_tokens")
+        .filter((F.col("nd") >= 2) | (F.col("gsz") >= 2))
+        .select("rep_id", "pos", "n_tokens")
     )
 
     prev_end = F.max(F.col("pos") + (w - 1)).over(
-        Window.partitionBy("doc_id")
+        Window.partitionBy("rep_id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -214,20 +245,20 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
     )
     island_id = F.sum("new_island").over(
-        Window.partitionBy("doc_id")
+        Window.partitionBy("rep_id")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     per_island = (
         marked.withColumn("island_id", island_id)
-        .groupBy("doc_id", "island_id")
+        .groupBy("rep_id", "island_id")
         .agg(
             F.min("n_tokens").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_windows"),
             (F.max(F.col("pos") + (w - 1)) - F.min("pos") + 1).alias("covered"),
         )
     )
-    return per_island.groupBy("doc_id").agg(
+    per_rep = per_island.groupBy("rep_id").agg(
         F.min("n_tokens").cast("int").alias("n_tokens"),
         F.sum("n_windows").cast("int").alias("dup_windows"),
         F.count(F.lit(1)).cast("int").alias("n_spans"),
@@ -235,6 +266,13 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("covered").cast("double") / F.min("n_tokens").cast("double")
         ).alias("dup_fraction"),
+    )
+    membership = groups.select(
+        "rep_id", F.explode("members").alias("doc_id")
+    )
+    return per_rep.join(membership, "rep_id").select(
+        "doc_id", "n_tokens", "dup_windows", "n_spans",
+        "covered_tokens", "dup_fraction",
     )
 
 
