@@ -109,10 +109,17 @@ def ann_rep_expand_topk(
     w_pre = Window.partitionBy("query_id").orderBy(
         direction, F.col("rep_id").asc()
     )
+    # distinct BEFORE the groups join (round-14, advisor): multi-table LSH
+    # emits duplicate (query_id, rep_id, score) rows that survive stage 1
+    # and would each carry a replica-count-sized members array through the
+    # join — the exact cost the two-stage prune exists to avoid. Deduping
+    # the <= (k+1)-reps-per-query survivors here makes the post-window
+    # distinct a cheap no-op (kept for the score-tie row shape).
     pre = (
         rep_cand.withColumn("rk0", F.dense_rank().over(w_pre))
         .filter(F.col("rk0") <= k + 1)
         .drop("rk0")
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         direction, F.col("best_id").asc()
@@ -870,6 +877,17 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         membership = groups.select(
             "rep_id", F.explode("members").alias("member")
         )
+        # reps whose content class holds >= 1 query member: the probe
+        # window only ever feeds the membership join below, which drops
+        # every other rep — semi-joining BEFORE the window (round-14,
+        # advisor) keeps the top-NPROBE sort at query-rep count instead
+        # of a full-corpus-reps window. Per-rep ranks are unchanged by
+        # the restriction (the window partitions by vec_id).
+        query_reps = F.broadcast(
+            membership.filter(ann_query_pred(F.col("member")))
+            .select(F.col("rep_id").alias("vec_id"))
+            .distinct()
+        )
     cells_mod = adaptive_cells_mod(N_CELLS_MOD, n_vecs)
     cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
@@ -905,7 +923,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cs").desc(), "cell_id"
         )
         src_probes = (
-            (slim if collapse else slim.filter(ann_query_pred(F.col("vec_id"))))
+            (
+                slim.join(query_reps, "vec_id", "left_semi")
+                if collapse
+                else slim.filter(ann_query_pred(F.col("vec_id")))
+            )
             .withColumn("rk", F.row_number().over(w_hier))
             .filter(F.col("rk") <= N_PROBE)
             .select("vec_id", "cell_id")
@@ -925,7 +947,11 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "embedding", "nrm", "cell_id")
         )
         src_probes = (
-            (scored if collapse else scored.filter(ann_query_pred(F.col("vec_id"))))
+            (
+                scored.join(query_reps, "vec_id", "left_semi")
+                if collapse
+                else scored.filter(ann_query_pred(F.col("vec_id")))
+            )
             .withColumn("rk", F.row_number().over(w_assign))
             .filter(F.col("rk") <= N_PROBE)
             .select("vec_id", "cell_id")

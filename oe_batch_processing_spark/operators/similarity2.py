@@ -503,6 +503,15 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         membership = groups.select(
             "rep_id", F.explode("members").alias("member")
         )
+        # reps whose content class holds >= 1 query member — semi-join
+        # target for the probe window (round-14, advisor; see the IVF
+        # twin): ranks per rep are unchanged, non-query reps never
+        # survive the membership join anyway.
+        query_reps = F.broadcast(
+            membership.filter(ann_query_pred(F.col("member")))
+            .select(F.col("rep_id").alias("vec_id"))
+            .distinct()
+        )
     cells_mod = adaptive_cells_mod(IVFPQ_CELLS_MOD, n_vecs)
     coarse = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"),
@@ -528,7 +537,8 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     if collapse:
         # a query's probe cells are its rep's (content-determined)
         src_probes = (
-            cell_scored.withColumn("rk", F.row_number().over(w_probe))
+            cell_scored.join(query_reps, "vec_id", "left_semi")
+            .withColumn("rk", F.row_number().over(w_probe))
             .filter(F.col("rk") <= IVFPQ_NPROBE)
             .select("vec_id", "cell_id")
         )
@@ -1186,23 +1196,44 @@ def semdedup_clusters(
     # Per-cell member cap: one rank window over the N-row assignment frame
     # (NOT the N×K score frame), keeping the first `cap` members by vec_id.
     # Quadratic pair growth in a mega-cell is the one cost AQE cannot fix.
-    assigned = (
-        assigned.withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("cell_id").orderBy("vec_id")),
-        )
-        .filter(F.col("rk") <= cap)
-        .drop("rk")
+    ranked = assigned.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("cell_id").orderBy("vec_id")),
+    )
+    nr_expr = F.sqrt(
+        F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)
     )
     # persist the capped assignment: BOTH sides of the within-cell
     # self-join below read it, and without the cache the whole assignment
     # pipeline (hierarchical: window + two joins) replays twice — measured
     # 24s x2 at the 30x probe scale. Corpus-sized rows with one array each
     # (same bound as the vecs cache); intentionally left to LRU.
-    nrm = persist_once(assigned.withColumn(
-        "nr",
-        F.sqrt(F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)") / F.lit(1e8)),
-    ))
+    if route is not None:
+        # Divergence detector (round-14, advisor): above the collapse
+        # gate the cap bounds DISTINCT CONTENTS per cell, not members — a
+        # different relation from the flat capped semantics whenever it
+        # actually binds. It is a no-op on every committed and probed
+        # corpus; if a future replica-heavy corpus overflows a cell in
+        # this reading, warn loudly instead of silently diverging. The
+        # PRE-cap frame carries the cache (same corpus-sized bound, the
+        # dropped tail included), so the detector is one cached
+        # limit-1 scan and the capped view below reads the same cache.
+        pre = persist_once(ranked.withColumn("nr", nr_expr))
+        if pre.filter(F.col("rk") > cap).limit(1).count():
+            import warnings
+
+            warnings.warn(
+                "semdedup_clusters: per-cell cap binds on the collapsed "
+                "path — the collapsed cap bounds distinct contents per "
+                "cell and DIVERGES from the flat capped semantics; raise "
+                "SEMDEDUP_CELL_CAP or audit the corpus's replica profile",
+                stacklevel=2,
+            )
+        nrm = pre.filter(F.col("rk") <= cap).drop("rk")
+    else:
+        nrm = persist_once(
+            ranked.filter(F.col("rk") <= cap).drop("rk").withColumn("nr", nr_expr)
+        )
     a = nrm.select(
         F.col("cell_id"),
         F.col("vec_id").alias("id_a"),
