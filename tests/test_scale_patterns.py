@@ -799,3 +799,124 @@ def test_ngram_spans_rep_collapse_matches_oracle(spark, tmp_path):
         row = spdf[spdf.doc_id == did].iloc[0]
         assert row.n_spans == 1 and row.dup_fraction == 1.0
     assert int(spdf[spdf.doc_id == 12].n_spans.iloc[0]) == 2
+
+
+def test_collapse_gate_contract_sweep(spark, tmp_path):
+    """Round-14 (verdict item 6): ONE parameterized sweep pinning the
+    ``n >= GATE`` contract for every collapse/hierarchy gate constant,
+    replacing the per-operator spot assertions. For each gated operator
+    on an N-row corpus:
+
+    - gate = N+1 and gate = 10**12 build the IDENTICAL plan (normalized
+      for expression ids) — sitting one below the threshold is
+      bit-identical to sitting far below it, the committed-SF guarantee;
+    - gate = N builds a DIFFERENT plan (the gated path engages exactly
+      at n == gate, pinning >= against a future > off-by-one) whose
+      OUTPUT matches the flat run exactly.
+
+    Also pins the constants themselves at the documented 8192."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators import similarity as sim
+    from oe_batch_processing_spark.operators import similarity2 as sim2
+    from oe_batch_processing_spark.operators.similarity import (
+        lsh_topk,
+        similarity_topk_ivf,
+    )
+    from oe_batch_processing_spark.operators.similarity2 import (
+        semdedup_clusters,
+        similarity_topk_ivfpq,
+        similarity_topk_pq,
+    )
+
+    assert sim.ANN_REP_MIN_N == 8192 and sim2.ANN_REP_MIN_N == 8192
+    assert sim.IVF_HIER_MIN_N == 8192 and sim2.IVF_HIER_MIN_N == 8192
+    assert sim2.SEMDEDUP_REP_MIN_N == 8192
+
+    n_base, n_rep = 30, 4
+    n = n_base * n_rep
+
+    def vec(b: int) -> list[float]:
+        bs = b"".join(
+            hashlib.md5(f"gc:{b}:{k}".encode()).digest() for k in range(4)
+        )
+        return [(x - 127) / 256.0 for x in bs]
+
+    rows = [
+        (r * 10_000 + b, vec(b)) for r in range(n_rep) for b in range(n_base)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+
+    def norm_plan(df) -> str:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    def run(fn, attrs, gate):
+        saved = [(m, a, getattr(m, a)) for m, a in attrs]
+        for m, a in attrs:
+            setattr(m, a, gate)
+        try:
+            df = fn(spark, sf_dir)
+            plan = norm_plan(df)
+            pdf = df.toPandas()
+        finally:
+            for m, a, v in saved:
+                setattr(m, a, v)
+            spark.catalog.clearCache()
+        cols = list(pdf.columns)
+        return plan, pdf.sort_values(cols).reset_index(drop=True)
+
+    ANN = [(sim, "ANN_REP_MIN_N"), (sim2, "ANN_REP_MIN_N")]
+    HIER = [(sim, "IVF_HIER_MIN_N"), (sim2, "IVF_HIER_MIN_N")]
+    cases = [
+        ("lsh/rep", lambda sp, sd: lsh_topk(sp, sd, sim.N_PLANES, sim.N_TABLES), ANN),
+        ("pq/rep", similarity_topk_pq, ANN),
+        ("ivf/rep", similarity_topk_ivf, ANN),
+        ("ivfpq/rep", similarity_topk_ivfpq, ANN),
+        ("ivf/hier", similarity_topk_ivf, HIER),
+        ("ivfpq/hier", similarity_topk_ivfpq, HIER),
+    ]
+    for label, fn, attrs in cases:
+        plan_below, out_below = run(fn, attrs, n + 1)
+        plan_far, out_far = run(fn, attrs, 10**12)
+        assert plan_below == plan_far, f"{label}: n+1 plan != far-below plan"
+        pd.testing.assert_frame_equal(out_below, out_far)
+        plan_at, out_at = run(fn, attrs, n)
+        assert plan_at != plan_below, (
+            f"{label}: gate == n did not engage the gated path (>= broken?)"
+        )
+        assert len(out_below) > 0
+        pd.testing.assert_frame_equal(out_below, out_at, obj=label)
+
+    # semdedup gates are call parameters backed by the module constants
+    demb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    for label, kw in (
+        ("semdedup/rep", "rep_min_n"),
+        ("semdedup/hier", "hier_min_n"),
+    ):
+        def sd(gate, kw=kw):
+            spark.catalog.clearCache()
+            df = semdedup_clusters(demb, **{kw: gate})
+            plan = norm_plan(df)
+            pdf = df.toPandas()
+            spark.catalog.clearCache()
+            cols = list(pdf.columns)
+            return plan, pdf.sort_values(cols).reset_index(drop=True)
+
+        plan_below, out_below = sd(n + 1)
+        plan_far, out_far = sd(10**12)
+        assert plan_below == plan_far, f"{label}: n+1 plan != far-below plan"
+        pd.testing.assert_frame_equal(out_below, out_far)
+        plan_at, out_at = sd(n)
+        assert plan_at != plan_below, f"{label}: gate == n did not engage"
+        assert len(out_below) > 0
+        pd.testing.assert_frame_equal(out_below, out_at, obj=label)
