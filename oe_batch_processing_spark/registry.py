@@ -123,91 +123,89 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-13 window, per the r12 rotation guidance: (1) changed-code
-    # --- re-checks — the content-representative rewrite of the
-    # --- containment and embedding-cosine exact-pair builds (+ their
-    # --- clusters consumers), the same collapse transferred in-round to
-    # --- the SimHash and MinHash-LSH candidate builds and (gated at
-    # --- ANN_REP_MIN_N) to the LSH/PQ ANN corpus sides, every cc_labels
-    # --- consumer after the
-    # --- size-adaptive lineage change (plain persists below
-    # --- _CC_SMALL_EDGES, round-capped), every query that crossed a
-    # --- persist_once() conversion, and the IVF/IVFPQ family after the
-    # --- two-level coarse-quantizer build + cell-scaled Lloyd training
-    # --- sample + gated candidate repartitions (all gated at
-    # --- IVF_HIER_MIN_N=8192 — plan-identical at committed SFs,
-    # --- re-checked anyway); (2) the 12 remaining r5-era rows;
-    # --- (3) the 19 alphabetically-first r6-era rows. Round-14
-    # --- guidance: FIRST any round-14 additions and changed-code
-    # --- re-checks, then the 29 remaining r6-era rows
-    # --- (graph_pagerank_trade, graph_triangle_count,
-    # --- ingest_orc_roundtrip, itemsets_frequent_pairs, layout_zorder_events,
-    # --- merge_upsert_customer_balance, multimodal_audio_pcm_features,
-    # --- multimodal_image_ahash, multimodal_raster_gradients,
-    # --- multimodal_rle_roundtrip, orders_forecast_holt,
-    # --- pipeline_curriculum_order, profile_documents_columns,
-    # --- pyds_synthetic_events, regression_multivar_normal_eq,
-    # --- scd2_point_in_time_join, scd2_user_value_tiers,
-    # --- sketch_countmin_user_counts, sketch_hll_user_rollup,
-    # --- sketch_theta_segment_overlap, sql_scripting_vars,
-    # --- stream_changepoint_cusum, stream_docs_quality_gate,
-    # --- text_bigram_lm_score, text_bpe_apply_fertility,
-    # --- text_rake_keywords, text_readability_forcast,
-    # --- text_repetition_ratios, xml_parse_roundtrip), then the
-    # --- r7-era rows.
-    # --- (1) changed-code re-checks (round-13)
-    "dedup_shingle_containment",          # r13: representative rewrite
-    "dedup_shingle_containment_clusters",  # r13: inherits the rewrite
-    "dedup_embedding_cosine",             # r13: representative rewrite
-    "dedup_embedding_cosine_clusters",    # r13: inherits the rewrite
-    "dedup_jaccard_shingles",             # r13: persist_once on shared groups
-    "dedup_connected_components",         # r13: cc_labels size-adaptive lineage
-    "graph_connected_components_star",    # r13: consumes the jaccard pairs
-    "dedup_cluster_canonical",            # r13: consumes connected_components
-    "dedup_minhash_lsh",                  # r13: representative rewrite
-    "dedup_minhash_lsh_clusters",         # r13: inherits the rewrite
-    "dedup_simhash",                      # r13: representative rewrite
-    "dedup_simhash_clusters",             # r13: inherits the rewrite
-    "dedup_jaccard_prefix_filter",        # r13: representative rewrite
-    "dedup_minhash_error_profile",        # r13: persist_once shingle arrays
-    "similarity_topk_ivf",                # r13: two-level build + rep collapse (gated)
-    "similarity_topk_ivfpq",              # r13: two-level build + rep collapse (gated)
-    "similarity_topk_pq",                 # r13: corpus rep collapse (gated)
-    "similarity_topk_lsh",                # r13: corpus rep collapse (gated)
-    "similarity_topk_cosine",             # r13: rep collapse (always-on)
-    "similarity_pairs_above",             # r13: rep collapse (always-on)
-    "dedup_semdedup_clusters",            # r13: persist_once vecs/nrm
-    "embedding_kmeans_assign",            # r13: persist_once vecs
-    # --- (2) the final 12 r5-era rows
-    "stream_session_windows",
-    "stream_sliding_counts",
-    "stream_tumbling_counts",
-    "subquery_correlated_max",
-    "subquery_scalar_above_avg",
-    "udaf_user_value_trend",
-    "user_value_trend_native",
-    "win_lag_order_gap",
-    "win_range_frame_30d_spend",
-    "win_running_customer_spend",
-    "win_session_gaps",
-    "win_topk_orders_per_priority",
-    # --- (3) 16 of the 48 r6-era rows (rest listed above for r14)
-    "agg_bitmap_exact_distinct",
-    "dedup_incremental_vs_history",
-    "dedup_pipeline_tiered",
-    "docs_bigram_novelty",
-    "docs_chunk_overlap",
-    "docs_duplicate_ngram_spans",
-    "docs_lang_tvd_drift",
-    "docs_tfidf_topterms",
-    "docs_url_canonical_dedup",
-    "dq_constraint_report",
-    "embedding_knn_classify",
-    "events_cdc_latest_state",
-    "events_changepoint_cusum",
-    "events_lagged_crosscorr",
-    "graph_bfs_levels",
-    "graph_link_prediction_cn",
+    # --- Round-14 window, per the r13 rotation guidance: (1) changed-code
+    # --- re-checks — the content-representative collapse of
+    # --- docs_duplicate_ngram_spans (always-on; gram build + island pass
+    # --- on distinct texts, membership expansion), the
+    # --- ann_rep_expand_topk stage-1 distinct (touches the always-on
+    # --- similarity_topk_cosine plan and the four gated ANN consumers),
+    # --- the collapsed IVF/IVFPQ probe-window semi-join to query reps
+    # --- (gated at ANN_REP_MIN_N — plan-identical at committed SFs,
+    # --- re-checked anyway), and the SemDeDup collapsed-cap divergence
+    # --- detector (gated; committed flat path unchanged); (2) ALL 29
+    # --- remaining r6-era rows; (3) the 14 alphabetically-first r7-era
+    # --- rows. Round-15 guidance: FIRST any round-15 additions and
+    # --- changed-code re-checks, then the 32 remaining r7-era rows
+    # --- (multimodal_wav_riff_features, multimodal_zip_member_index,
+    # --- orders_cohort_retention, orders_forecast_holt_winters,
+    # --- orders_runs_test_daily, orders_stl_decompose_monthly,
+    # --- orders_trend_mann_kendall, orders_trend_seasonal_mk,
+    # --- orders_trend_theil_sen, pipeline_budget_mixture_greedy,
+    # --- pipeline_data_card, pipeline_token_budget_epochs,
+    # --- pyds_writer_roundtrip, recursive_cte_custkey_tree,
+    # --- sample_pps_systematic, sample_reservoir_per_user,
+    # --- set_except_all_quantities, set_intersect_all_quantities,
+    # --- sql_select_star_except, sql_window_named_spec,
+    # --- stats_bootstrap_ci_weekly_orders, stats_ks_two_sample,
+    # --- stats_mann_whitney_u, stream_burst_detection,
+    # --- stream_dedup_within_watermark, stream_foreachbatch_upsert,
+    # --- stream_session_window_dynamic_gap, stream_sessionize_capped,
+    # --- stream_token_bucket_admission, text_bigram_lm_kneser_ney,
+    # --- udtf_table_arg_streaks, win_ignore_nulls_battery), then the
+    # --- r8-era rows.
+    # --- (1) changed-code re-checks (round-14)
+    "docs_duplicate_ngram_spans",    # r14: representative collapse rewrite
+    "similarity_topk_cosine",        # r14: expand-topk stage-1 distinct (always-on)
+    "similarity_topk_lsh",           # r14: expand-topk distinct (gated)
+    "similarity_topk_pq",            # r14: expand-topk distinct (gated)
+    "similarity_topk_ivf",           # r14: probe semi-join + distinct (gated)
+    "similarity_topk_ivfpq",         # r14: probe semi-join + distinct (gated)
+    "dedup_semdedup_clusters",       # r14: collapsed-cap detector (gated)
+    # --- (2) the 29 remaining r6-era rows
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "ingest_orc_roundtrip",
+    "itemsets_frequent_pairs",
+    "layout_zorder_events",
+    "merge_upsert_customer_balance",
+    "multimodal_audio_pcm_features",
+    "multimodal_image_ahash",
+    "multimodal_raster_gradients",
+    "multimodal_rle_roundtrip",
+    "orders_forecast_holt",
+    "pipeline_curriculum_order",
+    "profile_documents_columns",
+    "pyds_synthetic_events",
+    "regression_multivar_normal_eq",
+    "scd2_point_in_time_join",
+    "scd2_user_value_tiers",
+    "sketch_countmin_user_counts",
+    "sketch_hll_user_rollup",
+    "sketch_theta_segment_overlap",
+    "sql_scripting_vars",
+    "stream_changepoint_cusum",
+    "stream_docs_quality_gate",
+    "text_bigram_lm_score",
+    "text_bpe_apply_fertility",
+    "text_rake_keywords",
+    "text_readability_forcast",
+    "text_repetition_ratios",
+    "xml_parse_roundtrip",
+    # --- (3) the 14 alphabetically-first r7-era rows
+    "customer_revenue_gini",
+    "dedup_incremental_bloom_prefilter",
+    "embedding_pca_power_iteration",
+    "events_burst_detection",
+    "events_session_window_dynamic_gap",
+    "events_session_window_native",
+    "events_sessionize_capped",
+    "events_token_bucket_admission",
+    "ingest_binaryfile_netpbm",
+    "ingest_gzip_codec_scan",
+    "multimodal_bmp_decode",
+    "multimodal_gzip_decode",
+    "multimodal_ppm_decode",
+    "multimodal_tar_member_index",
 )
 
 
