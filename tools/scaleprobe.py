@@ -110,6 +110,8 @@ PROBES: tuple[str, ...] = (
     "embedding_kmeans_assign",      # r11: centroid-family coverage
     "multimodal_webp_color_decode", # r11: cross-color RGB pipeline
     "similarity_topk_matmul",
+    "multimodal_jpeg_decode",        # r14: codec-family 30x gap (verdict item 7)
+    "multimodal_gif_decode",         # r14: codec-family 30x gap (verdict item 7)
     "similarity_topk_cosine",        # r13: rep-collapsed brute-force baseline
     "similarity_pairs_above",        # r13: rep-collapsed all-pairs primitive
     "dedup_embedding_cosine_clusters",   # r12: clusters emit, cosine
