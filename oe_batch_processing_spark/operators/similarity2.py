@@ -1390,14 +1390,34 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     renormalizes to max-|component| = 1e4 integers on the driver (64
     values — bounded by dimension, never by data).
 
-    Scale: each iteration is two shuffles (vec_id and dim); the dim
-    shuffle has {EMB_DIM} distinct keys with map-side partial sums, so the
-    reducer side is |dims| rows regardless of corpus size. Convergence at
-    100 TB is identical math — more rows only widen the map side. Deflate
-    and repeat for the next component (v ← v − λu uᵀv, same loop).
+    Content-collapse with WEIGHTS (round-14, the collapse program's
+    linear-aggregate member): every per-dimension sum is linear in rows,
+    so k identical embeddings contribute exactly k times one embedding's
+    term — the corpus folds to (distinct qe, cnt) once, each iteration's
+    sum carries a ``* cnt`` factor, and the resulting INTEGERS are equal
+    term-group-by-term-group to the flat sums (the total is the same
+    sum, merely associated by content — BIGINT addition is exact and
+    order-free, so the full DuckDB hash oracle checks the rewrite at
+    committed SFs). Always-on; the distinct frame is persisted once and
+    reused by all {PCA_ITERS} iterations (the flat loop re-scanned the
+    parquet per iteration). Overflow bound unchanged: the weighted sum
+    EQUALS the flat sum. On the replica-heavy 30x probe corpus the
+    per-iteration scan drops from 60k rows to the 2k distinct contents.
+
+    Scale: one groupBy(qe) shuffle up front (key the groupBy on
+    xxhash64(qe) at 100 TB — the exact-dedup idiom), then each iteration
+    is one scan of the distinct frame + the {EMB_DIM}-key dim shuffle
+    with map-side partial sums, so the reducer side is |dims| rows
+    regardless of corpus size. Convergence at 100 TB is identical math —
+    more rows only widen the (collapsed) map side. Deflate and repeat
+    for the next component (v ← v − λu uᵀv, same loop).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.expr(_QE).alias("qe"))
+    groups = persist_once(
+        emb.select(F.expr(_QE).alias("qe"))
+        .groupBy("qe")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     v = [10_000] * EMB_DIM
     for _ in range(PCA_ITERS):
         v_lit = "array(" + ", ".join(f"{x}L" for x in v) + ")"
@@ -1405,12 +1425,12 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             f"aggregate(zip_with(qe, {v_lit}, (x, y) -> x * y), "
             "0L, (acc, t) -> acc + t)"
         )
-        contrib = vecs.select(
-            dot.alias("dot"), F.posexplode("qe").alias("i", "qv")
+        contrib = groups.select(
+            dot.alias("dot"), "cnt", F.posexplode("qe").alias("i", "qv")
         )
         sums = (
             contrib.groupBy("i")
-            .agg(F.sum(F.col("qv") * F.col("dot")).alias("s"))
+            .agg(F.sum(F.col("qv") * F.col("dot") * F.col("cnt")).alias("s"))
             .collect()
         )
         s = [0] * EMB_DIM

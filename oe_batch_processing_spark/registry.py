@@ -194,7 +194,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- (3) the 14 alphabetically-first r7-era rows
     "customer_revenue_gini",
     "dedup_incremental_bloom_prefilter",
-    "embedding_pca_power_iteration",
+    "embedding_pca_power_iteration",  # r14: also a changed-code re-check
+    # (weighted content collapse of the per-iteration sums)
     "events_burst_detection",
     "events_session_window_dynamic_gap",
     "events_session_window_native",

@@ -920,3 +920,48 @@ def test_collapse_gate_contract_sweep(spark, tmp_path):
         assert plan_at != plan_below, f"{label}: gate == n did not engage"
         assert len(out_below) > 0
         pd.testing.assert_frame_equal(out_below, out_at, obj=label)
+
+
+def test_pca_weighted_collapse_matches_oracle(spark, tmp_path):
+    """Round-14: embedding_pca_power_iteration folds the corpus to
+    (distinct qe, cnt) and weights every per-dimension sum by cnt — an
+    exact regrouping of the flat BIGINT sums. Checked against the
+    registered DuckDB oracle (which computes the flat per-row form) on a
+    replica-heavy corpus with UNEVEN class sizes (1, 2, 7, 30 copies),
+    where any weighting bug (dropped cnt, cnt on the wrong factor)
+    changes the integers."""
+    import duckdb
+    import hashlib
+    import pandas as pd
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.operators.similarity2 import (
+        embedding_pca_power_iteration,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    def vec(b: int) -> list[float]:
+        bs = b"".join(
+            hashlib.md5(f"pw:{b}:{k}".encode()).digest() for k in range(4)
+        )
+        return [(x - 127) / 256.0 for x in bs]
+
+    rows, nid = [], 0
+    for b, copies in enumerate([1, 2, 7, 30] * 10):
+        for _ in range(copies):
+            rows.append((nid, vec(b)))
+            nid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    path = tmp_path / "embeddings.parquet"
+    pdf.to_parquet(path)
+
+    spdf = embedding_pca_power_iteration(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(
+        registry.ORACLE["embedding_pca_power_iteration"]
+    ).fetchdf()
+    assert compare(spdf, odf) is None
+    assert len(spdf) == 64
