@@ -126,9 +126,14 @@ class LsbWriter:
     def put_code(self, code: int, nbits: int) -> None:
         """Prefix-code bits go MSB-first into the LSB-first stream (the
         DEFLATE convention RFC 9649 shares): the decoder consumes them one
-        at a time in stream order, extending code = code<<1 | bit."""
-        for i in range(nbits - 1, -1, -1):
-            self.put((code >> i) & 1, 1)
+        at a time in stream order, extending code = code<<1 | bit. Writing
+        the bit-reversed code as ONE LSB-first field emits the identical
+        bit sequence in a single accumulator update."""
+        rev = 0
+        for _ in range(nbits):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.put(rev, nbits)
 
     def flush(self) -> bytes:
         if self.n:
@@ -210,7 +215,6 @@ def huffman_lengths(freqs: dict[int, int], cap: int = ENC_MAX_LEN) -> dict[int, 
     depth, and it bounds the decoder's flat lookup table at 2^cap."""
     import heapq
     import itertools
-    from fractions import Fraction
 
     tie = itertools.count()
     heap = [(f, next(tie), {s: 0}) for s, f in sorted(freqs.items())]
@@ -226,14 +230,17 @@ def huffman_lengths(freqs: dict[int, int], cap: int = ENC_MAX_LEN) -> dict[int, 
         if len(lengths) > (1 << cap):
             raise ValueError("alphabet too large for the length cap")
         lengths = {s: min(ln, cap) for s, ln in lengths.items()}
-        kraft = sum(Fraction(1, 1 << ln) for ln in lengths.values())
-        while kraft > 1:
+        # integer Kraft in units of 2^-cap: sum(2^(cap-ln)) vs 2^cap — the
+        # exact same inequality the Fraction form expressed, no rationals
+        unit = 1 << cap
+        kraft = sum(1 << (cap - ln) for ln in lengths.values())
+        while kraft > unit:
             s = max(
                 (s for s, ln in lengths.items() if ln < cap),
                 key=lambda s: (lengths[s], s),
             )
             lengths[s] += 1
-            kraft -= Fraction(1, 1 << lengths[s])
+            kraft -= 1 << (cap - lengths[s])
     if max(lengths.values()) > MAX_CODE_LEN:
         raise ValueError("prefix code deeper than 15 bits")
     return lengths
@@ -307,10 +314,28 @@ class CanonicalDecoder:
         if self.only is not None:
             return self.only
         if self.table is not None:
-            entry = self.table[r.peek_lsb(self.maxlen)]
+            # inlined peek_lsb + advance: one attribute round-trip on the
+            # reader state per symbol instead of two method calls (this is
+            # the per-pixel hot path of every decode query)
+            need = self.maxlen
+            nbuf = r.nbuf
+            if nbuf < need:
+                data, byte_pos, buf = r.data, r.byte_pos, r.buf
+                n_data = len(data)
+                while nbuf < need and byte_pos < n_data:
+                    buf |= data[byte_pos] << nbuf
+                    byte_pos += 1
+                    nbuf += 8
+                r.byte_pos, r.buf, r.nbuf = byte_pos, buf, nbuf
+            entry = self.table[r.buf & ((1 << need) - 1)]
             if entry is None:
                 raise ValueError("invalid prefix code in stream")
-            r.advance(entry[1])
+            ln = entry[1]
+            if r.consumed + ln > r.total_bits:
+                raise ValueError("VP8L bitstream exhausted")
+            r.buf >>= ln
+            r.nbuf = nbuf - ln
+            r.consumed += ln
             return entry[0]
         code = 0
         for ln in range(1, self.maxlen + 1):
@@ -463,7 +488,7 @@ def read_prefix_code(r: LsbReader, alphabet: int) -> CanonicalDecoder:
 MIN_MATCH = 3  # minimum backreference length the encoder emits
 
 
-def prefix_encode_value(v: int) -> tuple[int, int, int]:
+def _prefix_encode_value_raw(v: int) -> tuple[int, int, int]:
     """RFC 9649 LZ77 prefix scheme, inverse of :func:`prefix_decode_value`:
     value -> (prefix_code, extra, extra_bits). Codes 0..3 carry 1..4
     directly; beyond that, code 2*hb+b for x = v-1 with high bit hb and
@@ -476,6 +501,23 @@ def prefix_encode_value(v: int) -> tuple[int, int, int]:
     hb = x.bit_length() - 1
     b = (x >> (hb - 1)) & 1
     return 2 * hb + b, x - ((2 + b) << (hb - 1)), hb - 1
+
+
+# the encoder calls the prefix scheme twice per backref in two passes
+# (histogram + emit); lengths and plain distances at our image sizes are
+# small, so a one-time table turns those calls into a list index
+_PREFIX_TABLE_MAX = 1 << 12  # covers every length/distance our image sizes emit;
+# larger values fall through to the raw computation
+_PREFIX_TABLE = [None] + [
+    _prefix_encode_value_raw(v) for v in range(1, _PREFIX_TABLE_MAX)
+]
+
+
+def prefix_encode_value(v: int) -> tuple[int, int, int]:
+    """Table-accelerated :func:`_prefix_encode_value_raw` (same mapping)."""
+    if 0 < v < _PREFIX_TABLE_MAX:
+        return _PREFIX_TABLE[v]
+    return _prefix_encode_value_raw(v)
 
 
 def prefix_decode_value(code: int, r: LsbReader) -> int:
@@ -492,16 +534,28 @@ def lz77_parse(raster: bytes) -> list[tuple[int, int, int]]:
     distance) ops. Single last-occurrence hash on 3-grams, greedy extend —
     O(n), pure function of the raster (the re-encode roundtrip assertion
     depends on determinism)."""
+    assert MIN_MATCH == 3  # the packed integer gram below encodes exactly 3 bytes
     n = len(raster)
     ops: list[tuple[int, int, int]] = []
-    last: dict[bytes, int] = {}
+    # integer 3-gram keys ((b0<<16)|(b1<<8)|b2) — same last-occurrence map
+    # as bytes-slice keys (the gram IS the slice); the whole gram column is
+    # vectorized once instead of three byte reads + shifts per position
+    if n >= MIN_MATCH:
+        import numpy as np
+
+        a = np.frombuffer(raster, dtype=np.uint8).astype(np.uint32)
+        grams = ((a[:-2] << 16) | (a[1:-1] << 8) | a[2:]).tolist()
+    last: dict[int, int] = {}
+    append = ops.append
+    get = last.get
     i = 0
+    limit = n - MIN_MATCH
     while i < n:
         match_len = 0
         match_dist = 0
-        if i + MIN_MATCH <= n:
-            key = raster[i:i + MIN_MATCH]
-            j = last.get(key, -1)
+        if i <= limit:
+            key = grams[i]
+            j = get(key, -1)
             if j >= 0:
                 # overlap-safe: position j+length always precedes i+length,
                 # so comparing against the original raster IS comparing
@@ -511,14 +565,14 @@ def lz77_parse(raster: bytes) -> list[tuple[int, int, int]]:
                     length += 1
                 match_len, match_dist = length, i - j
         if match_len >= MIN_MATCH:
-            ops.append((1, match_len, match_dist))
-            for k in range(i, min(i + match_len, n - MIN_MATCH + 1)):
-                last[raster[k:k + MIN_MATCH]] = k
+            append((1, match_len, match_dist))
+            for k in range(i, min(i + match_len, limit + 1)):
+                last[grams[k]] = k
             i += match_len
         else:
-            ops.append((0, raster[i], 0))
-            if i + MIN_MATCH <= n:
-                last[raster[i:i + MIN_MATCH]] = i
+            append((0, raster[i], 0))
+            if i <= limit:
+                last[key] = i
             i += 1
     return ops
 
@@ -1282,24 +1336,37 @@ def encode_webp_vp8l(
         }
 
     grev, rbrev, drev = emitter(glen), emitter(rblen), emitter(dlen)
+    # inlined LSB accumulator for the per-op emit loop: identical bit
+    # stream to sequential put() calls (flush points never change the
+    # emitted bytes), one method call per ~1.4k ops instead of 1-4 each
+    acc, nacc = w.acc, w.n
+    append = w.out.append
+    pev = prefix_encode_value
     for kind, a, b_ in ops:
         if kind == 0:
             rc, nb = grev[a]
-            w.put(rc, nb)
+            acc |= rc << nacc
+            nacc += nb
             # red/blue: zero-bit 1-symbol codes (subtract-green domain);
             # alpha: zero-bit simple code
         elif kind == 2:
             rc, nb = grev[280 + a]  # cache symbol: a complete pixel, no
-            w.put(rc, nb)           # channel codes follow
+            acc |= rc << nacc       # channel codes follow
+            nacc += nb
         else:
-            lcode, lextra, lebits = prefix_encode_value(a)
+            lcode, lextra, lebits = pev(a)
             rc, nb = grev[256 + lcode]
-            w.put(rc, nb)
-            w.put(lextra, lebits)
-            dcode, dextra, debits = prefix_encode_value(b_ + 120)
+            acc |= (rc | (lextra << nb)) << nacc
+            nacc += nb + lebits
+            dcode, dextra, debits = pev(b_ + 120)
             rc, nb = drev[dcode]
-            w.put(rc, nb)
-            w.put(dextra, debits)
+            acc |= (rc | (dextra << nb)) << nacc
+            nacc += nb + debits
+        while nacc >= 8:
+            append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    w.acc, w.n = acc, nacc
     return _riff_container(bytes([SIGNATURE]) + w.flush())
 
 
@@ -1351,10 +1418,11 @@ def encode_webp_vp8l_rgb(rgb: bytes, w_px: int, h_px: int) -> bytes:
     w.put(0, 1)  # no meta prefix image
 
     def hist(vals) -> dict[int, int]:
-        freq: dict[int, int] = {}
-        for v in vals.reshape(-1).tolist():
-            freq[v] = freq.get(v, 0) + 1
-        return freq
+        # vectorized frequency count — same {value: count} mapping the
+        # dict-increment loop built (order is irrelevant: huffman_lengths
+        # sorts items before the heap build)
+        counts = np.bincount(vals.reshape(-1))
+        return {int(v): int(c) for v, c in enumerate(counts) if c}
 
     def lens(freq: dict[int, int]) -> dict[int, int]:
         return (
@@ -1382,10 +1450,26 @@ def encode_webp_vp8l_rgb(rgb: bytes, w_px: int, h_px: int) -> bytes:
     gf = gp.reshape(-1).tolist()
     rf = r_res.reshape(-1).tolist()
     bf = b_res.reshape(-1).tolist()
+    # inlined LSB accumulator (identical bit stream to sequential put()
+    # calls — flush points never change the emitted bytes): this loop is
+    # 3 table hits per pixel, the single hottest path of the RGB encoder
+    acc, nacc = w.acc, w.n
+    append = w.out.append
     for gv, rv, bv in zip(gf, rf, bf):  # literal channel order: g, r, b, a
-        for table, v in ((ge, gv), (re_, rv), (be, bv)):
-            code, nb = table[v]
-            w.put(code, nb)
+        code, nb = ge[gv]
+        acc |= code << nacc
+        nacc += nb
+        code, nb = re_[rv]
+        acc |= code << nacc
+        nacc += nb
+        code, nb = be[bv]
+        acc |= code << nacc
+        nacc += nb
+        while nacc >= 8:
+            append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    w.acc, w.n = acc, nacc
     return _riff_container(bytes([SIGNATURE]) + w.flush())
 
 
@@ -1517,20 +1601,22 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
         cache[cache_slot(argb, cache_bits)] = argb
 
     out = bytearray()
-    while len(out) < n_px:
-        g = green.read(r)
+    # in the subtract-green domain a grayscale pixel has r'=b'=0 (and the
+    # predictor residual of a zero plane is zero); the palette's
+    # packed-index pixels carry the index in green with r=b=0;
+    # untransformed streams carry r=b=g directly — hoisted out of the
+    # per-pixel loop as a single flag
+    rb_zero = (
+        subtract_green or palette is not None or color_grid is not None
+    )
+    green_read, red_read = green.read, red.read
+    blue_read, alpha_read = blue.read, alpha.read
+    out_len = 0
+    while out_len < n_px:
+        g = green_read(r)
         if g < 256:
-            # in the subtract-green domain a grayscale pixel has r'=b'=0
-            # (and the predictor residual of a zero plane is zero); the
-            # palette's packed-index pixels carry the index in green with
-            # r=b=0; untransformed streams carry r=b=g directly
-            want_rb = (
-                0
-                if (subtract_green or palette is not None
-                    or color_grid is not None)
-                else g
-            )
-            if red.read(r) != want_rb or blue.read(r) != want_rb:
+            want_rb = 0 if rb_zero else g
+            if red_read(r) != want_rb or blue_read(r) != want_rb:
                 if color_grid is not None:
                     raise ValueError(
                         "nonzero red/blue residual under the color "
@@ -1541,9 +1627,10 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             # under the predictor the coded plane is the residual domain:
             # alpha 255 predicts 255 everywhere (mode 0's black is opaque
             # too), so every coded alpha residual must be 0
-            if alpha.read(r) != want_alpha:
+            if alpha_read(r) != want_alpha:
                 raise ValueError("non-opaque pixel")
             out.append(g)
+            out_len += 1
             if cache_size:
                 insert(g)
             continue
@@ -1557,15 +1644,11 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
             b_c = argb & 255
             if a_c != want_alpha:
                 raise ValueError("non-opaque pixel")
-            want_rb = (
-                0
-                if (subtract_green or palette is not None
-                    or color_grid is not None)
-                else g_c
-            )
+            want_rb = 0 if rb_zero else g_c
             if r_c != want_rb or b_c != want_rb:
                 raise ValueError("non-grayscale pixel in grayscale subset")
             out.append(g_c)
+            out_len += 1
             continue
         # LZ77 backreference: length via green code 256+k, then distance
         length = prefix_decode_value(g - 256, r)
@@ -1576,13 +1659,19 @@ def parse_webp_vp8l(b: bytes) -> tuple[int, int, bytes]:
                 "this subset"
             )
         dist = dist_code - 120
-        if dist > len(out):
+        if dist > out_len:
             raise ValueError("backreference before start of image")
-        if len(out) + length > n_px:
+        if out_len + length > n_px:
             raise ValueError("backreference overruns the image")
-        start = len(out) - dist
-        for k in range(length):  # overlap-correct byte-at-a-time copy
-            out.append(out[start + k])
+        start = out_len - dist
+        if dist >= length:
+            # non-overlapping: one slice copy (bit-identical to the
+            # byte-at-a-time walk when the source region is fully present)
+            out += out[start:start + length]
+        else:
+            for k in range(length):  # overlap-correct byte-at-a-time copy
+                out.append(out[start + k])
+        out_len += length
         if cache_size:
             for k in range(length):
                 insert(out[start + k])
@@ -1673,18 +1762,96 @@ def parse_webp_vp8l_rgb(b: bytes) -> tuple[int, int, bytes]:
     g_out = bytearray(n_px)
     r_out = bytearray(n_px)
     b_out = bytearray(n_px)
-    for j in range(n_px):
-        g = green.read(r)
-        if g >= 256:
-            raise ValueError(
-                "backreferences unsupported in the RGB subset "
-                "(literal-only streams)"
-            )
-        g_out[j] = g
-        r_out[j] = red.read(r)
-        b_out[j] = blue.read(r)
-        if alpha.read(r) != 255:
-            raise ValueError("non-opaque pixel")
+    # fully inlined literal loop: the four per-pixel symbol reads share one
+    # set of local bit-reader variables (synced back to `r` at the end) —
+    # semantics identical to four CanonicalDecoder.read calls per pixel,
+    # including 1-symbol zero-bit codes and the exhaustion checks
+    fast = (
+        green.only is None and green.table is not None
+        and red.only is None and red.table is not None
+        and blue.only is None and blue.table is not None
+        and alpha.only == 255
+    )
+    if fast:
+        # the common stream shape (three data-driven channel codes, alpha
+        # a 1-symbol zero-bit code): one set of local bit-reader variables
+        # and three unrolled table reads per pixel, synced back at the end
+        tg, tr, tb = green.table, red.table, blue.table
+        ng, nr, nb_ = green.maxlen, red.maxlen, blue.maxlen
+        mg, mr, mb = (1 << ng) - 1, (1 << nr) - 1, (1 << nb_) - 1
+        data, total_bits = r.data, r.total_bits
+        n_data = len(data)
+        buf, nbuf, byte_pos, consumed = r.buf, r.nbuf, r.byte_pos, r.consumed
+        for j in range(n_px):
+            if nbuf < ng:
+                while nbuf < ng and byte_pos < n_data:
+                    buf |= data[byte_pos] << nbuf
+                    byte_pos += 1
+                    nbuf += 8
+            entry = tg[buf & mg]
+            if entry is None:
+                raise ValueError("invalid prefix code in stream")
+            ln = entry[1]
+            if consumed + ln > total_bits:
+                raise ValueError("VP8L bitstream exhausted")
+            buf >>= ln
+            nbuf -= ln
+            consumed += ln
+            g = entry[0]
+            if g >= 256:
+                raise ValueError(
+                    "backreferences unsupported in the RGB subset "
+                    "(literal-only streams)"
+                )
+            g_out[j] = g
+            if nbuf < nr:
+                while nbuf < nr and byte_pos < n_data:
+                    buf |= data[byte_pos] << nbuf
+                    byte_pos += 1
+                    nbuf += 8
+            entry = tr[buf & mr]
+            if entry is None:
+                raise ValueError("invalid prefix code in stream")
+            ln = entry[1]
+            if consumed + ln > total_bits:
+                raise ValueError("VP8L bitstream exhausted")
+            buf >>= ln
+            nbuf -= ln
+            consumed += ln
+            r_out[j] = entry[0]
+            if nbuf < nb_:
+                while nbuf < nb_ and byte_pos < n_data:
+                    buf |= data[byte_pos] << nbuf
+                    byte_pos += 1
+                    nbuf += 8
+            entry = tb[buf & mb]
+            if entry is None:
+                raise ValueError("invalid prefix code in stream")
+            ln = entry[1]
+            if consumed + ln > total_bits:
+                raise ValueError("VP8L bitstream exhausted")
+            buf >>= ln
+            nbuf -= ln
+            consumed += ln
+            b_out[j] = entry[0]
+            # alpha: 1-symbol code, zero bits, value pinned to 255 by the
+            # fast-path guard — nothing to read or check
+        r.buf, r.nbuf, r.byte_pos, r.consumed = buf, nbuf, byte_pos, consumed
+    else:
+        # general shape (any channel 1-symbol or deeper than the flat
+        # table): the original per-pixel object reads
+        for j in range(n_px):
+            g = green.read(r)
+            if g >= 256:
+                raise ValueError(
+                    "backreferences unsupported in the RGB subset "
+                    "(literal-only streams)"
+                )
+            g_out[j] = g
+            r_out[j] = red.read(r)
+            b_out[j] = blue.read(r)
+            if alpha.read(r) != 255:
+                raise ValueError("non-opaque pixel")
     if (len(payload) - 1) * 8 - r.pos >= 8:
         raise ValueError("trailing bytes after last pixel")
     import numpy as np
