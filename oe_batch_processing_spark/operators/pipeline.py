@@ -780,3 +780,163 @@ def dq_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_group_size"),
         F.max("n").alias("max_group_size"),
     )
+
+
+# --- DSIR-style hashed-ngram importance selection ---------------------------------
+
+DSIR_BUCKETS = 256  # hashed feature space: first two md5 hex nibbles
+DSIR_TARGET_LANG = "en"
+
+_DSIR_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+             list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_t, f
+      FROM words,
+           UNNEST(list_concat(
+             ws,
+             [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+           )) AS t(f)
+    ),
+    bucketed AS (
+      SELECT doc_id, is_t,
+             (instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) AS b
+      FROM feats
+    ),
+    doc_bucket AS (
+      SELECT doc_id, is_t, b, COUNT(*) AS c FROM bucketed GROUP BY 1, 2, 3
+    ),
+    bstats AS (
+      SELECT b,
+             COALESCE(SUM(CASE WHEN is_t THEN c END), 0) AS ct,
+             COALESCE(SUM(CASE WHEN NOT is_t THEN c END), 0) AS cr
+      FROM doc_bucket GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(ct), 0) + {DSIR_BUCKETS} AS HUGEINT) AS s_t,
+             CAST(COALESCE(SUM(cr), 0) + {DSIR_BUCKETS} AS HUGEINT) AS s_r
+      FROM bstats
+    ),
+    dots AS (
+      SELECT doc_id,
+             SUM(c) AS n_feat,
+             SUM(c * (ct + 1)) AS dot_t,
+             SUM(c * (cr + 1)) AS dot_r
+      FROM doc_bucket JOIN bstats USING (b)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_features,
+           CAST(COALESCE(dot_t, 0) AS BIGINT) AS dot_target,
+           CAST(COALESCE(dot_r, 0) AS BIGINT) AS dot_raw,
+           CAST(CASE WHEN CAST(COALESCE(dot_t, 0) AS HUGEINT) * (SELECT s_r FROM tot)
+                        > CAST(COALESCE(dot_r, 0) AS HUGEINT) * (SELECT s_t FROM tot)
+                THEN 1 ELSE 0 END AS INTEGER) AS selected
+    FROM documents d LEFT JOIN dots USING (doc_id)
+"""
+
+
+@query("pipeline_dsir_importance", oracle=_DSIR_ORACLE)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed-ngram importance weights
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the public recipe): unigram+bigram features hash into
+    {DSIR_BUCKETS} buckets (md5 first byte — engine-reproducible, the
+    dedup_simhash convention), the target distribution is the corpus'
+    own '{DSIR_TARGET_LANG}' slice and raw is the rest, and each document
+    gets an importance decision from its bag-of-buckets likelihood under
+    +1-smoothed unigram bucket models. Everything stays in EXACT integer
+    arithmetic: per-doc dot products dot_t = sum_b c_b*(ct_b+1) and
+    dot_r = sum_b c_b*(cr_b+1) are BIGINTs, and the selection test
+    dot_t * S_r > dot_r * S_t cross-multiplies the normalizing constants
+    (S = total smoothed mass) in DECIMAL(38,0) / HUGEINT instead of
+    dividing — no floats anywhere, so the full relation hash-matches the
+    oracle. (The decimal bound holds to ~1e18 features per side — beyond
+    100 TB of text.)
+
+    Scale: one explode over tokenized text, ONE shuffle to (doc_id, bucket)
+    granularity, a 256-row global bucket-stats aggregate broadcast back,
+    and a per-doc re-aggregate — linear in corpus tokens, no UDFs, no
+    driver-side state. The bucket-stat frame is O(DSIR_BUCKETS) regardless
+    of corpus size, exactly the shape that survives a 1000-executor run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+        F.expr("filter(split(lower(text), ' '), w -> length(w) > 0)").alias(
+            "ws"
+        ),
+    )
+    # unigrams + bigrams; sequence(1, n) is DESCENDING for n < 1, so the
+    # bigram leg is gated on size >= 2 (empty array otherwise)
+    feats = words.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "concat(ws, CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(1, size(ws) - 1), "
+                "          i -> concat(element_at(ws, i), ' ', "
+                "                      element_at(ws, i + 1))) "
+                "ELSE array() END)"
+            )
+        ).alias("f"),
+    )
+    db = (
+        feats.select(
+            "doc_id",
+            "is_t",
+            F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("doc_id", "is_t", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstats = db.groupBy("b").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_t"), F.col("c"))), F.lit(0)
+        ).alias("ct"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_t"), F.col("c"))), F.lit(0)
+        ).alias("cr"),
+    )
+    totals = bstats.agg(
+        (F.coalesce(F.sum("ct"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s_t"),
+        (F.coalesce(F.sum("cr"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s_r"),
+    )
+    dots = (
+        db.join(F.broadcast(bstats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feat"),
+            F.sum(F.col("c") * (F.col("ct") + 1)).alias("dot_t"),
+            F.sum(F.col("c") * (F.col("cr") + 1)).alias("dot_r"),
+        )
+    )
+    dec = "decimal(19,0)"
+    return (
+        docs.select("doc_id")
+        .join(dots, "doc_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feat"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("dot_t"), F.lit(0)).alias("dot_target"),
+            F.coalesce(F.col("dot_r"), F.lit(0)).alias("dot_raw"),
+            F.when(
+                F.coalesce(F.col("dot_t"), F.lit(0)).cast(dec)
+                * F.col("s_r").cast(dec)
+                > F.coalesce(F.col("dot_r"), F.lit(0)).cast(dec)
+                * F.col("s_t").cast(dec),
+                1,
+            )
+            .otherwise(0)
+            .alias("selected"),
+        )
+    )

@@ -135,8 +135,11 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- detector (gated; committed flat path unchanged); (2) ALL 29
     # --- remaining r6-era rows; (3) the 14 alphabetically-first r7-era
     # --- rows. Round-15 guidance: FIRST any round-15 additions and
-    # --- changed-code re-checks, then the 32 remaining r7-era rows
-    # --- (multimodal_wav_riff_features, multimodal_zip_member_index,
+    # --- changed-code re-checks, then the 37 remaining r7-era rows
+    # --- (ingest_gzip_codec_scan, multimodal_bmp_decode,
+    # --- multimodal_gzip_decode, multimodal_ppm_decode,
+    # --- multimodal_tar_member_index,
+    # --- multimodal_wav_riff_features, multimodal_zip_member_index,
     # --- orders_cohort_retention, orders_forecast_holt_winters,
     # --- orders_runs_test_daily, orders_stl_decompose_monthly,
     # --- orders_trend_mann_kendall, orders_trend_seasonal_mk,
@@ -153,6 +156,12 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- stream_token_bucket_admission, text_bigram_lm_kneser_ney,
     # --- udtf_table_arg_streaks, win_ignore_nulls_battery), then the
     # --- r8-era rows.
+    # --- (0) round-14 late-session additions + changed-code re-checks
+    "pipeline_dsir_importance",      # r14: NEW — hashed-ngram importance selection
+    "q18_large_volume_customers",    # r14: pre-aggregation rewrite (hash-exact)
+    "multimodal_webp_lossless_decode",  # r14: codec hot-path rewrite (bit-exact)
+    "multimodal_webp_palette_decode",   # r14: codec hot-path rewrite (bit-exact)
+    "multimodal_webp_color_decode",     # r14: codec hot-path rewrite (bit-exact)
     # --- (1) changed-code re-checks (round-14)
     "docs_duplicate_ngram_spans",    # r14: representative collapse rewrite
     "similarity_topk_cosine",        # r14: expand-topk stage-1 distinct (always-on)
@@ -202,11 +211,11 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "events_sessionize_capped",
     "events_token_bucket_admission",
     "ingest_binaryfile_netpbm",
-    "ingest_gzip_codec_scan",
-    "multimodal_bmp_decode",
-    "multimodal_gzip_decode",
-    "multimodal_ppm_decode",
-    "multimodal_tar_member_index",
+    # (ingest_gzip_codec_scan, multimodal_{bmp,gzip,ppm}_decode and
+    # multimodal_tar_member_index rotated to the r15 window: the
+    # round-14 late-session additions — pipeline_dsir_importance, the
+    # q18 pre-aggregation re-check and the three webp codec re-checks —
+    # took their five slots; the window is pinned at exactly 50 names)
 )
 
 

@@ -965,3 +965,69 @@ def test_pca_weighted_collapse_matches_oracle(spark, tmp_path):
     ).fetchdf()
     assert compare(spdf, odf) is None
     assert len(spdf) == 64
+
+
+def test_dsir_importance_matches_oracle_and_semantics(spark, tmp_path):
+    """Round-14 addition: pipeline_dsir_importance (hashed-ngram importance
+    selection) checked against its registered DuckDB oracle on a corpus
+    engineered so the decision is vocabulary-driven: target ('en') docs
+    speak vocab A, raw docs speak vocab B, and two probe docs cross over
+    (a non-en doc in pure vocab A must be selected; an en doc in pure
+    vocab B must not). Edge rows: empty text (0 features, not selected),
+    a single-word doc (no bigram leg), and exact-duplicate contents."""
+    import duckdb
+    import pandas as pd
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.operators.pipeline import (
+        pipeline_dsir_importance,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    voc_a = ["alpha", "bravo", "carbon", "delta", "ember"]
+    voc_b = ["zinc", "yarrow", "xenon", "willow", "vortex"]
+
+    def sent(voc, seed, n=12):
+        return " ".join(voc[(seed * 7 + k) % len(voc)] for k in range(n))
+
+    rows = []
+    for i in range(8):  # target slice: vocab A
+        rows.append((i, sent(voc_a, i), "en", "web", 0))
+    for i in range(8, 16):  # raw slice: vocab B
+        rows.append((i, sent(voc_b, i), "de", "web", 0))
+    rows.append((16, sent(voc_a, 3), "fr", "web", 0))   # probe: A-vocab, non-en
+    rows.append((17, sent(voc_b, 5), "en", "web", 0))   # probe: B-vocab, en
+    rows.append((18, "", "de", "web", 0))               # empty text
+    rows.append((19, "alpha", "de", "web", 0))          # single word
+    rows.append((20, sent(voc_a, 0), "en", "web", 0))   # dup of doc 0's text
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    spdf = pipeline_dsir_importance(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(registry.ORACLE["pipeline_dsir_importance"]).fetchdf()
+    assert compare(spdf, odf) is None
+
+    by_id = spdf.set_index("doc_id")
+    assert by_id.loc[16, "selected"] == 1, "A-vocab non-en probe not selected"
+    assert by_id.loc[17, "selected"] == 0, "B-vocab en probe selected"
+    assert by_id.loc[18, "n_features"] == 0
+    assert by_id.loc[18, "selected"] == 0
+    # single word => 1 unigram, 0 bigrams
+    assert by_id.loc[19, "n_features"] == 1
+    # 12 words => 12 unigrams + 11 bigrams
+    assert by_id.loc[0, "n_features"] == 23
+    # identical text => identical dot products (content-determined)
+    assert (
+        by_id.loc[20, ["n_features", "dot_target", "dot_raw"]].tolist()
+        == by_id.loc[0, ["n_features", "dot_target", "dot_raw"]].tolist()
+    )
+    # every en-slice doc beats every raw-slice doc on the decision
+    assert by_id.loc[range(0, 8), "selected"].all()
+    assert not by_id.loc[range(8, 16), "selected"].any()
