@@ -232,6 +232,17 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     groups = content_rep_groups(docs)
+    rep_pairs = rep_jaccard_pairs(spark, groups, 0.8)
+    return expand_rep_pairs(groups, rep_pairs, "jaccard", F.lit(1.0))
+
+
+def rep_jaccard_pairs(
+    spark: SparkSession, groups: DataFrame, threshold: float
+) -> DataFrame:
+    """Rep-level exact word-trigram Jaccard pairs >= threshold over
+    content representatives — the shared quadratic half of the collapse
+    rewrites (dedup_jaccard_shingles, pipeline_split_leakage_report).
+    Returns (rep_a, rep_b, jaccard) with rep_a < rep_b."""
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sh = word_shingles(rep_docs, 3)
     # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
@@ -256,7 +267,7 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
     nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    rep_pairs = (
+    return (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -264,9 +275,8 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("rep_b"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
     )
-    return expand_rep_pairs(groups, rep_pairs, "jaccard", F.lit(1.0))
 
 
 # --- MinHash + LSH ---------------------------------------------------------

@@ -670,7 +670,9 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY held_split
     """,
 )
-def pipeline_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_split_leakage_report(
+    spark: SparkSession, sf_dir: str, rep_min_n: int | None = None
+) -> DataFrame:
     """Train→holdout LEAKAGE audit — the check every training pipeline
     must run before trusting an eval number: near-duplicate pairs (word-
     trigram Jaccard >= 0.8, same ground truth as the dedup family) that
@@ -682,13 +684,106 @@ def pipeline_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame
     question, and inherits their exactness, so the report itself is
     hash-checked.
 
-    Scale: identical profile to ``dedup_jaccard_shingles`` (the pair
-    stream is inverted-index bounded, further cut by the train×holdout
-    predicate pushed to both join sides); the final report is a
-    |splits|-row aggregate. At 100 TB, swap the exact pair stage for the
-    MinHash candidates + exact verify — the report contract is unchanged.
+    Scale (round-14 collapse, gated at ``LEAKAGE_REP_MIN_N`` — the r14
+    30x probe read 41.95x with a superlinear decade slope on the flat
+    form): jaccard is content-determined and the split is doc-keyed, so
+    above the gate the quadratic pair stage runs on CONTENT
+    REPRESENTATIVES (the shared ``rep_jaccard_pairs`` half of
+    ``dedup_jaccard_shingles``) and the doc-level report is recovered
+    by exact counting arithmetic instead of pair expansion: with
+    ``partner_train(b) = sum of train-member counts over b's qualifying
+    contents`` (the symmetrized >= 0.8 rep relation plus the
+    trigram-gated self edge),
+    ``n_leak_pairs(s) = sum_b partner_train(b) * n_s(b)`` and
+    ``n_leaked_docs(s) = sum_{b: partner_train(b) >= 1} n_s(b)`` —
+    every holdout member of a qualifying content leaks, every
+    (train member x holdout member) pair is counted exactly once; the
+    doc-level leak relation never materializes (30x probe scaled wall
+    149.9 -> 8.5 s). BELOW the gate (every committed SF) the flat
+    doc-level inverted-index form stays — it is leaner on a
+    near-dup-free corpus (~+3.5 s collapse overhead at sf0.1, the
+    family's disclosed trade), and the DuckDB hash oracle checks it
+    directly; the collapsed path is pinned by a flat-vs-collapsed
+    replica-corpus agreement test and the probe decades. At 100 TB,
+    swap the exact rep pair stage for MinHash candidates + exact
+    verify — the contract is unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
+    gate = LEAKAGE_REP_MIN_N if rep_min_n is None else rep_min_n
+    if docs.count() < gate:
+        return _split_leakage_report_flat(spark, docs)
+    from oe_batch_processing_spark.operators.dedup import (
+        content_rep_groups,
+        rep_jaccard_pairs,
+    )
+
+    groups = content_rep_groups(docs)
+    membership = groups.select(
+        "rep_id", F.explode("members").alias("doc_id")
+    )
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    tagged = membership.select(
+        "rep_id",
+        "doc_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    # per-content train mass and per-(content, holdout-split) stats
+    train_mass = (
+        tagged.filter(F.col("split") == "train")
+        .groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("n_train"))
+    )
+    hold = (
+        tagged.filter(F.col("split") != "train")
+        .groupBy("rep_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_s"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+    # qualifying content relation: symmetrized rep pairs at J >= 0.8 plus
+    # the self edge for any content that enters the shingle relation at
+    # all (>= 3 words => >= 1 trigram; identical texts pair at J = 1.0)
+    q = rep_jaccard_pairs(spark, groups, 0.8).select("rep_a", "rep_b")
+    edges = (
+        q.select(F.col("rep_a").alias("a"), F.col("rep_b").alias("b"))
+        .unionByName(
+            q.select(F.col("rep_b").alias("a"), F.col("rep_a").alias("b"))
+        )
+        .unionByName(
+            groups.filter(F.size(F.split("text", " ")) >= 3).select(
+                F.col("rep_id").alias("a"), F.col("rep_id").alias("b")
+            )
+        )
+    )
+    partner_train = (
+        edges.join(
+            train_mass.select(F.col("rep_id").alias("a"), "n_train"), "a"
+        )
+        .groupBy("b")
+        .agg(F.sum("n_train").alias("pt"))
+    )
+    leaks = hold.join(
+        partner_train.select(F.col("b").alias("rep_id"), "pt"), "rep_id"
+    )
+    return leaks.groupBy(F.col("split").alias("held_split")).agg(
+        F.sum("n_s").alias("n_leaked_docs"),
+        F.sum(F.col("pt") * F.col("n_s")).alias("n_leak_pairs"),
+        F.min("min_doc").alias("first_leaked_doc"),
+    )
+
+
+LEAKAGE_REP_MIN_N = 8192  # the collapse family's gate convention: every
+# committed SF (500 / 5,000 docs) keeps the flat plan the hash oracle
+# checks; probe corpora (50k / 150k) engage the representative collapse
+
+
+def _split_leakage_report_flat(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The sub-gate doc-level form (the original r8-era plan): shingle
+    inverted-index train x holdout join, exact Jaccard, per-split report."""
     bucket = F.expr(_SPLIT_BYTE) % 10
     tagged = docs.select(
         "doc_id",

@@ -135,8 +135,9 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- detector (gated; committed flat path unchanged); (2) ALL 29
     # --- remaining r6-era rows; (3) the 14 alphabetically-first r7-era
     # --- rows. Round-15 guidance: FIRST any round-15 additions and
-    # --- changed-code re-checks, then the 37 remaining r7-era rows
-    # --- (ingest_gzip_codec_scan, multimodal_bmp_decode,
+    # --- changed-code re-checks, then the 39 remaining r7-era rows
+    # --- (events_token_bucket_admission, ingest_binaryfile_netpbm,
+    # --- ingest_gzip_codec_scan, multimodal_bmp_decode,
     # --- multimodal_gzip_decode, multimodal_ppm_decode,
     # --- multimodal_tar_member_index,
     # --- multimodal_wav_riff_features, multimodal_zip_member_index,
@@ -158,6 +159,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- r8-era rows.
     # --- (0) round-14 late-session additions + changed-code re-checks
     "pipeline_dsir_importance",      # r14: NEW — hashed-ngram importance selection
+    "pipeline_split_leakage_report", # r14: gated content-rep collapse (41.95x -> 1.65x @30x)
+    "dedup_jaccard_shingles",        # r14: rep_jaccard_pairs extraction (same plan)
     "q18_large_volume_customers",    # r14: pre-aggregation rewrite (hash-exact)
     "multimodal_webp_lossless_decode",  # r14: codec hot-path rewrite (bit-exact)
     "multimodal_webp_palette_decode",   # r14: codec hot-path rewrite (bit-exact)
@@ -209,13 +212,13 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "events_session_window_dynamic_gap",
     "events_session_window_native",
     "events_sessionize_capped",
-    "events_token_bucket_admission",
-    "ingest_binaryfile_netpbm",
-    # (ingest_gzip_codec_scan, multimodal_{bmp,gzip,ppm}_decode and
+    # (events_token_bucket_admission, ingest_binaryfile_netpbm,
+    # ingest_gzip_codec_scan, multimodal_{bmp,gzip,ppm}_decode and
     # multimodal_tar_member_index rotated to the r15 window: the
     # round-14 late-session additions — pipeline_dsir_importance, the
-    # q18 pre-aggregation re-check and the three webp codec re-checks —
-    # took their five slots; the window is pinned at exactly 50 names)
+    # split-leakage collapse + jaccard-extraction re-checks, the q18
+    # pre-aggregation re-check and the three webp codec re-checks —
+    # took their seven slots; the window is pinned at exactly 50 names)
 )
 
 

@@ -1031,3 +1031,105 @@ def test_dsir_importance_matches_oracle_and_semantics(spark, tmp_path):
     # every en-slice doc beats every raw-slice doc on the decision
     assert by_id.loc[range(0, 8), "selected"].all()
     assert not by_id.loc[range(8, 16), "selected"].any()
+
+
+def test_split_leakage_report_collapse_matches_oracle(spark, tmp_path):
+    """Round-14: pipeline_split_leakage_report collapsed onto content
+    representatives (the r14 30x probe read 41.95x on the pre-collapse
+    form). Checked against the registered DuckDB oracle (which computes
+    the flat doc-level pair form) on a replica-heavy corpus whose
+    duplicate classes CROSS the md5(doc_id) split — the exact regime
+    where partner_train(b) * n_s(b) counting must reproduce the pair
+    explosion: replica classes of sizes 1/2/7/30, a near-dup (J >= 0.8)
+    content pair, a below-threshold pair, and sub-trigram texts that
+    must never leak."""
+    import duckdb
+    import pandas as pd
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.operators.pipeline import (
+        pipeline_split_leakage_report,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    base = ["w%d" % k for k in range(30)]
+    near = base[:-1] + ["zz"]          # shares most trigrams with base
+    far = ["q%d" % k for k in range(30)]  # disjoint vocabulary
+    contents = [
+        (" ".join(base), 30),   # big replica class
+        (" ".join(near), 7),    # near-dup of base, J >= 0.8
+        (" ".join(far), 2),     # unrelated class
+        ("one two", 5),         # < 3 words: no shingles, never leaks
+        (" ".join(base[5:25]), 1),  # singleton, below 0.8 vs base
+    ]
+    rows, nid = [], 0
+    for text, copies in contents:
+        for _ in range(copies):
+            rows.append((nid, text, "en", "web", len(text)))
+            nid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    # rep_min_n=1 forces the COLLAPSED path (the corpus is far below the
+    # production gate); rep_min_n far above n forces the FLAT path — the
+    # oracle must match both, and both must match each other
+    collapsed = pipeline_split_leakage_report(
+        spark, str(tmp_path), rep_min_n=1
+    ).toPandas()
+    flat = pipeline_split_leakage_report(
+        spark, str(tmp_path), rep_min_n=10**12
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(
+        registry.ORACLE["pipeline_split_leakage_report"]
+    ).fetchdf()
+    assert compare(collapsed, odf) is None
+    assert compare(flat, odf) is None
+    # the corpus is engineered to actually leak: the 30-copy class plus
+    # its J >= 0.8 partner must put multi-pair counts in the report
+    assert len(collapsed) >= 1
+    assert collapsed["n_leak_pairs"].sum() > collapsed["n_leaked_docs"].sum()
+
+    # gate contract (the collapse family's convention): the constant is
+    # 8192; gate = n+1 and gate = far-below build the identical plan;
+    # gate = n engages the collapsed path (pins >= against off-by-one)
+    import re as _re
+
+    from oe_batch_processing_spark.operators import pipeline as pl
+
+    assert pl.LEAKAGE_REP_MIN_N == 8192
+
+    def norm_plan(df) -> str:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = _re.sub(r"#\d+", "#x", s)
+        return _re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    n = len(pdf)
+    plan_below = norm_plan(
+        pipeline_split_leakage_report(spark, str(tmp_path), rep_min_n=n + 1)
+    )
+    plan_far = norm_plan(
+        pipeline_split_leakage_report(spark, str(tmp_path), rep_min_n=10**12)
+    )
+    assert plan_below == plan_far
+    plan_at = norm_plan(
+        pipeline_split_leakage_report(spark, str(tmp_path), rep_min_n=n)
+    )
+    assert plan_at != plan_below, "gate == n did not engage (>= broken?)"
+    out_at = (
+        pipeline_split_leakage_report(spark, str(tmp_path), rep_min_n=n)
+        .toPandas()
+        .sort_values("held_split")
+        .reset_index(drop=True)
+    )
+    import pandas as _pd
+
+    _pd.testing.assert_frame_equal(
+        out_at, flat.sort_values("held_split").reset_index(drop=True)
+    )
