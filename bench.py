@@ -178,10 +178,8 @@ HEADLINE = [
     "multimodal_webp_lossless_decode",  # VP8L: SG + 14-mode predictor
     "multimodal_webp_palette_decode",   # VP8L: color-indexing + bundling
     "multimodal_webp_color_decode",     # r11: cross-color transform, RGB
-    # round-15 TODO: add pipeline_dsir_importance (registered r14; its
-    # headline entry needs a committed protocol row, and every
-    # continuation-session window was hypervisor-contended — three runs
-    # measured it at 0.58-1.01 s, see BENCH_NOTES round-14 continuation)
+    # round-14 continuation addition:
+    "pipeline_dsir_importance",  # hashed-ngram importance selection
 ]
 
 
