@@ -982,7 +982,13 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("f"),
     )
-    db = (
+    from oe_batch_processing_spark.tables import persist_once
+
+    # db is consumed twice (the 256-row bucket stats AND the per-doc dot
+    # products); without a persist each consumer re-scans and re-tokenizes
+    # the corpus — at 100 TB that is the whole job done twice. The frame
+    # is tiny relative to the corpus (<= 256 rows per document).
+    db = persist_once(
         feats.select(
             "doc_id",
             "is_t",
