@@ -510,6 +510,37 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "similarity_pairs_above",
             r"pairs_above [\d.]+x at\s+10x / ([\d.]+)x at 30x",
         ),
+        # round-14 continuation quotes
+        (
+            "SCALEPROBE_r14.json",
+            "pipeline_split_leakage_report",
+            r"Final probe\s+rows: 10x \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r14.json",
+            "pipeline_split_leakage_report",
+            r"Final probe\s+rows: 10x \*\*[\d.]+x\*\*, 30x \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE_r14.json",
+            "q18_large_volume_customers",
+            r"10x\s+4\.29x -> \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r14.json",
+            "q18_large_volume_customers",
+            r"30x 9\.44x -> \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r14.json",
+            "graph_kcore_trade",
+            r"\*\*([\d.]+)x at 30x input\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r14.json",
+            "udaf_user_value_trend",
+            r"`udaf_user_value_trend` \(0\.95x @10x, ([\d.]+)x @30x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
