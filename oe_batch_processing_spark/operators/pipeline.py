@@ -935,8 +935,26 @@ _DSIR_ORACLE = f"""
 """
 
 
+# tokenizer + feature expressions shared verbatim by the flat and the
+# collapsed (representative) paths — one source of truth, no drift
+_DSIR_WS_EXPR = "filter(split(lower(text), ' '), w -> length(w) > 0)"
+_DSIR_FEATS_EXPR = (
+    "concat(ws, CASE WHEN size(ws) >= 2 THEN "
+    "transform(sequence(1, size(ws) - 1), "
+    "          i -> concat(element_at(ws, i), ' ', "
+    "                      element_at(ws, i + 1))) "
+    "ELSE array() END)"
+)
+
+DSIR_REP_MIN_N = 8192  # the collapse family's gate convention: committed
+# SFs (500 / 5,000 docs) keep the flat plan the hash oracle checks;
+# replica-heavy probe corpora engage the weighted representative collapse
+
+
 @query("pipeline_dsir_importance", oracle=_DSIR_ORACLE)
-def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_dsir_importance(
+    spark: SparkSession, sf_dir: str, rep_min_n: int | None = None
+) -> DataFrame:
     """DSIR-style data selection via hashed-ngram importance weights
     (Xie et al. 2023, "Data Selection for Language Models via Importance
     Resampling" — the public recipe): unigram+bigram features hash into
@@ -958,29 +976,56 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-doc re-aggregate — linear in corpus tokens, no UDFs, no
     driver-side state. The bucket-stat frame is O(DSIR_BUCKETS) regardless
     of corpus size, exactly the shape that survives a 1000-executor run.
+    Above ``DSIR_REP_MIN_N`` the tokenize/hash stage runs once per DISTINCT
+    text and every per-bucket sum carries the content's class-membership
+    weight (the weighted representative collapse, the PCA precedent):
+    ct[b] = sum_rep c_rep[b] * n_target(rep) is an exact regrouping of the
+    flat per-doc sums, per-doc dots are content-determined and expand
+    through the membership join verbatim. Below the gate every committed
+    SF keeps the flat plan the DuckDB hash oracle checks directly.
     """
     docs = load_table(spark, sf_dir, "documents")
+    gate = DSIR_REP_MIN_N if rep_min_n is None else rep_min_n
+    if docs.count() < gate:
+        return _dsir_flat(spark, docs)
+    return _dsir_collapsed(spark, docs)
+
+
+def _dsir_select(base: DataFrame, totals: DataFrame) -> DataFrame:
+    """The shared final projection: coalesce absent dots to zero and apply
+    the exact DECIMAL(38,0) cross-multiplied selection test. ``base`` has
+    (doc_id, n_feat?, dot_t?, dot_r?)."""
+    dec = "decimal(19,0)"
+    return base.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        F.coalesce(F.col("n_feat"), F.lit(0)).alias("n_features"),
+        F.coalesce(F.col("dot_t"), F.lit(0)).alias("dot_target"),
+        F.coalesce(F.col("dot_r"), F.lit(0)).alias("dot_raw"),
+        F.when(
+            F.coalesce(F.col("dot_t"), F.lit(0)).cast(dec)
+            * F.col("s_r").cast(dec)
+            > F.coalesce(F.col("dot_r"), F.lit(0)).cast(dec)
+            * F.col("s_t").cast(dec),
+            1,
+        )
+        .otherwise(0)
+        .alias("selected"),
+    )
+
+
+def _dsir_flat(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The sub-gate per-doc form (the plan the committed-SF oracle checks)."""
     words = docs.select(
         "doc_id",
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
-        F.expr("filter(split(lower(text), ' '), w -> length(w) > 0)").alias(
-            "ws"
-        ),
+        F.expr(_DSIR_WS_EXPR).alias("ws"),
     )
     # unigrams + bigrams; sequence(1, n) is DESCENDING for n < 1, so the
     # bigram leg is gated on size >= 2 (empty array otherwise)
     feats = words.select(
         "doc_id",
         "is_t",
-        F.explode(
-            F.expr(
-                "concat(ws, CASE WHEN size(ws) >= 2 THEN "
-                "transform(sequence(1, size(ws) - 1), "
-                "          i -> concat(element_at(ws, i), ' ', "
-                "                      element_at(ws, i + 1))) "
-                "ELSE array() END)"
-            )
-        ).alias("f"),
+        F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f"),
     )
     from oe_batch_processing_spark.tables import persist_once
 
@@ -1020,24 +1065,72 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * (F.col("cr") + 1)).alias("dot_r"),
         )
     )
-    dec = "decimal(19,0)"
-    return (
-        docs.select("doc_id")
-        .join(dots, "doc_id", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
+    return _dsir_select(docs.select("doc_id").join(dots, "doc_id", "left"), totals)
+
+
+def _dsir_collapsed(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The above-gate weighted representative form: tokenize/hash DISTINCT
+    texts once, weight per-bucket sums by class-membership counts, expand
+    content-determined dots through the membership join. Exact regrouping
+    of the flat integer sums — the emitted relation is bit-identical."""
+    from oe_batch_processing_spark.operators.dedup import content_rep_groups
+    from oe_batch_processing_spark.tables import persist_once
+
+    groups = content_rep_groups(docs)
+    membership = persist_once(
+        groups.select("rep_id", F.explode("members").alias("doc_id"))
+    )
+    # per-content class masses; NULL lang stays outside BOTH (the flat
+    # path's three-valued when() semantics — no otherwise branch)
+    cls = (
+        membership.join(
+            docs.select(
+                "doc_id", (F.col("lang") == DSIR_TARGET_LANG).alias("is_t")
+            ),
             "doc_id",
-            F.coalesce(F.col("n_feat"), F.lit(0)).alias("n_features"),
-            F.coalesce(F.col("dot_t"), F.lit(0)).alias("dot_target"),
-            F.coalesce(F.col("dot_r"), F.lit(0)).alias("dot_raw"),
-            F.when(
-                F.coalesce(F.col("dot_t"), F.lit(0)).cast(dec)
-                * F.col("s_r").cast(dec)
-                > F.coalesce(F.col("dot_r"), F.lit(0)).cast(dec)
-                * F.col("s_t").cast(dec),
-                1,
-            )
-            .otherwise(0)
-            .alias("selected"),
         )
+        .groupBy("rep_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_t"), 1)), F.lit(0)).alias("n_t"),
+            F.coalesce(F.sum(F.when(~F.col("is_t"), 1)), F.lit(0)).alias("n_r"),
+        )
+    )
+    reps = groups.select(F.col("rep_id"), "text")
+    words = reps.select("rep_id", F.expr(_DSIR_WS_EXPR).alias("ws"))
+    feats = words.select(
+        "rep_id", F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f")
+    )
+    rep_db = persist_once(
+        feats.select(
+            "rep_id",
+            F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("rep_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstats = (
+        rep_db.join(cls, "rep_id")
+        .groupBy("b")
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("n_t")), F.lit(0)).alias("ct"),
+            F.coalesce(F.sum(F.col("c") * F.col("n_r")), F.lit(0)).alias("cr"),
+        )
+    )
+    totals = bstats.agg(
+        (F.coalesce(F.sum("ct"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s_t"),
+        (F.coalesce(F.sum("cr"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s_r"),
+    )
+    rep_dots = (
+        rep_db.join(F.broadcast(bstats), "b")
+        .groupBy("rep_id")
+        .agg(
+            F.sum("c").alias("n_feat"),
+            F.sum(F.col("c") * (F.col("ct") + 1)).alias("dot_t"),
+            F.sum(F.col("c") * (F.col("cr") + 1)).alias("dot_r"),
+        )
+    )
+    return _dsir_select(
+        membership.join(rep_dots, "rep_id", "left").drop("rep_id"), totals
     )

@@ -1000,6 +1000,13 @@ def test_dsir_importance_matches_oracle_and_semantics(spark, tmp_path):
     rows.append((18, "", "de", "web", 0))               # empty text
     rows.append((19, "alpha", "de", "web", 0))          # single word
     rows.append((20, sent(voc_a, 0), "en", "web", 0))   # dup of doc 0's text
+    # replica classes CROSSING the target/raw boundary — the regime the
+    # weighted collapse must weight correctly (same content counted into
+    # ct through its en members AND into cr through its de members)
+    rows.append((21, sent(voc_a, 0), "de", "web", 0))
+    rows.append((22, sent(voc_a, 0), "de", "web", 0))
+    rows.append((23, sent(voc_b, 8), "en", "web", 0))
+    rows.append((24, "", "en", "web", 0))               # dup empty, en side
     pdf = pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
@@ -1013,6 +1020,38 @@ def test_dsir_importance_matches_oracle_and_semantics(spark, tmp_path):
     )
     odf = con.execute(registry.ORACLE["pipeline_dsir_importance"]).fetchdf()
     assert compare(spdf, odf) is None
+
+    # the weighted representative collapse (rep_min_n=1 forces it) must
+    # reproduce the flat relation bit-identically, and the oracle agrees
+    collapsed = pipeline_dsir_importance(
+        spark, str(tmp_path), rep_min_n=1
+    ).toPandas()
+    assert compare(collapsed, odf) is None
+
+    # gate contract: constant pinned, plan-identity below, >= at n
+    import re as _re
+
+    from oe_batch_processing_spark.operators import pipeline as pl
+
+    assert pl.DSIR_REP_MIN_N == 8192
+
+    def norm_plan(df) -> str:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = _re.sub(r"#\d+", "#x", s)
+        return _re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    n = len(pdf)
+    plan_below = norm_plan(
+        pipeline_dsir_importance(spark, str(tmp_path), rep_min_n=n + 1)
+    )
+    plan_far = norm_plan(
+        pipeline_dsir_importance(spark, str(tmp_path), rep_min_n=10**12)
+    )
+    assert plan_below == plan_far
+    plan_at = norm_plan(
+        pipeline_dsir_importance(spark, str(tmp_path), rep_min_n=n)
+    )
+    assert plan_at != plan_below, "gate == n did not engage (>= broken?)"
 
     by_id = spdf.set_index("doc_id")
     assert by_id.loc[16, "selected"] == 1, "A-vocab non-en probe not selected"

@@ -541,6 +541,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "udaf_user_value_trend",
             r"`udaf_user_value_trend` \(0\.95x @10x, ([\d.]+)x @30x",
         ),
+        (
+            "SCALEPROBE_r14.json",
+            "pipeline_dsir_importance",
+            r"Final probe rows: 10x \*\*([\d.]+)x\*\*, 30x\s+\*\*[\d.]+x\*\*\s+\(scaled wall\s+22\.2",
+        ),
+        (
+            "SCALEPROBE30X_r14.json",
+            "pipeline_dsir_importance",
+            r"Final probe rows: 10x \*\*[\d.]+x\*\*, 30x\s+\*\*([\d.]+)x\*\*\s+\(scaled wall\s+22\.2",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
