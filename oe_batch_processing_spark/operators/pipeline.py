@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table
+from oe_batch_processing_spark.tables import load_table, table_row_count
 
 MIN_CHARS = 180
 MAX_SPACE_RATIO = 0.25
@@ -710,7 +710,9 @@ def pipeline_split_leakage_report(
     """
     docs = load_table(spark, sf_dir, "documents")
     gate = LEAKAGE_REP_MIN_N if rep_min_n is None else rep_min_n
-    if docs.count() < gate:
+    # metadata-only gate (r15): parquet footer count, no Spark job — the
+    # operator body stays lazy and plan-only tooling pays nothing.
+    if table_row_count(sf_dir, "documents") < gate:
         return _split_leakage_report_flat(spark, docs)
     from oe_batch_processing_spark.operators.dedup import (
         content_rep_groups,
@@ -986,7 +988,9 @@ def pipeline_dsir_importance(
     """
     docs = load_table(spark, sf_dir, "documents")
     gate = DSIR_REP_MIN_N if rep_min_n is None else rep_min_n
-    if docs.count() < gate:
+    # metadata-only gate (r15): parquet footer count, no Spark job — the
+    # operator body stays lazy and plan-only tooling pays nothing.
+    if table_row_count(sf_dir, "documents") < gate:
         return _dsir_flat(spark, docs)
     return _dsir_collapsed(spark, docs)
 

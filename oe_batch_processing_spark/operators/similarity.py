@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table, persist_once
+from oe_batch_processing_spark.tables import (
+    load_table,
+    persist_once,
+    table_row_count,
+)
 
 TOP_K = 5
 QUERY_MOD = 100  # query set = vec_id % 100 == 0 (deterministic, sf-stable)
@@ -337,7 +341,10 @@ def lsh_topk(
     emb = load_table(spark, sf_dir, "embeddings")
     nrm = F.sqrt(F.expr(_hof_dot("embedding", "embedding")))
     vecs = persist_once(emb.select("vec_id", "embedding", nrm.alias("nrm")))
-    n_vecs = vecs.count()
+    # metadata-only n (r15): vecs is a row-preserving projection of the
+    # embeddings table, so the parquet footer count equals vecs.count()
+    # without firing a job; the persist still fills on first real action.
+    n_vecs = table_row_count(sf_dir, "embeddings")
     collapse = n_vecs >= ANN_REP_MIN_N
     groups = None
     corpus = vecs
@@ -851,7 +858,10 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sqrt-scaled stride (no-op at the committed SFs): ncells ~ sqrt(n),
     # so the n x ncells assignment stays ~n^1.5 instead of n^2
-    n_vecs = vecs.count()
+    # metadata-only n (r15): vecs is a row-preserving projection of the
+    # embeddings table, so the parquet footer count equals vecs.count()
+    # without firing a job; the persist still fills on first real action.
+    n_vecs = table_row_count(sf_dir, "embeddings")
     # Content-collapse of the corpus side (round-13, the LSH/PQ recipe):
     # centroid INIT and Lloyd TRAINING stay id-selected from the full
     # corpus (unchanged index), but assignment, probing, and the exact

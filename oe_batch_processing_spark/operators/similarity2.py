@@ -24,7 +24,11 @@ from oe_batch_processing_spark.operators.similarity import (
     lloyd_train_mod,
 )
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table, persist_once
+from oe_batch_processing_spark.tables import (
+    load_table,
+    persist_once,
+    table_row_count,
+)
 
 CELLS_MOD = 37  # centroid subset: vec_id % 37 == 1 (matches similarity_topk_ivf)
 EMB_DIM = 64
@@ -73,16 +77,16 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     full N×k product, no shuffle of the embedding arrays.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    # persist BEFORE the adaptive-stride count: the count materializes the
-    # quantized projection once into cache, so the assignment scan below
-    # reads memory instead of re-scanning the source (the stride is
-    # constant per dataset — don't pay a second source pass for it).
     # Intentionally NOT unpersisted: the returned lazy DataFrame still
     # reads this cache when the caller materializes it, so the blocks live
-    # until session end (or LRU eviction) by design.
+    # until session end (or LRU eviction) by design. The adaptive stride
+    # reads the parquet FOOTER count (r15, metadata-only — no job; the
+    # cache fills on the first real action, one source pass total).
     vecs = persist_once(emb.select("vec_id", F.expr(_QE).alias("qe")))
     # sqrt-scaled stride (no-op at committed SFs; oracle mirrors it)
-    cells_mod = adaptive_cells_mod(CELLS_MOD, vecs.count())
+    cells_mod = adaptive_cells_mod(
+        CELLS_MOD, table_row_count(sf_dir, "embeddings")
+    )
     cents = vecs.filter(F.col("vec_id") % cells_mod == 1).select(
         F.col("vec_id").alias("cell_id"), F.col("qe").alias("ce")
     )
@@ -222,7 +226,10 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         persist_once(emb.select("vec_id", F.expr(_QE).alias("qe"))
         .repartition(n_part))
     )
-    n_vecs = vecs.count()
+    # metadata-only n (r15): vecs is a row-preserving projection of the
+    # embeddings table, so the parquet footer count equals vecs.count()
+    # without firing a job; the persist still fills on first real action.
+    n_vecs = table_row_count(sf_dir, "embeddings")
     codes_mod = codebook_mod(n_vecs)
     # Content-representative collapse of the SCAN side (round-13, the
     # dedup/LSH recipe): codes are content-determined (deterministic
@@ -479,7 +486,10 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a no-op at the committed SFs, ncells ~ sqrt(n) beyond), Lloyd-refined
     # on a bounded deterministic sample (also a committed-SF no-op): the
     # build pays ONE full n x ncells assignment pass, not LLOYD+1 of them
-    n_vecs = vecs.count()
+    # metadata-only n (r15): vecs is a row-preserving projection of the
+    # embeddings table, so the parquet footer count equals vecs.count()
+    # without firing a job; the persist still fills on first real action.
+    n_vecs = table_row_count(sf_dir, "embeddings")
     # Content-collapse of the scan side (round-13, the LSH/PQ recipe):
     # the coarse quantizer INIT + Lloyd training and the PQ codebook stay
     # id-selected from the full corpus (unchanged index), but assignment,
@@ -990,7 +1000,8 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     path with a crafted hot cell.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup_clusters(emb)
+    # metadata-only n (r15): footer count, no gate-decision job
+    return semdedup_clusters(emb, n_rows=table_row_count(sf_dir, "embeddings"))
 
 
 SEMDEDUP_HIER_MIN_N = 8192  # two-level routing threshold: 4x the largest
@@ -1104,6 +1115,9 @@ def semdedup_clusters(
     cap: int = None,  # noqa: RUF013 — None => SEMDEDUP_CELL_CAP
     hier_min_n: int = None,  # noqa: RUF013 — None => SEMDEDUP_HIER_MIN_N
     rep_min_n: int = None,  # noqa: RUF013 — None => SEMDEDUP_REP_MIN_N
+    n_rows: int = None,  # noqa: RUF013 — None => vecs.count(); callers
+    # that know the source row count (parquet footer) pass it so the
+    # gate/stride decision is metadata-only and the body stays lazy
 ) -> DataFrame:
     """Core of ``dedup_semdedup_clusters`` over any (vec_id, embedding)
     frame; ``cap`` overrides the per-cell member bound, ``hier_min_n``
@@ -1135,17 +1149,17 @@ def semdedup_clusters(
     # the whole assignment runs 4-wide instead of cluster-wide (the
     # single-split fan-out recurrence the r9 IVF fix documented; measured
     # 27.6s -> 7s for the 30x assignment). On a real multi-file corpus the
-    # scan is already wide and this is a near-no-op. persist BEFORE the
-    # count (constant per dataset): the count fills the cache the
-    # downstream consumers read; intentionally not unpersisted (the
-    # returned lazy plan reads it — LRU reclaims under pressure).
+    # scan is already wide and this is a near-no-op. The persist fills on
+    # the first real action (callers that pass n_rows keep this body
+    # job-free); intentionally not unpersisted (the returned lazy plan
+    # reads it — LRU reclaims under pressure).
     spark = emb.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     vecs = (
         persist_once(emb.select("vec_id", F.expr(_QE).alias("qe"))
         .repartition(n_part))
     )
-    n = vecs.count()
+    n = vecs.count() if n_rows is None else n_rows
     groups = None
     route = None
     if n >= rep_min_n:

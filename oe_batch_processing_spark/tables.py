@@ -9,6 +9,7 @@ scan for free.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,39 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from parquet FOOTER metadata.
+
+    The collapse gates (``*_REP_MIN_N``) only need ``n`` to pick a plan;
+    running ``df.count()`` for that fires a real Spark job per invocation
+    and makes operator construction eager (plan-only tooling pays it too).
+    Parquet footers carry the exact row count, so the gate decision is
+    metadata-only and the operator body stays lazy. Handles both the
+    driver's single-file tables and Spark-written directory datasets
+    (sums part-file footers). Cached per (realpath, mtime) so repeated
+    gate checks within a session cost nothing; an rewritten temp dataset
+    (new mtime) re-reads.
+    """
+    path = os.path.realpath(table_path(sf_dir, name))
+    return _footer_row_count(path, os.stat(path).st_mtime_ns)
+
+
+@functools.lru_cache(maxsize=256)
+def _footer_row_count(path: str, _mtime_ns: int) -> int:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -80,3 +80,33 @@ def test_footer_corruption_battery():
     bad = blob[:start] + blob[start + 40:]  # footer now shorter than flen
     with pytest.raises(ValueError):
         parse_parquet_footer(bad)
+
+
+def test_table_row_count_metadata_only(spark, tmp_path):
+    """The collapse gates' footer-count helper (tables.table_row_count,
+    r15): exact on the driver's single-file tables, exact on a
+    Spark-written DIRECTORY dataset (sums part footers), and re-reads
+    when a temp dataset is rewritten (mtime-keyed cache)."""
+    from oe_batch_processing_spark.tables import table_row_count
+
+    # single-file driver tables: footer == df.count()
+    for name in ("documents", "embeddings", "nation"):
+        got = table_row_count(SF_DIR, name)
+        want = spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
+        assert got == want, name
+
+    # Spark-written directory dataset (multiple part files)
+    p = str(tmp_path / "documents.parquet")
+    spark.range(137).selectExpr("id", "id * 2 as v").repartition(
+        4
+    ).write.mode("overwrite").parquet(p)
+    assert table_row_count(str(tmp_path), "documents") == 137
+
+    # rewrite with a different count: the cache must not serve stale n
+    import time
+
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    spark.range(23).selectExpr("id", "id * 2 as v").repartition(
+        2
+    ).write.mode("overwrite").parquet(p)
+    assert table_row_count(str(tmp_path), "documents") == 23
