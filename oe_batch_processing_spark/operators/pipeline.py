@@ -1138,3 +1138,187 @@ def _dsir_collapsed(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return _dsir_select(
         membership.join(rep_dots, "rep_id", "left").drop("rep_id"), totals
     )
+
+
+CONTAM_W = 8  # screen window width (tokens) — same width as the
+# docs_duplicate_ngram_spans machinery so the gram grammar is shared;
+# public decontamination recipes use 8-13-gram exact overlap
+
+
+@query(
+    "pipeline_contamination_screen",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, ({_SPLIT_BYTE_DUCK}) % 10 AS b,
+             string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, b, i AS pos,
+             array_to_string(tk[i:i+{CONTAM_W - 1}], ' ') AS gram,
+             LEN(tk) AS n_tokens
+      FROM toks,
+           UNNEST(range(1, greatest(LEN(tk) - {CONTAM_W - 2}, 1))) AS u(i)
+    ),
+    bench_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE b = 9
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos, g.n_tokens
+      FROM grams g JOIN bench_grams USING (gram) WHERE g.b <> 9
+    ),
+    marked AS (
+      SELECT doc_id, pos, n_tokens,
+             CASE WHEN pos > COALESCE(MAX(pos + {CONTAM_W - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, pos, n_tokens,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM marked
+    ),
+    per_island AS (
+      SELECT doc_id, island_id, MIN(n_tokens) AS n_tokens,
+             COUNT(*) AS n_windows,
+             MAX(pos + {CONTAM_W - 1}) - MIN(pos) + 1 AS covered
+      FROM islands GROUP BY doc_id, island_id
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS INTEGER) AS n_tokens,
+           CAST(SUM(n_windows) AS INTEGER) AS contaminated_windows,
+           CAST(COUNT(*) AS INTEGER) AS n_spans,
+           CAST(SUM(covered) AS INTEGER) AS covered_tokens,
+           CAST(SUM(covered) AS DOUBLE) / CAST(MIN(n_tokens) AS DOUBLE)
+             AS contamination_fraction
+    FROM per_island GROUP BY doc_id
+    """,
+)
+def pipeline_contamination_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark-contamination screen (the public decontamination recipe:
+    GPT-3 appendix C / C4 analyses screen training documents for exact
+    n-gram overlap with held-out evaluation sets). The held-out slice is
+    the corpus's own 'test' split (the md5(doc_id) byte convention shared
+    with ``docs_train_val_test_split`` and the leakage report — bucket 9);
+    every {CONTAM_W}-token window of a non-test document that appears
+    verbatim anywhere in the test slice marks its position, and marked
+    positions merge into maximal covered spans per document (the
+    interval-island pass shared with ``docs_duplicate_ngram_spans``).
+    Output: one row per CONTAMINATED training/val document — window count,
+    span count, exact covered-token count, contaminated fraction. The
+    reference has no text analytics (lib/parsers.js stops at delimiter
+    tokens); this is the release-gate twin of the near-dup leakage report,
+    for EXACT substring contamination.
+
+    Exactness: tokenization, window grammar, and the island pass reuse
+    the docs_duplicate_ngram_spans grammar verbatim; the split byte is
+    the leakage report's _SPLIT_BYTE. All counts are integers; the one
+    double is a single IEEE division of exact integers — the full DuckDB
+    relation hash-matches.
+
+    Scale (why this op does NOT inherit the dup-spans shuffle): the
+    benchmark gram dictionary is corpus-INDEPENDENT — a fixed, small
+    n-gram set (here: the test split's distinct {CONTAM_W}-grams; at
+    100 TB, the actual benchmark suite's grams, a few MB) — so the screen
+    is one broadcast LEFT SEMI join against the corpus gram stream: the
+    corpus grams are never shuffled at all. The only corpus-wide
+    exchanges are content_rep_groups' groupBy(text) (shared, cached once
+    per sweep) and the rep_id-partitioned island window (narrow,
+    output-bounded: only hit positions reach it). Content-representative
+    collapse is ALWAYS-ON (the dup-spans recipe, full-oracle-checked):
+    contamination stats are content-determined given the dictionary, so
+    the gram build + screen run once per DISTINCT text — benchmark
+    membership of a content group is an ``exists()`` HOF over its members
+    array (no join), and per-rep stats expand verbatim through the
+    membership join to non-test members only. A training doc whose exact
+    text also sits in the test split is fully contaminated by
+    construction — the screen's raison d'être, and the collapse preserves
+    it (its group is both bench-member and corpus-carrying).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from oe_batch_processing_spark.operators.dedup import content_rep_groups
+
+    w = CONTAM_W
+    groups = content_rep_groups(docs)
+    d_byte = _SPLIT_BYTE.replace("doc_id", "d")
+    is_bench = F.expr(f"exists(members, d -> ({d_byte}) % 10 = 9)")
+    has_corpus = F.expr(f"exists(members, d -> ({d_byte}) % 10 <> 9)")
+    gram_expr = (
+        f"CASE WHEN size(tk) >= {w} THEN "
+        f"transform(sequence(1, size(tk) - {w - 1}), "
+        f"i -> struct(i AS pos, array_join(slice(tk, i, {w}), ' ') AS gram)) "
+        "ELSE array() END"
+    )
+    # benchmark gram dictionary: distinct grams of contents with >= 1
+    # test-split member; small and corpus-independent => broadcast
+    bench_grams = (
+        groups.filter(is_bench)
+        .select(F.split(F.lower("text"), " ").alias("tk"))
+        .select(F.explode(F.expr(gram_expr)).alias("g"))
+        .select(F.col("g.gram").alias("gram"))
+        .distinct()
+    )
+    # corpus side: one gram build per distinct content that has >= 1
+    # non-test member; round-robin before the string-building explosion
+    # so it runs core-wide (the shared groups cache has few partitions)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    reps = (
+        groups.filter(has_corpus)
+        .select("rep_id", F.split(F.lower("text"), " ").alias("tk"))
+        .repartition(n_part)
+    )
+    grams = reps.select(
+        "rep_id",
+        F.size("tk").alias("n_tokens"),
+        F.explode(F.expr(gram_expr)).alias("g"),
+    ).select(
+        "rep_id", "n_tokens",
+        F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"),
+    )
+    hits = grams.join(F.broadcast(bench_grams), "gram", "leftsemi").select(
+        "rep_id", "pos", "n_tokens"
+    )
+    prev_end = F.max(F.col("pos") + (w - 1)).over(
+        Window.partitionBy("rep_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    island_id = F.sum("new_island").over(
+        Window.partitionBy("rep_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_island = (
+        marked.withColumn("island_id", island_id)
+        .groupBy("rep_id", "island_id")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+            (F.max(F.col("pos") + (w - 1)) - F.min("pos") + 1).alias("covered"),
+        )
+    )
+    per_rep = per_island.groupBy("rep_id").agg(
+        F.min("n_tokens").cast("int").alias("n_tokens"),
+        F.sum("n_windows").cast("int").alias("contaminated_windows"),
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("covered").cast("int").alias("covered_tokens"),
+        (
+            F.sum("covered").cast("double") / F.min("n_tokens").cast("double")
+        ).alias("contamination_fraction"),
+    )
+    membership = groups.select(
+        "rep_id", F.explode("members").alias("doc_id")
+    ).filter(F.expr(f"({_SPLIT_BYTE}) % 10 <> 9"))
+    return per_rep.join(membership, "rep_id").select(
+        "doc_id", "n_tokens", "contaminated_windows", "n_spans",
+        "covered_tokens", "contamination_fraction",
+    )

@@ -1172,3 +1172,69 @@ def test_split_leakage_report_collapse_matches_oracle(spark, tmp_path):
     _pd.testing.assert_frame_equal(
         out_at, flat.sort_values("held_split").reset_index(drop=True)
     )
+
+
+def test_contamination_screen_cross_split_semantics(spark, tmp_path):
+    """Round-15: pipeline_contamination_screen's always-on content
+    collapse must reproduce the flat per-doc semantics the registered
+    DuckDB oracle computes, on a corpus exercising the interesting
+    branches: a replica class whose members CROSS the bench/corpus
+    boundary (doc 16 is test-split, docs 1-2 are its byte-identical
+    train twins -> fully contaminated), a train doc sharing one interior
+    8-gram with a bench doc (partial island), a train doc with two
+    disjoint contaminated islands, bench-only contents (never emitted),
+    an uncontaminated train doc, and a sub-window-length train replica
+    of a bench text (absent: no 8-gram exists). md5-split bucket-9 ids
+    (9, 16, 32) are the bench slice."""
+    import duckdb
+    import pandas as pd
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.operators.pipeline import (
+        pipeline_contamination_screen,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    bench_core = " ".join(f"q{i}" for i in range(8))  # one exact 8-gram
+    twin = " ".join(f"t{i}" for i in range(20))
+    partial = (
+        " ".join(f"p{i}" for i in range(5))
+        + " " + bench_core + " "
+        + " ".join(f"p{i}" for i in range(5, 9))
+    )
+    two_islands = (
+        bench_core + " " + " ".join(f"z{i}" for i in range(9))
+        + " " + bench_core
+    )
+    clean = " ".join(f"c{i}" for i in range(15))
+    short = " ".join(f"s{i}" for i in range(6))
+    rows = [
+        (16, twin),          # bench member of the cross-split class
+        (1, twin), (2, twin),  # its train twins -> fraction 1.0
+        (9, bench_core + " " + " ".join(f"b{i}" for i in range(6))),
+        (32, short),         # bench: sub-window text, contributes no gram
+        (3, partial),        # train: one interior island
+        (4, two_islands),    # train: two disjoint islands
+        (5, clean),          # train: uncontaminated -> absent
+        (6, short),          # train twin of bench short text -> absent
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+
+    spdf = pipeline_contamination_screen(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(
+        registry.ORACLE["pipeline_contamination_screen"]
+    ).fetchdf()
+    assert compare(spdf, odf) is None
+    assert set(spdf.doc_id) == {1, 2, 3, 4}
+    for did in (1, 2):  # exact cross-split duplicates: fully contaminated
+        row = spdf[spdf.doc_id == did].iloc[0]
+        assert row.n_spans == 1 and row.contamination_fraction == 1.0
+    assert int(spdf[spdf.doc_id == 3].n_spans.iloc[0]) == 1
+    assert int(spdf[spdf.doc_id == 3].covered_tokens.iloc[0]) == 8
+    assert int(spdf[spdf.doc_id == 4].n_spans.iloc[0]) == 2
