@@ -836,14 +836,25 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-core, not an approximation. The threshold is also emitted as a
     column, so the oracle pins it too.
 
-    Scale: degrees-among-survivors is one aggregation per round over
-    edges semi-joined to the shrinking survivor set (never the fact
-    table — the trade pairs collapse once); each round localCheckpoints
-    (the repo's iterative-loop rule: persist alone does not stop
-    O(4^rounds) logical-plan growth). Peeling converges in O(log n)
-    synchronous rounds on real degree distributions; the round count is
-    a constant of the query contract, verified by the in-operator
-    convergence assertion. The percentile threshold is one bounded
+    Scale (round-15 delta peeling — the r14 verdict's largest non-stream
+    probe ratio, 5.94x @10x / 11.91x @30x on the flat form): instead of
+    re-aggregating degrees over edges double-semi-joined to the survivor
+    set every round (6 full edge passes regardless of convergence), each
+    round maintains degrees INCREMENTALLY — ``removed`` = survivors
+    whose degree fell below k, ``delta(v)`` = edges from v into the
+    newly-removed set, ``d(v) -= delta(v)``. An edge is touched at most
+    once per endpoint removal across ALL rounds (total edge work <= 2|E|
+    instead of rounds x 2|E|), the removed frame shrinks geometrically
+    so post-round-1 joins are against a small build side (AQE converts
+    them to broadcasts from the checkpointed edge stats), and once the
+    peel converges the remaining unrolled rounds join an EMPTY removed
+    set — near-free, where the flat form paid full passes. The
+    incremental degree equals the recomputed degree exactly (each edge
+    decrements its endpoint precisely when the other endpoint is first
+    removed — integer arithmetic, no drift), so the unchanged
+    fixed-round DuckDB oracle hash-checks the rewrite. Each round
+    localCheckpoints (the repo's iterative-loop rule: persist alone does
+    not stop plan growth). The percentile threshold is one bounded
     (single-row) driver collect, dimension-sized by definition.
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -871,19 +882,30 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = _kcore_threshold(deg).collect()  # bounded: one scalar
     kthr = int(row[0]["kthr"])
 
+    alive = deg.localCheckpoint(eager=True)
     for _ in range(_KCORE_ROUNDS):
-        keep = deg.filter(F.col("d") >= kthr).select("v")
-        deg = (
-            edges.join(keep.withColumnRenamed("v", "src"), "src")
-            .join(keep.select(F.col("v").alias("dst")), "dst")
+        removed = alive.filter(F.col("d") < kthr).select("v")
+        # edges INTO the newly-removed set; each edge contributes to a
+        # delta at most once over the whole peel (its counterpart is
+        # removed at most once), so total join work across rounds <= 2|E|
+        delta = (
+            edges.join(removed.withColumnRenamed("v", "dst"), "dst")
             .groupBy(F.col("src").alias("v"))
-            .agg(F.count("*").alias("d"))
+            .agg(F.count("*").alias("rm"))
+        )
+        alive = (
+            alive.filter(F.col("d") >= kthr)
+            .join(delta, "v", "left")
+            .select(
+                "v",
+                (F.col("d") - F.coalesce(F.col("rm"), F.lit(0))).alias("d"),
+            )
             .localCheckpoint(eager=True)
         )
-    survivors = deg.filter(F.col("d") >= kthr)
+    survivors = alive.filter(F.col("d") >= kthr)
     # fixpoint assertion: survivors-of-one-more-round must equal the
     # round-R survivor set; the peel is monotone, so counts suffice.
-    n_r = deg.count()  # nodes still present entering the final filter
+    n_r = alive.count()  # nodes still present entering the final filter
     n_r1 = survivors.count()
     if n_r != n_r1:
         raise ValueError(
