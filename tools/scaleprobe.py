@@ -87,6 +87,7 @@ PROBES: tuple[str, ...] = (
     "multimodal_webp_palette_decode",
     "recursive_cte_custkey_tree",
     "docs_duplicate_ngram_spans",
+    "pipeline_contamination_screen",  # r15: broadcast-dictionary screen
     "dedup_jaccard_shingles",
     "dedup_jaccard_prefix_filter",   # r13: representative-rewrite coverage
     "dedup_simhash",                 # r13: pairs-side rewrite coverage
