@@ -369,7 +369,10 @@ def write_prefix_code(w: LsbWriter, lengths: dict[int, int], alphabet: int) -> N
     # the decoder reads lengths until the FULL alphabet is covered (no
     # max_symbol shortcut), so the sequence must span it — trailing zeros
     # collapse into 17/18 repeat codes
-    seq = [lengths.get(s, 0) for s in range(alphabet)]
+    seq = [0] * alphabet  # sparse fill beats alphabet dict.get calls
+    for _s, _ln in lengths.items():
+        if _ln:
+            seq[_s] = _ln
     # RLE the length sequence with symbols 16/17/18
     rle: list[tuple[int, int, int]] = []  # (symbol, extra, extra_bits)
     i = 0
@@ -561,13 +564,27 @@ def lz77_parse(raster: bytes) -> list[tuple[int, int, int]]:
                 # so comparing against the original raster IS comparing
                 # against the decoder's already-reconstructed prefix
                 length = MIN_MATCH
+                # chunked extension first: bytes slice equality is one C
+                # memcmp per 16-byte stride (overlap-safe for the same
+                # reason as the byte walk — both sides read the ORIGINAL
+                # raster and j + length < i + length throughout); the
+                # byte loop then finds the exact mismatch point, so the
+                # greedy length is identical
+                while (
+                    i + length + 16 <= n
+                    and raster[j + length:j + length + 16]
+                    == raster[i + length:i + length + 16]
+                ):
+                    length += 16
                 while i + length < n and raster[j + length] == raster[i + length]:
                     length += 1
                 match_len, match_dist = length, i - j
         if match_len >= MIN_MATCH:
             append((1, match_len, match_dist))
-            for k in range(i, min(i + match_len, limit + 1)):
-                last[grams[k]] = k
+            end = min(i + match_len, limit + 1)
+            # same final map as the k-loop (zip preserves order, later
+            # positions overwrite), iterated C-side by dict.update
+            last.update(zip(grams[i:end], range(i, end)))
             i += match_len
         else:
             append((0, raster[i], 0))
@@ -1014,17 +1031,21 @@ def choose_color_deltas(rp, gp, bp, w_px: int, h_px: int):
     rs, bs = rp.astype(np.int32), bp.astype(np.int32)
     g_signed = _signed8(gp)
     r_signed = _signed8(rp)
-    r_stack = np.stack([
-        (rs - ((_s8(t) * g_signed) >> 5)) & 255 for t in G2R_CANDIDATES
-    ])
+    # one broadcasted expression per stack (r15): identical candidate
+    # planes to the per-candidate comprehension, built in a single
+    # vector pass over a (n_candidates, h, w) cube
+    g2r = np.array([_s8(t) for t in G2R_CANDIDATES], dtype=np.int32)
+    r_stack = (rs[None] - ((g2r[:, None, None] * g_signed[None]) >> 5)) & 255
     b_combos = [
         (tg, tr) for tg in G2B_CANDIDATES for tr in R2B_CANDIDATES
     ]
-    b_stack = np.stack([
-        (bs - ((_s8(tg) * g_signed) >> 5) - ((_s8(tr) * r_signed) >> 5))
-        & 255
-        for tg, tr in b_combos
-    ])
+    g2b = np.array([_s8(tg) for tg, _ in b_combos], dtype=np.int32)
+    r2b = np.array([_s8(tr) for _, tr in b_combos], dtype=np.int32)
+    b_stack = (
+        bs[None]
+        - ((g2b[:, None, None] * g_signed[None]) >> 5)
+        - ((r2b[:, None, None] * r_signed[None]) >> 5)
+    ) & 255
     size = 1 << COLOR_BLOCK_BITS
     bw = (w_px + size - 1) >> COLOR_BLOCK_BITS
     bh = (h_px + size - 1) >> COLOR_BLOCK_BITS
@@ -1188,14 +1209,21 @@ def encode_webp_vp8l(
             # through the per-pixel delta math. Cross-channel-correlated
             # (non-grayscale) input exercises nonzero residual codes
             # through encode_webp_vp8l_rgb below.
-            import numpy as np
-
-            gp = np.frombuffer(raster, dtype=np.uint8).reshape(h_px, w_px)
-            grid, r_res, b_res = choose_color_deltas(gp, gp, gp, w_px, h_px)
-            if r_res.any() or b_res.any():  # grayscale entry's contract
-                raise ValueError(
-                    "non-grayscale raster in the grayscale encoder"
-                )
+            # Grayscale shortcut, provably the data-driven argmin
+            # (r15): with r = g = b, candidate g2r = 32 zeroes the red
+            # residual on EVERY pixel ((32 * int8(g)) >> 5 == int8(g)),
+            # and combo (g2b, r2b) = (32, 0) likewise for blue; both sit
+            # at INDEX 0 of their candidate lists and argmin returns the
+            # first minimal index, so choose_color_deltas returns exactly
+            # this grid with all-zero residual planes on every legal
+            # (single-raster, hence grayscale) input of this encoder —
+            # construct it directly instead of scoring 8 + 32 candidate
+            # planes per image. encode_webp_vp8l_rgb still runs the real
+            # search on channel data; a test pins shortcut == search.
+            size = 1 << COLOR_BLOCK_BITS
+            cbw = (w_px + size - 1) >> COLOR_BLOCK_BITS
+            cbh = (h_px + size - 1) >> COLOR_BLOCK_BITS
+            grid = [[(32, 32, 0)] * cbw for _ in range(cbh)]
             w.put(1, 1)  # transform present
             w.put(1, 2)  # transform type: color transform
             w.put(COLOR_BLOCK_BITS - 2, 3)
@@ -1447,29 +1475,53 @@ def encode_webp_vp8l_rgb(rgb: bytes, w_px: int, h_px: int) -> bytes:
         }
 
     ge, re_, be = emitter(glen), emitter(rlen), emitter(blen)
-    gf = gp.reshape(-1).tolist()
-    rf = r_res.reshape(-1).tolist()
-    bf = b_res.reshape(-1).tolist()
-    # inlined LSB accumulator (identical bit stream to sequential put()
-    # calls — flush points never change the emitted bytes): this loop is
-    # 3 table hits per pixel, the single hottest path of the RGB encoder
-    acc, nacc = w.acc, w.n
-    append = w.out.append
-    for gv, rv, bv in zip(gf, rf, bf):  # literal channel order: g, r, b, a
-        code, nb = ge[gv]
-        acc |= code << nacc
-        nacc += nb
-        code, nb = re_[rv]
-        acc |= code << nacc
-        nacc += nb
-        code, nb = be[bv]
-        acc |= code << nacc
-        nacc += nb
-        while nacc >= 8:
-            append(acc & 0xFF)
-            acc >>= 8
-            nacc -= 8
-    w.acc, w.n = acc, nacc
+    # Vectorized variable-length LSB emit (r15): the per-pixel loop (3
+    # dict hits + accumulator shifts per pixel) is replaced by array
+    # bit-packing that produces the IDENTICAL bit stream — every field's
+    # absolute start offset is the running cumsum of field widths (plus
+    # the writer's pending-bit count), each bit-reversed code is shifted
+    # to its in-byte position (<= 15 code bits + 7 shift = 22 bits, fits
+    # uint32), and the three bytes it can span are OR-scattered with
+    # np.bitwise_or.at (unbuffered, so repeated byte indices compose;
+    # fields are bit-disjoint by construction, so OR order is
+    # irrelevant). Zero-bit 1-symbol codes contribute 0 bits at
+    # offset — a no-op OR, exactly like the sequential writer.
+    def np_tables(em, alphabet):
+        codes_t = np.zeros(alphabet, dtype=np.uint32)
+        bits_t = np.zeros(alphabet, dtype=np.int64)
+        for s, (c, nb) in em.items():
+            codes_t[s] = c
+            bits_t[s] = nb
+        return codes_t, bits_t
+
+    cg_t, bg_t = np_tables(ge, 256)
+    cr_t, br_t = np_tables(re_, 256)
+    cb_t, bb_t = np_tables(be, 256)
+    gfv = gp.reshape(-1)
+    rfv = r_res.reshape(-1)
+    bfv = b_res.reshape(-1)
+    n_fields = 3 * gfv.size
+    codes = np.empty(n_fields, dtype=np.uint32)
+    bits = np.empty(n_fields, dtype=np.int64)
+    codes[0::3] = cg_t[gfv]  # literal channel order: g, r, b, (a: 0 bits)
+    bits[0::3] = bg_t[gfv]
+    codes[1::3] = cr_t[rfv]
+    bits[1::3] = br_t[rfv]
+    codes[2::3] = cb_t[bfv]
+    bits[2::3] = bb_t[bfv]
+    off = np.cumsum(bits) - bits + w.n
+    total = int(off[-1] + bits[-1]) if n_fields else w.n
+    buf = np.zeros((total >> 3) + 4, dtype=np.uint8)
+    buf[0] = w.acc  # pending bits occupy byte 0 below every field offset
+    v = codes << (off & 7).astype(np.uint32)
+    b0 = off >> 3
+    np.bitwise_or.at(buf, b0, (v & 0xFF).astype(np.uint8))
+    np.bitwise_or.at(buf, b0 + 1, ((v >> 8) & 0xFF).astype(np.uint8))
+    np.bitwise_or.at(buf, b0 + 2, ((v >> 16) & 0xFF).astype(np.uint8))
+    full = total >> 3
+    w.out += buf[:full].tobytes()
+    w.n = total & 7
+    w.acc = int(buf[full]) if w.n else 0
     return _riff_container(bytes([SIGNATURE]) + w.flush())
 
 
@@ -1773,70 +1825,32 @@ def parse_webp_vp8l_rgb(b: bytes) -> tuple[int, int, bytes]:
         and alpha.only == 255
     )
     if fast:
-        # the common stream shape (three data-driven channel codes, alpha
-        # a 1-symbol zero-bit code): one set of local bit-reader variables
-        # and three unrolled table reads per pixel, synced back at the end
-        tg, tr, tb = green.table, red.table, blue.table
-        ng, nr, nb_ = green.maxlen, red.maxlen, blue.maxlen
-        mg, mr, mb = (1 << ng) - 1, (1 << nr) - 1, (1 << nb_) - 1
-        data, total_bits = r.data, r.total_bits
-        n_data = len(data)
-        buf, nbuf, byte_pos, consumed = r.buf, r.nbuf, r.byte_pos, r.consumed
-        for j in range(n_px):
-            if nbuf < ng:
-                while nbuf < ng and byte_pos < n_data:
-                    buf |= data[byte_pos] << nbuf
-                    byte_pos += 1
-                    nbuf += 8
-            entry = tg[buf & mg]
-            if entry is None:
-                raise ValueError("invalid prefix code in stream")
-            ln = entry[1]
-            if consumed + ln > total_bits:
-                raise ValueError("VP8L bitstream exhausted")
-            buf >>= ln
-            nbuf -= ln
-            consumed += ln
-            g = entry[0]
-            if g >= 256:
-                raise ValueError(
-                    "backreferences unsupported in the RGB subset "
-                    "(literal-only streams)"
-                )
-            g_out[j] = g
-            if nbuf < nr:
-                while nbuf < nr and byte_pos < n_data:
-                    buf |= data[byte_pos] << nbuf
-                    byte_pos += 1
-                    nbuf += 8
-            entry = tr[buf & mr]
-            if entry is None:
-                raise ValueError("invalid prefix code in stream")
-            ln = entry[1]
-            if consumed + ln > total_bits:
-                raise ValueError("VP8L bitstream exhausted")
-            buf >>= ln
-            nbuf -= ln
-            consumed += ln
-            r_out[j] = entry[0]
-            if nbuf < nb_:
-                while nbuf < nb_ and byte_pos < n_data:
-                    buf |= data[byte_pos] << nbuf
-                    byte_pos += 1
-                    nbuf += 8
-            entry = tb[buf & mb]
-            if entry is None:
-                raise ValueError("invalid prefix code in stream")
-            ln = entry[1]
-            if consumed + ln > total_bits:
-                raise ValueError("VP8L bitstream exhausted")
-            buf >>= ln
-            nbuf -= ln
-            consumed += ln
-            b_out[j] = entry[0]
-            # alpha: 1-symbol code, zero bits, value pinned to 255 by the
-            # fast-path guard — nothing to read or check
-        r.buf, r.nbuf, r.byte_pos, r.consumed = buf, nbuf, byte_pos, consumed
+        # r15 BATCHED canonical decode: the literal-only stream is three
+        # table-decoded codes per pixel with no other symbol kinds, so
+        # the whole symbol walk vectorizes. For EVERY bit offset p the
+        # (symbol, length) of each channel table is a gather over the
+        # sliding M-bit window values (numpy); the per-pixel transition
+        # f(p) = p + len_g(p) + len_r(.) + len_b(.) is three gathers;
+        # and the serial chain of pixel start offsets is the orbit of
+        # f from the current reader position, enumerated by pointer
+        # DOUBLING (starts[k..2k) = f^k(starts[0..k)), squaring f each
+        # round) — log2(n_px) domain-sized gathers instead of 3*n_px
+        # Python iterations. On a valid stream the gathered symbols are
+        # bit-identical to the serial walk (same tables, same windows,
+        # same offsets). ANY anomaly — invalid window, backref symbol,
+        # clamped/exhausted offset — abandons the batch and re-runs the
+        # UNCHANGED serial loop from the same reader state, so every
+        # corrupt-stream error message and raise point is exactly the
+        # serial path's.
+        batched = _rgb_batch_decode(
+            r, green, red, blue, n_px, g_out, r_out, b_out
+        )
+        if batched:
+            pass  # outputs filled, reader synced
+        else:
+            _rgb_serial_decode(
+                r, green, red, blue, n_px, g_out, r_out, b_out
+            )
     else:
         # general shape (any channel 1-symbol or deeper than the flat
         # table): the original per-pixel object reads
@@ -1865,6 +1879,162 @@ def parse_webp_vp8l_rgb(b: bytes) -> tuple[int, int, bytes]:
     )
     out = np.stack([red_p, gpl, blue_p], axis=2)
     return w_px, h_px, out.tobytes()
+
+
+def _rgb_batch_decode(
+    r: LsbReader, green, red, blue, n_px: int, g_out, r_out, b_out
+) -> bool:
+    """Vectorized three-channel literal decode (see the call site for the
+    scheme). Returns True with outputs filled and the reader synced, or
+    False untouched (caller re-runs the serial walk for exact errors)."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if n_px == 0:
+        return False
+    ng, nr, nb_ = green.maxlen, red.maxlen, blue.maxlen
+    total_bits = r.total_bits
+    start = r.consumed
+    m_bits = max(ng, nr, nb_)
+    bits = np.unpackbits(
+        np.frombuffer(r.data, dtype=np.uint8), bitorder="little"
+    ).astype(np.int64)
+    bitsp = np.concatenate([bits, np.zeros(m_bits, dtype=np.int64)])
+    # window VALUE at every offset 0..total_bits (the +1 sink row reads
+    # zero padding; any chain that lands there is flagged below)
+    vals = sliding_window_view(bitsp, m_bits)[: total_bits + 1] @ (
+        1 << np.arange(m_bits, dtype=np.int64)
+    )
+
+    def tab(dec, width):
+        sym = np.full(1 << width, -1, dtype=np.int64)
+        ln = np.zeros(1 << width, dtype=np.int64)
+        for i, e in enumerate(dec.table):
+            if e is not None:
+                sym[i], ln[i] = e
+        mask = (1 << width) - 1
+        return sym[vals & mask], ln[vals & mask]
+
+    sym_g, len_g = tab(green, ng)
+    sym_r, len_r = tab(red, nr)
+    sym_b, len_b = tab(blue, nb_)
+    dom = np.arange(total_bits + 1, dtype=np.int64)
+    p1 = np.minimum(dom + len_g, total_bits)
+    p2 = np.minimum(p1 + len_r[p1], total_bits)
+    f = np.minimum(p2 + len_b[p2], total_bits)
+    starts = np.empty(n_px, dtype=np.int64)
+    starts[0] = start
+    jump = f
+    filled = 1
+    while filled < n_px:
+        take = min(filled, n_px - filled)
+        starts[filled:filled + take] = jump[starts[:take]]
+        filled += take
+        if filled < n_px:
+            jump = jump[jump]
+    off_g = starts
+    off_r = np.minimum(off_g + len_g[off_g], total_bits)
+    off_b = np.minimum(off_r + len_r[off_r], total_bits)
+    end = off_b + len_b[off_b]
+    gs, rs, bs = sym_g[off_g], sym_r[off_r], sym_b[off_b]
+    anomaly = (
+        (gs < 0).any() or (gs >= 256).any()
+        or (rs < 0).any() or (bs < 0).any()
+        or (len_g[off_g] == 0).any()  # invalid windows carry length 0
+        or (len_r[off_r] == 0).any()
+        or (len_b[off_b] == 0).any()
+        or int(end[-1]) > total_bits
+        or (end > total_bits).any()
+    )
+    if anomaly:
+        return False
+    g_out[:] = gs.astype(np.uint8).tobytes()
+    r_out[:] = rs.astype(np.uint8).tobytes()
+    b_out[:] = bs.astype(np.uint8).tobytes()
+    fin = int(end[-1])
+    r.consumed = fin
+    r.byte_pos = len(r.data)
+    r.nbuf = total_bits - fin
+    r.buf = (
+        int.from_bytes(r.data[fin >> 3:], "little") >> (fin & 7)
+        if r.nbuf
+        else 0
+    )
+    return True
+
+
+def _rgb_serial_decode(
+    r: LsbReader, green, red, blue, n_px: int, g_out, r_out, b_out
+) -> None:
+    """The serial three-channel literal walk — the error-exact reference
+    path (and the batch decode's fallback arbiter). Constant-factor form
+    of three CanonicalDecoder.read calls per pixel:
+    (a) table entries packed as (sym << 5) | len integers (-1 for
+    invalid windows) — one int op per read instead of a tuple deref;
+    (b) ONE bulk 7-byte int.from_bytes refill per pixel (whenever fewer
+    than the three codes' combined worst-case bits remain buffered)
+    instead of three byte-at-a-time refill loops — the refill point
+    never changes WHICH bits a code consumes, and per-symbol exhaustion
+    checks are unchanged, so valid and corrupt streams behave
+    identically."""
+    def packed(dec):
+        return [
+            -1 if e is None else (e[0] << 5) | e[1] for e in dec.table
+        ]
+
+    tg, tr, tb = packed(green), packed(red), packed(blue)
+    ng, nr, nb_ = green.maxlen, red.maxlen, blue.maxlen
+    mg, mr, mb = (1 << ng) - 1, (1 << nr) - 1, (1 << nb_) - 1
+    need_all = ng + nr + nb_
+    data, total_bits = r.data, r.total_bits
+    n_data = len(data)
+    from_bytes = int.from_bytes
+    buf, nbuf, byte_pos, consumed = r.buf, r.nbuf, r.byte_pos, r.consumed
+    for j in range(n_px):
+        if nbuf < need_all and byte_pos < n_data:
+            chunk = data[byte_pos:byte_pos + 7]
+            buf |= from_bytes(chunk, "little") << nbuf
+            nbuf += 8 * len(chunk)
+            byte_pos += len(chunk)
+        e = tg[buf & mg]
+        if e < 0:
+            raise ValueError("invalid prefix code in stream")
+        ln = e & 31
+        if consumed + ln > total_bits:
+            raise ValueError("VP8L bitstream exhausted")
+        buf >>= ln
+        nbuf -= ln
+        consumed += ln
+        g = e >> 5
+        if g >= 256:
+            raise ValueError(
+                "backreferences unsupported in the RGB subset "
+                "(literal-only streams)"
+            )
+        g_out[j] = g
+        e = tr[buf & mr]
+        if e < 0:
+            raise ValueError("invalid prefix code in stream")
+        ln = e & 31
+        if consumed + ln > total_bits:
+            raise ValueError("VP8L bitstream exhausted")
+        buf >>= ln
+        nbuf -= ln
+        consumed += ln
+        r_out[j] = e >> 5
+        e = tb[buf & mb]
+        if e < 0:
+            raise ValueError("invalid prefix code in stream")
+        ln = e & 31
+        if consumed + ln > total_bits:
+            raise ValueError("VP8L bitstream exhausted")
+        buf >>= ln
+        nbuf -= ln
+        consumed += ln
+        b_out[j] = e >> 5
+        # alpha: 1-symbol code, zero bits, value pinned to 255 by the
+        # fast-path guard — nothing to read or check
+    r.buf, r.nbuf, r.byte_pos, r.consumed = buf, nbuf, byte_pos, consumed
 
 
 # --- the oracled corpus query ----------------------------------------------------
@@ -1914,9 +2084,10 @@ def _webp_pixels(doc_id: int, w: int, h: int) -> bytes:
         hashlib.md5(f"{doc_id}:v:{k}".encode()).digest()
         for k in range(n_blocks)
     )
-    return bytes(
-        0 if b < 224 else b % 37 + 1 for b in stream[: w * h]
-    )
+    import numpy as np
+
+    sv = np.frombuffer(stream, dtype=np.uint8)[: w * h].astype(np.int32)
+    return np.where(sv < 224, 0, sv % 37 + 1).astype(np.uint8).tobytes()
 
 
 @query("multimodal_webp_lossless_decode", oracle=_WEBP_ORACLE)
@@ -2002,8 +2173,11 @@ def _webp_palette_pixels(doc_id: int, w: int, h: int) -> bytes:
         hashlib.md5(f"{doc_id}:p:{k}".encode()).digest()
         for k in range(n_blocks)
     )
-    return bytes(
-        0 if b < 128 else 12 + (b % 3) * 37 for b in stream[: w * h]
+    import numpy as np
+
+    sv = np.frombuffer(stream, dtype=np.uint8)[: w * h].astype(np.int32)
+    return (
+        np.where(sv < 128, 0, 12 + (sv % 3) * 37).astype(np.uint8).tobytes()
     )
 
 
@@ -2114,14 +2288,17 @@ def _webp_color_pixels(doc_id: int, w: int, h: int) -> bytes:
         hashlib.md5(f"{doc_id}:c:{k}".encode()).digest()
         for k in range(n_blocks)
     )
-    out = bytearray()
-    for j in range(w * h):
-        s0, s1, s2 = stream[3 * j], stream[3 * j + 1], stream[3 * j + 2]
-        g = 0 if s0 < 224 else s0 % 37 + 1
-        r = (g + (0 if s1 < 240 else s1 % 23 + 1)) & 255
-        b = (r + (0 if s2 < 240 else s2 % 19 + 1)) & 255
-        out += bytes((r, g, b))
-    return bytes(out)
+    import numpy as np
+
+    # vectorized form of the per-pixel rule above (r15) — same bytes:
+    # g = 0 if s0 < 224 else s0 % 37 + 1, r = g + sparse, b = r + sparse
+    sv = np.frombuffer(stream, dtype=np.uint8)[: 3 * w * h].reshape(
+        -1, 3
+    ).astype(np.int32)
+    g = np.where(sv[:, 0] < 224, 0, sv[:, 0] % 37 + 1)
+    r = (g + np.where(sv[:, 1] < 240, 0, sv[:, 1] % 23 + 1)) & 255
+    b = (r + np.where(sv[:, 2] < 240, 0, sv[:, 2] % 19 + 1)) & 255
+    return np.stack([r, g, b], axis=1).astype(np.uint8).tobytes()
 
 
 _WEBP_COLOR_ORACLE = """
