@@ -441,7 +441,16 @@ def cluster_summaries(pairs: DataFrame) -> DataFrame:
     relation: (representative = min member, member_count, sample_members =
     first {LSH_CLUSTER_SAMPLE_K} ids). The generic clusters half of the
     emit='pairs'|'clusters' contract — shared by the MinHash-LSH and
-    SimHash cluster queries."""
+    SimHash cluster queries.
+
+    CC kernel: LPA (cc_labels). The r15 bench decomposition also tried
+    the star kernel here: it wins on the 10x probe graphs (cosine
+    clusters scaled wall 11.5 -> 7.9 s) but LOSES at the committed SFs —
+    the lsh/simhash cluster graphs are near-cliques that LPA settles in
+    2-3 rounds while the star loop's preamble + fixpoint probes cost
+    ~+1.4 s per row; the committed rows stay LPA and the adjudication
+    lives in BENCH_NOTES (both kernels are checked against the same
+    transitive-closure oracle, so either labeling is hash-exact)."""
     labels = cc_labels(pairs.select("doc_a", "doc_b"))
     return labels.groupBy(F.col("lbl").alias("representative")).agg(
         F.count(F.lit(1)).alias("member_count"),
@@ -782,7 +791,13 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
             df = df.persist()
             pinned.append(df)
             return df
-        return df.localCheckpoint(eager=True)
+        # LAZY checkpoint (r15): the changed-count action each round
+        # materializes it in the same job and truncates lineage exactly
+        # as the eager form did — but the eager form was a SECOND driver
+        # action per round, and on a small chain graph (the cosine pair
+        # relation needs ~15 one-hop rounds) the loop is action-latency
+        # bound, so this halves its real cost.
+        return df.localCheckpoint(eager=False)
 
     try:
         # Conf mutation and the eager edges checkpoint both live INSIDE

@@ -617,6 +617,32 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
     from oe_batch_processing_spark.operators.dedup import dedup_jaccard_shingles
 
     pairs = dedup_jaccard_shingles(spark, sf_dir).select("doc_a", "doc_b")
+    return star_labels(pairs).select(
+        F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def star_labels(pairs: DataFrame) -> DataFrame:
+    """LARGE-STAR / SMALL-STAR connected components over any (doc_a,
+    doc_b) pair relation -> (doc, lbl) with lbl = min doc_id in the
+    component, one row per node appearing in the relation (roots label
+    themselves). The production CC kernel (O(log^2 n) rounds regardless
+    of diameter) extracted from graph_connected_components_star so the
+    cluster-summary emit mode can share it — the r15 bench decomposition
+    found the cosine pair graph is a diameter-~15 chain graph at bench
+    scale, where the LPA loop pays one checkpointed round PER HOP
+    (~15 rounds of real jobs on a 919-edge graph) while the star loop
+    settles in ~3. dedup_connected_components deliberately keeps the LPA
+    implementation: the two kernels cross-validate against the same
+    transitive-closure oracle."""
+    spark = pairs.sparkSession
+    # Materialize the pair relation ONCE before the symmetric unions:
+    # without this the union branches race to evaluate the (expensive)
+    # upstream pair pipeline repeatedly (the cc_labels recipe). The
+    # count is the materializing action; released before return.
+    from oe_batch_processing_spark.tables import persist_once
+
+    pairs = persist_once(pairs)
     # localCheckpoint: TRUNCATE lineage, not just cache it. Every round
     # references the previous round's frame ~4 times, so with plain
     # persist the LOGICAL plan (which CacheManager substitutes only at
@@ -629,12 +655,15 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("u"),
         F.col("doc_b").cast("long").alias("v"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # this one action also fills the pairs cache
+    # all_nodes stays LAZY (r15): it reads the edges checkpoint leaf and
+    # is consumed exactly once by the final left join — an eager
+    # checkpoint here was one more ~0.4 s driver action per invocation
+    # on an action-latency-bound small graph, for no reuse.
     all_nodes = (
         edges.select(F.col("u").alias("doc"))
         .union(edges.select(F.col("v").alias("doc")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _checksum(e: DataFrame):
@@ -662,43 +691,45 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
             spark.conf.set(k, v)
         edges = edges.coalesce(1).localCheckpoint(eager=True)
 
+    def _one_round(cur: DataFrame) -> DataFrame:
+        # large-star
+        nbrs = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        large = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient each edge (max -> min), group by the max side
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        m2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            directed.join(m2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            # lazy checkpoint: the checksum action below materializes it
+            # and truncates lineage in the same job
+            .localCheckpoint(eager=False)
+        )
+
     cur = edges
     prev_sum = None
     try:
         for _round in range(20):  # log^2 bound; settles in ~3
-            # large-star
-            nbrs = cur.select("u", "v").union(
-                cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-            m = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
-                "u", F.least(F.col("mn"), F.col("u")).alias("m")
-            )
-            large = (
-                nbrs.join(m, "u")
-                .filter(F.col("v") > F.col("u"))
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .filter(F.col("u") != F.col("v"))
-                .distinct()
-            )
-            # small-star: orient each edge (max -> min), group by the max side
-            directed = large.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            ).filter(F.col("u") != F.col("v"))
-            m2 = directed.groupBy("u").agg(F.min("v").alias("m"))
-            small = (
-                directed.join(m2, "u")
-                .select(F.col("v").alias("a"), F.col("m").alias("b"))
-                .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
-                .filter(F.col("a") != F.col("b"))
-                .select(
-                    F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
-                )
-                .distinct()
-                # lazy checkpoint: the checksum action below materializes it
-                # and truncates lineage in the same job
-                .localCheckpoint(eager=False)
-            )
-            cur = small
+            cur = _one_round(cur)
             new_sum = _checksum(cur)
             if new_sum == prev_sum:
                 break
@@ -709,12 +740,9 @@ def graph_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-    return (
-        all_nodes.join(labels, "doc", "left")
-        .select(
-            F.col("doc").alias("doc_id"),
-            F.coalesce(F.col("lbl"), F.col("doc")).alias("cluster_id"),
-        )
+    pairs.unpersist()
+    return all_nodes.join(labels, "doc", "left").select(
+        "doc", F.coalesce(F.col("lbl"), F.col("doc")).alias("lbl")
     )
 
 
