@@ -123,102 +123,91 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-14 window, per the r13 rotation guidance: (1) changed-code
-    # --- re-checks — the content-representative collapse of
-    # --- docs_duplicate_ngram_spans (always-on; gram build + island pass
-    # --- on distinct texts, membership expansion), the
-    # --- ann_rep_expand_topk stage-1 distinct (touches the always-on
-    # --- similarity_topk_cosine plan and the four gated ANN consumers),
-    # --- the collapsed IVF/IVFPQ probe-window semi-join to query reps
-    # --- (gated at ANN_REP_MIN_N — plan-identical at committed SFs,
-    # --- re-checked anyway), and the SemDeDup collapsed-cap divergence
-    # --- detector (gated; committed flat path unchanged); (2) ALL 29
-    # --- remaining r6-era rows; (3) the 14 alphabetically-first r7-era
-    # --- rows. Round-15 guidance: FIRST any round-15 additions and
-    # --- changed-code re-checks, then the 39 remaining r7-era rows
-    # --- (events_token_bucket_admission, ingest_binaryfile_netpbm,
-    # --- ingest_gzip_codec_scan, multimodal_bmp_decode,
-    # --- multimodal_gzip_decode, multimodal_ppm_decode,
-    # --- multimodal_tar_member_index,
-    # --- multimodal_wav_riff_features, multimodal_zip_member_index,
-    # --- orders_cohort_retention, orders_forecast_holt_winters,
-    # --- orders_runs_test_daily, orders_stl_decompose_monthly,
-    # --- orders_trend_mann_kendall, orders_trend_seasonal_mk,
-    # --- orders_trend_theil_sen, pipeline_budget_mixture_greedy,
-    # --- pipeline_data_card, pipeline_token_budget_epochs,
-    # --- pyds_writer_roundtrip, recursive_cte_custkey_tree,
-    # --- sample_pps_systematic, sample_reservoir_per_user,
-    # --- set_except_all_quantities, set_intersect_all_quantities,
-    # --- sql_select_star_except, sql_window_named_spec,
-    # --- stats_bootstrap_ci_weekly_orders, stats_ks_two_sample,
-    # --- stats_mann_whitney_u, stream_burst_detection,
-    # --- stream_dedup_within_watermark, stream_foreachbatch_upsert,
-    # --- stream_session_window_dynamic_gap, stream_sessionize_capped,
-    # --- stream_token_bucket_admission, text_bigram_lm_kneser_ney,
-    # --- udtf_table_arg_streaks, win_ignore_nulls_battery), then the
-    # --- r8-era rows.
-    # --- (0) round-14 late-session additions + changed-code re-checks
-    "pipeline_dsir_importance",      # r14: NEW — hashed-ngram importance selection
-    "pipeline_split_leakage_report", # r14: gated content-rep collapse (41.95x -> 1.65x @30x)
-    "dedup_jaccard_shingles",        # r14: rep_jaccard_pairs extraction (same plan)
-    "q18_large_volume_customers",    # r14: pre-aggregation rewrite (hash-exact)
-    "multimodal_webp_lossless_decode",  # r14: codec hot-path rewrite (bit-exact)
-    "multimodal_webp_palette_decode",   # r14: codec hot-path rewrite (bit-exact)
-    "multimodal_webp_color_decode",     # r14: codec hot-path rewrite (bit-exact)
-    # --- (1) changed-code re-checks (round-14)
-    "docs_duplicate_ngram_spans",    # r14: representative collapse rewrite
-    "similarity_topk_cosine",        # r14: expand-topk stage-1 distinct (always-on)
-    "similarity_topk_lsh",           # r14: expand-topk distinct (gated)
-    "similarity_topk_pq",            # r14: expand-topk distinct (gated)
-    "similarity_topk_ivf",           # r14: probe semi-join + distinct (gated)
-    "similarity_topk_ivfpq",         # r14: probe semi-join + distinct (gated)
-    "dedup_semdedup_clusters",       # r14: collapsed-cap detector (gated)
-    # --- (2) the 29 remaining r6-era rows
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "ingest_orc_roundtrip",
-    "itemsets_frequent_pairs",
-    "layout_zorder_events",
-    "merge_upsert_customer_balance",
-    "multimodal_audio_pcm_features",
-    "multimodal_image_ahash",
-    "multimodal_raster_gradients",
-    "multimodal_rle_roundtrip",
-    "orders_forecast_holt",
-    "pipeline_curriculum_order",
-    "profile_documents_columns",
-    "pyds_synthetic_events",
-    "regression_multivar_normal_eq",
-    "scd2_point_in_time_join",
-    "scd2_user_value_tiers",
-    "sketch_countmin_user_counts",
-    "sketch_hll_user_rollup",
-    "sketch_theta_segment_overlap",
-    "sql_scripting_vars",
-    "stream_changepoint_cusum",
-    "stream_docs_quality_gate",
-    "text_bigram_lm_score",
-    "text_bpe_apply_fertility",
-    "text_rake_keywords",
-    "text_readability_forcast",
-    "text_repetition_ratios",
-    "xml_parse_roundtrip",
-    # --- (3) the 14 alphabetically-first r7-era rows
-    "customer_revenue_gini",
-    "dedup_incremental_bloom_prefilter",
-    "embedding_pca_power_iteration",  # r14: also a changed-code re-check
-    # (weighted content collapse of the per-iteration sums)
-    "events_burst_detection",
-    "events_session_window_dynamic_gap",
-    "events_session_window_native",
-    "events_sessionize_capped",
-    # (events_token_bucket_admission, ingest_binaryfile_netpbm,
-    # ingest_gzip_codec_scan, multimodal_{bmp,gzip,ppm}_decode and
-    # multimodal_tar_member_index rotated to the r15 window: the
-    # round-14 late-session additions — pipeline_dsir_importance, the
-    # split-leakage collapse + jaccard-extraction re-checks, the q18
-    # pre-aggregation re-check and the three webp codec re-checks —
-    # took their seven slots; the window is pinned at exactly 50 names)
+    # --- Round-15 window: (1) round-15 additions and changed-code
+    # --- re-checks — the NEW pipeline_contamination_screen, the
+    # --- graph_kcore_trade delta-peeling rewrite, the VP8L constant-cut
+    # --- trio (grayscale color-grid shortcut, chunked LZ77 extension,
+    # --- vectorized RGB emit + batched RGB decode, broadcasted candidate
+    # --- stacks, vectorized pixel generators — all golden-hash A/B
+    # --- proved), the eight metadata-only collapse gates (footer count
+    # --- instead of a df.count() job: leakage, DSIR, LSH/PQ/IVF/IVFPQ,
+    # --- semdedup, kmeans stride — plan-identical below the gate,
+    # --- re-checked anyway), and the CC-kernel investigation's touched
+    # --- paths (cc_labels lazy checkpoints; star_labels extraction with
+    # --- action cuts: the four cluster-summary queries, both CC twins);
+    # --- then (2) the 31 alphabetically-first of the 39 remaining
+    # --- r7-era rows — INCLUDING the seven names the r14 window
+    # --- deferred (events_token_bucket_admission ... tar_member_index),
+    # --- pinned by tests/test_sweep_guard.py. The 8 deferred tail names
+    # --- live in DRIVER_CHECK_DEFERRED below (machine-readable, per the
+    # --- r14 ADVICE) and lead the r16 window after its own re-checks.
+    # --- (1) round-15 additions + changed-code re-checks
+    "pipeline_contamination_screen",  # r15: NEW — benchmark decontamination
+    "graph_kcore_trade",              # r15: delta-peeling rewrite
+    "multimodal_webp_lossless_decode",  # r15: codec constant cuts (A/B-proved)
+    "multimodal_webp_palette_decode",   # r15: codec constant cuts (A/B-proved)
+    "multimodal_webp_color_decode",     # r15: codec constant cuts (A/B-proved)
+    "pipeline_split_leakage_report",  # r15: metadata-only gate
+    "pipeline_dsir_importance",       # r15: metadata-only gate
+    "similarity_topk_lsh",            # r15: metadata-only gate
+    "similarity_topk_pq",             # r15: metadata-only gate
+    "similarity_topk_ivf",            # r15: metadata-only gate
+    "similarity_topk_ivfpq",          # r15: metadata-only gate
+    "dedup_semdedup_clusters",        # r15: metadata-only gate (n_rows param)
+    "embedding_kmeans_assign",        # r15: metadata-only stride
+    "dedup_embedding_cosine_clusters",   # r15: cc_labels lazy checkpoints
+    "dedup_minhash_lsh_clusters",        # r15: cc_labels lazy checkpoints
+    "dedup_simhash_clusters",            # r15: cc_labels lazy checkpoints
+    "dedup_shingle_containment_clusters",  # r15: cc_labels lazy checkpoints
+    "graph_connected_components_star",   # r15: star_labels extraction + cuts
+    "dedup_connected_components",        # r15: cc_labels lazy checkpoints
+    # --- (2) the 31 alphabetically-first of the 39 remaining r7-era rows
+    "events_token_bucket_admission",   # r14-deferred, re-inserted
+    "ingest_binaryfile_netpbm",        # r14-deferred, re-inserted
+    "ingest_gzip_codec_scan",          # r14-deferred, re-inserted
+    "multimodal_bmp_decode",           # r14-deferred, re-inserted
+    "multimodal_gzip_decode",          # r14-deferred, re-inserted
+    "multimodal_ppm_decode",           # r14-deferred, re-inserted
+    "multimodal_tar_member_index",     # r14-deferred, re-inserted
+    "multimodal_wav_riff_features",
+    "multimodal_zip_member_index",
+    "orders_cohort_retention",
+    "orders_forecast_holt_winters",
+    "orders_runs_test_daily",
+    "orders_stl_decompose_monthly",
+    "orders_trend_mann_kendall",
+    "orders_trend_seasonal_mk",
+    "orders_trend_theil_sen",
+    "pipeline_budget_mixture_greedy",
+    "pipeline_data_card",
+    "pipeline_token_budget_epochs",
+    "pyds_writer_roundtrip",
+    "recursive_cte_custkey_tree",
+    "sample_pps_systematic",
+    "sample_reservoir_per_user",
+    "set_except_all_quantities",
+    "set_intersect_all_quantities",
+    "sql_select_star_except",
+    "sql_window_named_spec",
+    "stats_bootstrap_ci_weekly_orders",
+    "stats_ks_two_sample",
+    "stats_mann_whitney_u",
+    "stream_burst_detection",
+)
+
+# Names owed to the NEXT round's window (rotated out of the 50 slots by
+# this round's re-checks) — machine-readable so the rotation cannot be
+# silently forgotten (r14 ADVICE): tests assert these are registered,
+# disjoint from the current window, and re-inserted next round.
+DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
+    "stream_dedup_within_watermark",
+    "stream_foreachbatch_upsert",
+    "stream_session_window_dynamic_gap",
+    "stream_sessionize_capped",
+    "stream_token_bucket_admission",
+    "text_bigram_lm_kneser_ney",
+    "udtf_table_arg_streaks",
+    "win_ignore_nulls_battery",
 )
 
 

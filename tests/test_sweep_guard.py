@@ -144,6 +144,38 @@ def test_driver_window_names_are_registered():
     )
 
 
+def test_driver_window_rotation_not_forgotten():
+    """ADVICE r14: names rotated OUT of the 50-slot window to make room
+    for a round's re-checks lost driver coverage with the deferral
+    tracked only in a comment. The deferral is now machine-readable
+    (registry.DRIVER_CHECK_DEFERRED): every deferred name must be
+    registered and NOT in the current window (else it isn't deferred),
+    and the names the round-14 window deferred must be back in the
+    round-15 window — the per-round pin that makes forgetting the
+    re-insertion a test failure (update alongside the rotation)."""
+    d = registry.DRIVER_CHECK_DEFERRED
+    assert len(set(d)) == len(d)
+    unknown = [n for n in d if n not in registry.QUERIES]
+    assert not unknown, f"deferred names missing from registry: {unknown}"
+    overlap = set(d) & set(registry.DRIVER_CHECK_PRIORITY)
+    assert not overlap, f"deferred names still in the window: {sorted(overlap)}"
+    # the r14 deferrals, owed to (and pinned in) the r15 window:
+    r14_deferred = {
+        "events_token_bucket_admission",
+        "ingest_binaryfile_netpbm",
+        "ingest_gzip_codec_scan",
+        "multimodal_bmp_decode",
+        "multimodal_gzip_decode",
+        "multimodal_ppm_decode",
+        "multimodal_tar_member_index",
+    }
+    missing = r14_deferred - set(registry.DRIVER_CHECK_PRIORITY)
+    assert not missing, (
+        f"r14-deferred names not re-inserted in the r15 window: "
+        f"{sorted(missing)}"
+    )
+
+
 def test_bench_headline_names_are_registered():
     """VERDICT r7 item 7 (second half): a rename would silently drop a
     bench row. Parse bench.py's HEADLINE literal and resolve every name."""
