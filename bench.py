@@ -180,6 +180,8 @@ HEADLINE = [
     "multimodal_webp_color_decode",     # r11: cross-color transform, RGB
     # round-14 continuation addition:
     "pipeline_dsir_importance",  # hashed-ngram importance selection
+    # round-15 addition:
+    "pipeline_contamination_screen",  # benchmark decontamination screen
 ]
 
 

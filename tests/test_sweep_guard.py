@@ -583,6 +583,32 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "pipeline_dsir_importance",
             r"Final probe rows: 10x \*\*[\d.]+x\*\*, 30x\s+\*\*([\d.]+)x\*\*\s+\(scaled wall\s+22\.2",
         ),
+        # round 15
+        (
+            "SCALEPROBE_r15.json",
+            "graph_kcore_trade",
+            r"10x 5\.94x -> ([\d.]+)x",
+        ),
+        (
+            "SCALEPROBE30X_r15.json",
+            "graph_kcore_trade",
+            r"30x 11\.91x -> \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE_r15.json",
+            "pipeline_contamination_screen",
+            r"rows \*\*([\d.]+)x\*\* @10x / \*\*[\d.]+x\*\* @30x",
+        ),
+        (
+            "SCALEPROBE30X_r15.json",
+            "pipeline_contamination_screen",
+            r"rows \*\*[\d.]+x\*\* @10x / \*\*([\d.]+)x\*\* @30x",
+        ),
+        (
+            "SCALEPROBE_r15.json",
+            "dedup_embedding_cosine_clusters",
+            r"10x probe ratio 2\.33x -> ([\d.]+)x",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
