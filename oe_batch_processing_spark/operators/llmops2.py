@@ -612,3 +612,213 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# --- BM25 shingle retrieval ---------------------------------------------------
+
+BM25_TOPK = 3
+# k1 = 6/5 and b = 3/4 (the classic 1.2 / 0.75), spelled as the integer
+# cross-multiplied form below so every per-term score is one exact
+# DECIMAL(38,0)/HUGEINT floor division and the per-pair score is a SUM
+# OF BIGINTS — order-free, so the full relation hash-matches DuckDB.
+# Derivation (q = query doc, d = train doc, term t):
+#   idf_r(t)  = (N - df + 1/2) / (df + 1/2)          (rational idf — the
+#               log-free Robertson form; logs differ in final ULPs
+#               between libm and java.lang.Math, the docs_tfidf_topterms
+#               precedent, so the MONOTONE rational core is scored)
+#   sat(t, d) = tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl)),  avgdl = T/N
+#   milli     = floor(1e6 idf_r sat)
+#             = (2N - 2 df + 1) tf 44 T 1e6
+#               DIV ((2 df + 1) (20 tf T + 6 T + 18 dl N))
+# with N = train docs, T = total train shingle count, dl = the doc's
+# shingle count — all integers. Magnitudes: numerator < 1e35 at 100 TB
+# text (N ~ 1e10, T ~ 1e13, tf <= 1e4), inside DECIMAL(38,0)/HUGEINT.
+# Engine casts differ BY NECESSITY: DuckDB's // on DECIMAL routes
+# through DOUBLE (measured: low-digit drift at 1e22 numerators), so the
+# oracle casts HUGEINT (// exact); Spark has no int128, so the operator
+# casts DECIMAL(38,0) and floors via the exact remainder identity in
+# the milli expression (decimal `div` half-up-rounds its intermediate).
+_BM25_MILLI_NUM = (
+    "CAST((2 * n - 2 * df + 1) AS DECIMAL(38,0)) * tf * 44 * t * 1000000"
+)
+_BM25_MILLI_DEN = (
+    "CAST((2 * df + 1) AS DECIMAL(38,0))"
+    " * (20 * tf * t + 6 * t + 18 * dl * n)"
+)
+
+
+@query(
+    "text_bm25_shingle_retrieval",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             ((instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10
+               AS b
+      FROM documents
+    ),
+    tr AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS words FROM split
+      WHERE b < 8 AND len(string_split(text, ' ')) >= 3
+    ),
+    tg AS MATERIALIZED (
+      SELECT doc_id,
+             words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS term
+      FROM tr, UNNEST(range(len(words) - 2)) AS u(i)
+    ),
+    tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tg GROUP BY 1, 2),
+    dl AS MATERIALIZED (SELECT doc_id, len(words) - 2 AS dl FROM tr),
+    scal AS MATERIALIZED (
+      SELECT COUNT(*) AS n, CAST(SUM(len(words) - 2) AS BIGINT) AS t
+      FROM tr
+    ),
+    df AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dfp AS MATERIALIZED (SELECT df.term, df.df FROM df, scal WHERE 2 * df.df <= scal.n),
+    qg AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS query_doc,
+             words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS term
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words FROM split
+        WHERE b = 9 AND len(string_split(text, ' ')) >= 3
+      ), UNNEST(range(len(words) - 2)) AS u(i)
+    ),
+    scored AS (
+      SELECT qg.query_doc, tf.doc_id AS train_doc,
+             ({_BM25_MILLI_NUM.replace("DECIMAL(38,0)", "HUGEINT").replace("n -", "scal.n -").replace("df +", "dfp.df +").replace("* tf", "* tf.tf").replace("* t *", "* scal.t *")})
+             // ({_BM25_MILLI_DEN.replace("DECIMAL(38,0)", "HUGEINT").replace("df +", "dfp.df +").replace("tf *", "tf.tf *").replace("* t +", "* scal.t +").replace("6 * t", "6 * scal.t").replace("dl * n", "dl.dl * scal.n")})
+               AS milli
+      FROM qg
+      JOIN dfp USING (term)
+      JOIN tf USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id, scal
+    ),
+    agg AS MATERIALIZED (
+      SELECT query_doc, train_doc,
+             CAST(SUM(milli) AS BIGINT) AS bm25_milli,
+             CAST(COUNT(*) AS INTEGER) AS n_shared_terms
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_doc, CAST(rnk AS INTEGER) AS rnk, train_doc,
+           bm25_milli, n_shared_terms
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_doc ORDER BY bm25_milli DESC, train_doc
+      ) AS rnk
+      FROM agg
+    ) WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def text_bm25_shingle_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 retrieval over 3-word-shingle terms: each TEST-split document
+    (the md5 bucket-9 convention shared with the contamination screen)
+    queries the TRAIN split; per query the top-{BM25_TOPK} train docs by
+    BM25(k1=1.2, b=0.75) with rational idf and exact fixed-point
+    milli-scores (see _BM25_MILLI_NUM — no logs, no float sums, so the
+    full relation hash-matches DuckDB). Shingle terms rather than
+    unigrams: this corpus's unigram vocabulary is ~31 words (every term
+    is a stopword by the df > N/2 rule), while its 3-gram space is rich
+    — and n-gram indexing is the standard IR answer to tiny/noisy
+    vocabularies. The term-based retrieval twin of the embedding ANN
+    family (similarity_topk_*): the candidate generator a production
+    dedup/quality pipeline runs when embeddings are too expensive.
+
+    Stopword pruning (2 df <= N) is part of the contract (mirrored in
+    the oracle): terms in over half the corpus carry near-zero idf and
+    dominate posting volume — exactly the terms a 100 TB posting build
+    drops.
+
+    Scale shape: tokenize/shingle once per split; the heavy exchange is
+    the POSTINGS JOIN (query terms x train tf, keyed on term — bounded
+    by pruned posting-list sizes, the standard IR cost); df and the
+    (N, T) scalars are vocabulary-/1-row-sized (broadcast; the scalar
+    frame rides a broadcast cross-join, the q22 idiom), dl is doc-keyed
+    and joins AFTER the per-(query, train, term) frame collapses to
+    nothing — actually before the aggregate, but as a broadcast of a
+    doc-count-sized frame. Top-k per query is a rank window with
+    group-limit pushdown. At 100 TB: bucket tf by term (co-located
+    postings), replace the full df relation with the pruned dictionary
+    broadcast, and cap posting lists by impact order — the plan shape
+    is unchanged.
+    """
+    from oe_batch_processing_spark.operators.pipeline import _SPLIT_BYTE
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    tagged = docs.select("doc_id", "text", bucket.alias("b"))
+    w = 3
+    gram_expr = (
+        f"CASE WHEN size(tk) >= {w} THEN "
+        f"transform(sequence(1, size(tk) - {w - 1}), "
+        f"i -> array_join(slice(tk, i, {w}), ' ')) "
+        "ELSE array() END"
+    )
+    tr = (
+        tagged.filter(F.col("b") < 8)
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= w)
+    )
+    tg = tr.select(
+        "doc_id", F.explode(F.expr(gram_expr)).alias("term")
+    )
+    tf = tg.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tr.select("doc_id", (F.size("tk") - (w - 1)).alias("dl"))
+    scal = tr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("tk") - (w - 1)).cast("long").alias("t"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qg = (
+        tagged.filter(F.col("b") == 9)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.split("text", " ").alias("tk"),
+        )
+        .filter(F.size("tk") >= w)
+        .select(
+            "query_doc", F.explode(F.expr(gram_expr)).alias("term")
+        )
+        .distinct()
+    )
+    scored = (
+        qg.join(df, "term")
+        .join(tf, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .filter(F.expr("2 * df <= n"))  # stopword prune (oracle-mirrored)
+        .select(
+            "query_doc",
+            F.col("doc_id").alias("train_doc"),
+            # exact floor division: Spark's decimal `div` ROUNDS the
+            # intermediate quotient (HALF_UP at scale 6) before taking
+            # the integral part, which disagrees with DuckDB's exact
+            # HUGEINT // on ~1-in-a-few quotients; BigDecimal remainder
+            # (%) is EXACT, so (num - num % den) / den is an exact
+            # multiple and the final division is lossless.
+            F.expr(
+                f"CAST((({_BM25_MILLI_NUM}) - (({_BM25_MILLI_NUM}) % "
+                f"({_BM25_MILLI_DEN}))) / ({_BM25_MILLI_DEN}) AS BIGINT)"
+            ).alias("milli"),
+        )
+    )
+    agg = scored.groupBy("query_doc", "train_doc").agg(
+        F.sum("milli").cast("long").alias("bm25_milli"),
+        F.count(F.lit(1)).cast("int").alias("n_shared_terms"),
+    )
+    wnd = Window.partitionBy("query_doc").orderBy(
+        F.desc("bm25_milli"), F.asc("train_doc")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "query_doc",
+            F.col("rnk").cast("int").alias("rnk"),
+            "train_doc",
+            "bm25_milli",
+            "n_shared_terms",
+        )
+    )

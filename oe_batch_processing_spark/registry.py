@@ -161,7 +161,9 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "dedup_shingle_containment_clusters",  # r15: cc_labels lazy checkpoints
     "graph_connected_components_star",   # r15: star_labels extraction + cuts
     "dedup_connected_components",        # r15: cc_labels lazy checkpoints
-    # --- (2) the 31 alphabetically-first of the 39 remaining r7-era rows
+    "text_bm25_shingle_retrieval",       # r15: NEW — exact-integer BM25
+    # --- (2) the 30 alphabetically-first of the 39 remaining r7-era rows
+    # --- (stream_burst_detection moved to DEFERRED for the BM25 slot)
     "events_token_bucket_admission",   # r14-deferred, re-inserted
     "ingest_binaryfile_netpbm",        # r14-deferred, re-inserted
     "ingest_gzip_codec_scan",          # r14-deferred, re-inserted
@@ -192,7 +194,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "stats_bootstrap_ci_weekly_orders",
     "stats_ks_two_sample",
     "stats_mann_whitney_u",
-    "stream_burst_detection",
 )
 
 # Names owed to the NEXT round's window (rotated out of the 50 slots by
@@ -200,6 +201,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # silently forgotten (r14 ADVICE): tests assert these are registered,
 # disjoint from the current window, and re-inserted next round.
 DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
+    "stream_burst_detection",
     "stream_dedup_within_watermark",
     "stream_foreachbatch_upsert",
     "stream_session_window_dynamic_gap",

@@ -88,6 +88,7 @@ PROBES: tuple[str, ...] = (
     "recursive_cte_custkey_tree",
     "docs_duplicate_ngram_spans",
     "pipeline_contamination_screen",  # r15: broadcast-dictionary screen
+    "text_bm25_shingle_retrieval",    # r15: postings-join retrieval
     "dedup_jaccard_shingles",
     "dedup_jaccard_prefix_filter",   # r13: representative-rewrite coverage
     "dedup_simhash",                 # r13: pairs-side rewrite coverage
