@@ -711,7 +711,7 @@ _BM25_MILLI_DEN = (
     """,
 )
 def text_bm25_shingle_retrieval(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, rep_min_n: int | None = None
 ) -> DataFrame:
     """BM25 retrieval over 3-word-shingle terms: each TEST-split document
     (the md5 bucket-9 convention shared with the contamination screen)
@@ -745,7 +745,13 @@ def text_bm25_shingle_retrieval(
     is unchanged.
     """
     from oe_batch_processing_spark.operators.pipeline import _SPLIT_BYTE
+    from oe_batch_processing_spark.tables import table_row_count
 
+    gate = BM25_REP_MIN_N if rep_min_n is None else rep_min_n
+    # metadata-only gate (the r15 footer-count convention): every
+    # committed SF keeps the flat plan the oracle checks directly
+    if table_row_count(sf_dir, "documents") >= gate:
+        return _bm25_collapsed(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SPLIT_BYTE) % 10
     tagged = docs.select("doc_id", "text", bucket.alias("b"))
@@ -821,4 +827,154 @@ def text_bm25_shingle_retrieval(
             "bm25_milli",
             "n_shared_terms",
         )
+    )
+
+
+BM25_REP_MIN_N = 8192  # the collapse family's gate convention: committed
+# SFs (<= 5,000 docs) keep the flat plan the DuckDB oracle checks
+# directly; the replica-heavy probe corpora engage the collapse below.
+
+
+def _bm25_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-representative collapse of the BM25 retrieval (r15, gated
+    at ``BM25_REP_MIN_N`` — the flat postings join pays replica-count^2
+    on replica-heavy corpora: the 30x probe read 37.02x with slope x5.3
+    per 3x). Exactness, piece by piece:
+
+    * tf and dl are CONTENT-determined; df, N, T count DOCUMENTS, so at
+      content level they are the doc-WEIGHTED sums: a content with
+      ``n_train`` train members contributes ``n_train`` to df for each
+      of its distinct terms, ``n_train`` to N, and ``n_train * dl`` to
+      T — exact integer regroupings of the flat sums (the DSIR/PCA
+      weighted-collapse precedent).
+    * Every test member of a query content receives the IDENTICAL
+      ranked list (scores never read the query doc id), so query-side
+      expansion is a verbatim replication.
+    * Train-side top-k: the flat output ranks member rows by
+      (milli DESC, doc_id ASC); all members of one content tie at its
+      milli, so interleaving happens only BETWEEN tied contents. Stage
+      1 keeps, per query content, dense_rank <= k content candidates
+      under (milli DESC, min-train-member ASC) — a content
+      contributing a flat top-k row has its best row (milli, min
+      member) among the k best best-rows, so the kept set is a
+      SUPERSET of contributors (the ann_rep_expand_topk argument,
+      without the self-exclusion — splits are disjoint doc sets, and
+      a train doc textually identical to the query is a legitimate
+      hit in both paths). Stage 2 explodes the kept contents' train
+      members and applies the exact member-level
+      row_number() over (milli DESC, doc_id ASC) <= k, which the
+      restriction cannot change (any member beating a kept top-k
+      member belongs to a content that also survives stage 1).
+    """
+    from oe_batch_processing_spark.operators.dedup import content_rep_groups
+    from oe_batch_processing_spark.operators.pipeline import _SPLIT_BYTE
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = content_rep_groups(docs)
+    d_byte = _SPLIT_BYTE.replace("doc_id", "d")
+    w = 3
+    gram_expr = (
+        f"CASE WHEN size(tk) >= {w} THEN "
+        f"transform(sequence(1, size(tk) - {w - 1}), "
+        f"i -> array_join(slice(tk, i, {w}), ' ')) "
+        "ELSE array() END"
+    )
+    base = groups.select(
+        F.col("rep_id"),
+        F.split("text", " ").alias("tk"),
+        F.expr(
+            f"array_sort(filter(members, d -> ({d_byte}) % 10 < 8))"
+        ).alias("train_members"),
+        F.expr(
+            f"array_sort(filter(members, d -> ({d_byte}) % 10 = 9))"
+        ).alias("test_members"),
+    ).filter(F.size("tk") >= w)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ctr = (
+        base.filter(F.size("train_members") >= 1)
+        .select(
+            F.col("rep_id").alias("t_rep"),
+            "tk",
+            F.size("train_members").alias("n_tr"),
+            (F.size("tk") - (w - 1)).alias("dl"),
+            "train_members",
+        )
+        .repartition(n_part)
+    )
+    tg = ctr.select(
+        "t_rep", "n_tr", F.explode(F.expr(gram_expr)).alias("term")
+    )
+    tf = tg.groupBy("t_rep", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("n_tr").alias("n_tr")
+    )
+    dl = ctr.select("t_rep", "dl")
+    scal = ctr.agg(
+        F.sum("n_tr").alias("n"),
+        F.sum(F.col("n_tr").cast("long") * F.col("dl")).alias("t"),
+    )
+    # doc-weighted document frequency: sum of member counts over the
+    # contents containing the term
+    df = tf.groupBy("term").agg(F.sum("n_tr").alias("df"))
+    qg = (
+        base.filter(F.size("test_members") >= 1)
+        .select(
+            F.col("rep_id").alias("q_rep"),
+            F.explode(F.expr(gram_expr)).alias("term"),
+        )
+        .distinct()
+    )
+    scored = (
+        qg.join(df, "term")
+        .join(tf.drop("n_tr"), "term")
+        .join(dl, "t_rep")
+        .crossJoin(F.broadcast(scal))
+        .filter(F.expr("2 * df <= n"))
+        .select(
+            "q_rep",
+            "t_rep",
+            F.expr(
+                f"CAST((({_BM25_MILLI_NUM}) - (({_BM25_MILLI_NUM}) % "
+                f"({_BM25_MILLI_DEN}))) / ({_BM25_MILLI_DEN}) AS BIGINT)"
+            ).alias("milli"),
+        )
+    )
+    agg = scored.groupBy("q_rep", "t_rep").agg(
+        F.sum("milli").cast("long").alias("bm25_milli"),
+        F.count(F.lit(1)).cast("int").alias("n_shared_terms"),
+    )
+    # stage 1: content-candidate prune under (milli desc, best member asc)
+    cand = agg.join(
+        ctr.select("t_rep", "train_members"), "t_rep"
+    ).withColumn("best_id", F.expr("train_members[0]"))
+    w1 = Window.partitionBy("q_rep").orderBy(
+        F.desc("bm25_milli"), F.asc("best_id")
+    )
+    kept = (
+        cand.withColumn("rk0", F.dense_rank().over(w1))
+        .filter(F.col("rk0") <= BM25_TOPK)
+        .drop("rk0", "best_id")
+    )
+    # stage 2: exact member-level re-truncation
+    mem = kept.select(
+        "q_rep", "bm25_milli", "n_shared_terms",
+        F.explode("train_members").alias("train_doc"),
+    )
+    w2 = Window.partitionBy("q_rep").orderBy(
+        F.desc("bm25_milli"), F.asc("train_doc")
+    )
+    top = (
+        mem.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= BM25_TOPK)
+    )
+    # query-side replication: every test member of the query content
+    qmem = base.filter(F.size("test_members") >= 1).select(
+        F.col("rep_id").alias("q_rep"),
+        F.explode("test_members").alias("query_doc"),
+    )
+    return top.join(qmem, "q_rep").select(
+        "query_doc",
+        F.col("rnk").cast("int").alias("rnk"),
+        "train_doc",
+        "bm25_milli",
+        "n_shared_terms",
     )

@@ -1238,3 +1238,84 @@ def test_contamination_screen_cross_split_semantics(spark, tmp_path):
     assert int(spdf[spdf.doc_id == 3].n_spans.iloc[0]) == 1
     assert int(spdf[spdf.doc_id == 3].covered_tokens.iloc[0]) == 8
     assert int(spdf[spdf.doc_id == 4].n_spans.iloc[0]) == 2
+
+
+def test_bm25_rep_collapse_matches_flat_and_oracle(spark, tmp_path):
+    """Round-15: text_bm25_shingle_retrieval's gated content collapse
+    must reproduce the flat member-level semantics the registered DuckDB
+    oracle computes, on a corpus exercising the adversarial branches: a
+    query content whose replica class CROSSES the split boundary (test
+    docs 9/16/32 and train doc 1 share one text -> doc 1 is the full-
+    overlap top hit and all three queries get identical ranked lists), a
+    single-member train content (doc 7) with a rarer shared gram
+    (higher idf -> rank 2), and TWO DISTINCT train contents C={6,10} /
+    D={3,8} with IDENTICAL per-term milli (same tf/dl/df) whose members
+    interleave by doc_id in the flat ranking — stage 1's
+    (milli, best-member) prune must keep D (best 3) and may drop C
+    (best 6) without changing the exact top-3. Also pins the gate
+    contract: one-below == far-below plan identity, engagement at n."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.operators import llmops2 as L
+    from oe_batch_processing_spark.operators.llmops2 import (
+        text_bm25_shingle_retrieval,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    assert L.BM25_REP_MIN_N == 8192
+
+    ta = "qa qb qc qd qe x1 x2 x3 x4 x5"     # the query/replica text
+    tb = "qc qd qe b1 b2 b3 b4 b5 b6 b7"     # shares gram 'qc qd qe' (df 2)
+    tc = "qa qb qc c1 c2 c3 c4 c5 c6 c7"     # shares 'qa qb qc' (df 3)
+    td = "qb qc qd d1 d2 d3 d4 d5 d6 d7"     # shares 'qb qc qd' (df 3)
+    tf_ = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"   # train filler (keeps N > 2*df)
+    rows = [
+        (16, ta), (9, ta), (32, ta),  # test-split members of content A
+        (1, ta),                      # train twin -> full-overlap top hit
+        (7, tb),                      # single-member content B
+        (6, tc), (10, tc),            # content C
+        (3, td), (8, td),             # content D (ties C; best member 3)
+        (2, tf_),                     # filler
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+    n = len(rows)
+
+    def norm_plan(df) -> str:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    flat_df = text_bm25_shingle_retrieval(spark, str(tmp_path), rep_min_n=10**12)
+    below_df = text_bm25_shingle_retrieval(spark, str(tmp_path), rep_min_n=n + 1)
+    at_df = text_bm25_shingle_retrieval(spark, str(tmp_path), rep_min_n=n)
+    assert norm_plan(flat_df) == norm_plan(below_df)
+    assert norm_plan(at_df) != norm_plan(flat_df), "gate did not engage at n"
+
+    key = ["query_doc", "rnk"]
+    flat = flat_df.toPandas().sort_values(key).reset_index(drop=True)
+    col = at_df.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(flat, col)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(registry.ORACLE["text_bm25_shingle_retrieval"]).fetchdf()
+    assert compare(col, odf) is None
+
+    # branch assertions: three identical query rows, exact top-3 order
+    for q in (9, 16, 32):
+        got = col[col.query_doc == q].sort_values("rnk")
+        assert list(got.train_doc) == [1, 7, 3], (q, list(got.train_doc))
+    # the tie pair C/D produced identical milli (the interleave case)
+    m3 = int(col[(col.query_doc == 16) & (col.rnk == 3)].bm25_milli.iloc[0])
+    # doc 6 (content C) would carry the same milli; it was pruned at
+    # stage 1 (best 6 > best 3) — recompute flat to see both rows tie
+    mem = flat[(flat.query_doc == 16) & (flat.rnk == 3)]
+    assert int(mem.bm25_milli.iloc[0]) == m3

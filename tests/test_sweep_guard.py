@@ -609,6 +609,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "dedup_embedding_cosine_clusters",
             r"10x probe ratio 2\.33x -> ([\d.]+)x",
         ),
+        (
+            "SCALEPROBE_r15.json",
+            "text_bm25_shingle_retrieval",
+            r"bm25 10x \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r15.json",
+            "text_bm25_shingle_retrieval",
+            r"bm25 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
