@@ -887,30 +887,42 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r16 pairs-build cuts (the r15 decomposition put 16.6 of 19.3 s
+    # @30x here, not in the peel):
+    #   (1) checkpoint the UNDOUBLED pairs frame and derive the
+    #       2-orientation edge union lazily from it — the union is a
+    #       narrow projection, so materialized checkpoint volume halves
+    #       (|E| rows instead of 2|E|) while every peel round still
+    #       reads edges without recomputing the join;
+    #   (2) checkpoint the degree frame FIRST and compute the percentile
+    #       threshold from the checkpointed |V|-row frame — r15 ran the
+    #       edges->degree aggregation twice (once under the threshold
+    #       collect, once under the alive checkpoint).
+    # A lineitem pre-distinct on (l_orderkey, l_suppkey) before the
+    # orders join was measured and REJECTED: this corpus (and its
+    # key-shifted probe replicas) is ~99.8% distinct on that pair
+    # (60000 -> 58785 rows at sf0.01), so the extra exchange buys ~nothing
+    # — the adjudication numbers live in BENCH_NOTES round 16.
     pairs = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
         .distinct()
-    )
-    edges = (
-        pairs.select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .unionAll(
-            pairs.select(
-                (F.col("l_suppkey") * 2 + 1).alias("src"),
-                (F.col("o_custkey") * 2).alias("dst"),
-            )
-        )
         .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).unionAll(
+        pairs.select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
     )
     deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
 
-    row = _kcore_threshold(deg).collect()  # bounded: one scalar
-    kthr = int(row[0]["kthr"])
-
     alive = deg.localCheckpoint(eager=True)
+    row = _kcore_threshold(alive).collect()  # bounded: one scalar
+    kthr = int(row[0]["kthr"])
     for _ in range(_KCORE_ROUNDS):
         removed = alive.filter(F.col("d") < kthr).select("v")
         # edges INTO the newly-removed set; each edge contributes to a

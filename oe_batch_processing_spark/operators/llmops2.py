@@ -729,7 +729,10 @@ def text_bm25_shingle_retrieval(
     Stopword pruning (2 df <= N) is part of the contract (mirrored in
     the oracle): terms in over half the corpus carry near-zero idf and
     dominate posting volume — exactly the terms a 100 TB posting build
-    drops.
+    drops. The prune is DICTIONARY-side (r16, matching the oracle's
+    ``dfp`` CTE): the vocabulary-sized df frame is filtered against the
+    broadcast (N, T) scalar BEFORE the postings join, so stopword
+    posting lists never fan out through the query x postings exchange.
 
     Scale shape: tokenize/shingle once per split; the heavy exchange is
     the POSTINGS JOIN (query terms x train tf, keyed on term — bounded
@@ -789,12 +792,31 @@ def text_bm25_shingle_retrieval(
         )
         .distinct()
     )
+    # Dictionary-side stopword prune (oracle-mirrored: the oracle's dfp
+    # CTE). r15 shipped the `2*df <= n` filter ABOVE the postings join —
+    # but `n` arrived via the post-join broadcast cross-join, so Catalyst
+    # could not push the prune below it and the stopword terms' posting
+    # lists (by definition the largest) entered the heavy query x postings
+    # exchange only to be filtered after the fan-out. Pruning the
+    # VOCABULARY-sized df frame first (the scalar broadcast is free at any
+    # scale) means the qg-dictionary join drops stopword query terms
+    # before tf is touched, so the quadratic (query-doc x posting-entry)
+    # blowup never materializes for pruned terms. (`n` counts TRAIN docs
+    # with >= 3 tokens — a filtered aggregate, so the parquet-footer
+    # table_row_count path cannot supply it; the 1-row broadcast is the
+    # metadata-free equivalent.)
+    # (broadcasting the SAME scal frame here and below lets Spark reuse
+    # one broadcast exchange for both references)
+    dfp = (
+        df.crossJoin(F.broadcast(scal))
+        .filter(F.expr("2 * df <= n"))
+        .select("term", "df")
+    )
     scored = (
-        qg.join(df, "term")
+        qg.join(dfp, "term")
         .join(tf, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(scal))
-        .filter(F.expr("2 * df <= n"))  # stopword prune (oracle-mirrored)
         .select(
             "query_doc",
             F.col("doc_id").alias("train_doc"),
@@ -923,12 +945,19 @@ def _bm25_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # dictionary-side stopword prune (the flat path's r16 fix, mirrored):
+    # prune the vocabulary-sized doc-weighted df frame BEFORE the postings
+    # join so stopword posting lists never enter the heavy exchange
+    dfp = (
+        df.crossJoin(F.broadcast(scal))
+        .filter(F.expr("2 * df <= n"))
+        .select("term", "df")
+    )
     scored = (
-        qg.join(df, "term")
+        qg.join(dfp, "term")
         .join(tf.drop("n_tr"), "term")
         .join(dl, "t_rep")
         .crossJoin(F.broadcast(scal))
-        .filter(F.expr("2 * df <= n"))
         .select(
             "q_rep",
             "t_rep",

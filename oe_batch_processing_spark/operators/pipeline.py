@@ -1322,3 +1322,229 @@ def pipeline_contamination_screen(
         "doc_id", "n_tokens", "contaminated_windows", "n_spans",
         "covered_tokens", "contamination_fraction",
     )
+
+
+QC_WSCALE = 1_000_000_000  # fixed-point weight scale: w[c][b] is a
+# 1e-9-resolution class-conditional bucket frequency stored as BIGINT
+
+
+_QC_ORACLE = f"""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, lang, ({_SPLIT_BYTE_DUCK}) % 10 AS bkt,
+             list_filter(string_split(lower(text), ' '), w -> len(w) > 0) AS ws
+      FROM documents
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang, bkt,
+             (instr('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(f), 2, 1)) - 1) AS b
+      FROM words,
+           UNNEST(list_concat(
+             ws,
+             [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+           )) AS t(f)
+    ),
+    db AS MATERIALIZED (
+      SELECT doc_id, b, COUNT(*) AS c FROM feats GROUP BY 1, 2
+    ),
+    classes AS MATERIALIZED (
+      SELECT DISTINCT lang FROM words WHERE bkt < 8 AND lang IS NOT NULL
+    ),
+    ctb AS MATERIALIZED (
+      SELECT lang, b, COUNT(*) AS ct
+      FROM feats WHERE bkt < 8 AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    stot AS MATERIALIZED (
+      SELECT c.lang,
+             COALESCE((SELECT SUM(ct) FROM ctb WHERE ctb.lang = c.lang), 0)
+               + {DSIR_BUCKETS} AS s
+      FROM classes c
+    ),
+    wts AS MATERIALIZED (
+      SELECT g.lang, g.b,
+             CAST((CAST({QC_WSCALE} AS HUGEINT) * (COALESCE(ctb.ct, 0) + 1))
+                  // CAST(s.s AS HUGEINT) AS BIGINT) AS w
+      FROM (SELECT c.lang, r.range AS b
+            FROM classes c CROSS JOIN range({DSIR_BUCKETS}) r) g
+      LEFT JOIN ctb ON ctb.lang = g.lang AND ctb.b = g.b
+      JOIN stot s ON s.lang = g.lang
+    ),
+    scores AS MATERIALIZED (
+      SELECT db.doc_id, wts.lang,
+             SUM(db.c * wts.w) AS score, SUM(db.c) AS n_feat
+      FROM db JOIN wts ON wts.b = db.b
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, lang, score, n_feat,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn,
+             LEAD(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang) AS nxt
+      FROM scores
+    ),
+    top AS MATERIALIZED (
+      SELECT doc_id, lang AS pred, score,
+             score - COALESCE(nxt, 0) AS margin, n_feat
+      FROM ranked WHERE rn = 1
+    ),
+    dflt AS (SELECT MIN(lang) AS d_lang FROM classes)
+    SELECT d.doc_id,
+           COALESCE(t.pred, dflt.d_lang) AS pred_lang,
+           CAST(COALESCE(t.score, 0) AS BIGINT) AS score,
+           CAST(COALESCE(t.margin, 0) AS BIGINT) AS margin,
+           CAST(COALESCE(t.n_feat, 0) AS BIGINT) AS n_features,
+           CAST(CASE WHEN d.lang = COALESCE(t.pred, dflt.d_lang)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+    FROM documents d LEFT JOIN top t USING (doc_id), dflt
+"""
+
+
+@query("pipeline_quality_classifier", oracle=_QC_ORACLE)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised linear document classifier — the CCNet / LLaMA-style
+    fastText-shaped scoring pass (Wenzek et al. 2020 train a linear
+    bag-of-ngram classifier and score every crawl document with it; the
+    LLaMA corpus filter is the same architecture with a quality label).
+    Architecture, faithfully: hashed unigram+bigram bag-of-features
+    (the shared {DSIR_BUCKETS}-bucket md5 feature space — verbatim the
+    DSIR machinery, ``_DSIR_FEATS_EXPR``), one weight vector per class,
+    per-document class scores as dot products, argmax label with margin.
+    The supervision signal is the corpus's own ``lang`` column on the
+    train split (md5(doc_id) buckets 0-7, the shared split convention);
+    a production quality pass swaps the label column, nothing else.
+
+    Training is the closed-form linear fit that needs no iteration (the
+    class-centroid / +1-smoothed Naive-Bayes-mean model): w[c][b] =
+    floor({QC_WSCALE} * (ct[c][b] + 1) / S_c) where ct is the class's
+    train-split feature count in bucket b and S_c its smoothed total
+    mass — a Laplace-smoothed class-conditional bucket frequency in
+    1e-9 fixed point. Every document (train, val, AND test — a scoring
+    pass scores the whole corpus) gets score_c = sum_b c_b * w[c][b]
+    in exact BIGINT arithmetic; prediction is argmax with (score DESC,
+    lang ASC) tie-break, margin = top1 - top2. No logs, no floats
+    anywhere: the weight floor division is DECIMAL(38,0) via the exact
+    remainder identity on the Spark side (decimal `div` half-up-rounds
+    its intermediate — the BM25 trap) and HUGEINT `//` in the oracle
+    (DuckDB's DECIMAL `//` routes through DOUBLE — the other BM25
+    trap), so the full relation hash-matches. Zero-feature documents
+    score 0 for every class and take the deterministic default
+    (alphabetically-first class), oracle-mirrored.
+
+    Scale shape: one explode over corpus tokens (linear), ONE shuffle
+    to (doc_id, bucket) granularity (<= {DSIR_BUCKETS} rows per doc),
+    and a |classes| x {DSIR_BUCKETS} weight matrix that is broadcast
+    BOTH ways — the class-stat aggregate collapses to a
+    vocabulary-independent constant-size frame, and the scoring join
+    fans each (doc, bucket) row out by |classes| against the broadcast
+    (no shuffle). The argmax is a keyed window over |classes| rows per
+    doc. Nothing here is quadratic in corpus size and no frame beyond
+    the (doc, bucket) counts is corpus-sized — the exact shape that
+    survives a 1000-executor 100 TB scoring run. No collapse gate is
+    needed: per-doc work is linear and content-hash replicas add only
+    linear cost (unlike the postings-join family).
+    """
+    from oe_batch_processing_spark.tables import persist_once
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    words = docs.select(
+        "doc_id", "lang", bucket.alias("bkt"),
+        F.expr(_DSIR_WS_EXPR).alias("ws"),
+    )
+    feats = words.select(
+        "doc_id", "lang", "bkt",
+        F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f"),
+    )
+    # (doc, class-split, bucket) counts — consumed twice (train-side
+    # weights AND corpus-side scores); without the persist the corpus
+    # tokenize+hash runs twice (the DSIR flat-path rationale).
+    db0 = persist_once(
+        feats.select(
+            "doc_id", "lang", "bkt",
+            F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+            .cast("int")
+            .alias("b"),
+        )
+        .groupBy("doc_id", "lang", "bkt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is_train = (F.col("bkt") < 8) & F.col("lang").isNotNull()
+    ctb = (
+        db0.filter(is_train)
+        .groupBy("lang", "b")
+        .agg(F.sum("c").alias("ct"))
+    )
+    # class list at DOC granularity (a class whose train docs are all
+    # empty-text still classifies, with the uniform smoothed weights)
+    classes = (
+        words.filter((F.col("bkt") < 8) & F.col("lang").isNotNull())
+        .select("lang")
+        .distinct()
+    )
+    stot = classes.join(
+        ctb.groupBy("lang").agg(F.sum("ct").alias("raw")), "lang", "left"
+    ).select(
+        "lang",
+        (F.coalesce(F.col("raw"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s"),
+    )
+    grid = classes.crossJoin(
+        spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    )
+    num = f"CAST({QC_WSCALE} AS DECIMAL(38,0)) * (coalesce(ct, 0) + 1)"
+    wts = (
+        grid.join(ctb, ["lang", "b"], "left")
+        .join(stot, "lang")
+        .select(
+            "lang", "b",
+            # exact floor division (the BM25 remainder identity)
+            F.expr(
+                f"CAST((({num}) - (({num}) % s)) / s AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    scores = (
+        db0.select("doc_id", "b", "c")
+        .join(F.broadcast(wts), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("w")).alias("score"),
+            F.sum("c").alias("n_feat"),
+        )
+    )
+    wnd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    top = (
+        scores.withColumn("rn", F.row_number().over(wnd))
+        .withColumn("nxt", F.lead("score").over(wnd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred"),
+            "score",
+            (F.col("score") - F.coalesce(F.col("nxt"), F.lit(0))).alias(
+                "margin"
+            ),
+            "n_feat",
+        )
+    )
+    dflt = classes.agg(F.min("lang").alias("d_lang"))
+    pred_final = F.coalesce(F.col("pred"), F.col("d_lang"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(top, "doc_id", "left")
+        .crossJoin(F.broadcast(dflt))
+        .select(
+            "doc_id",
+            pred_final.alias("pred_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            F.coalesce(F.col("margin"), F.lit(0)).cast("long").alias("margin"),
+            F.coalesce(F.col("n_feat"), F.lit(0))
+            .cast("long")
+            .alias("n_features"),
+            F.when(F.col("lang") == pred_final, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+    )

@@ -135,7 +135,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- re-checked anyway), and the CC-kernel investigation's touched
     # --- paths (cc_labels lazy checkpoints; star_labels extraction with
     # --- action cuts: the four cluster-summary queries, both CC twins);
-    # --- then (2) the 31 alphabetically-first of the 39 remaining
+    # --- then (2) the 30 alphabetically-first of the 39 remaining
     # --- r7-era rows — INCLUDING the seven names the r14 window
     # --- deferred (events_token_bucket_admission ... tar_member_index),
     # --- pinned by tests/test_sweep_guard.py. The 8 deferred tail names
