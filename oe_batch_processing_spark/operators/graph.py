@@ -642,6 +642,13 @@ def star_labels(pairs: DataFrame) -> DataFrame:
     # count is the materializing action; released before return.
     from oe_batch_processing_spark.tables import persist_once
 
+    # Ownership check (r16 ADVICE): persist_once returns an ALREADY-cached
+    # frame untouched when another operator persisted the same plan — in
+    # that case the unpersist below would evict a cache entry the caller
+    # still relies on mid-sweep (recomputation cost, not wrongness). Only
+    # release the cache this call actually created.
+    lvl = pairs.storageLevel
+    owns_cache = not (lvl.useMemory or lvl.useDisk)
     pairs = persist_once(pairs)
     # localCheckpoint: TRUNCATE lineage, not just cache it. Every round
     # references the previous round's frame ~4 times, so with plain
@@ -740,7 +747,8 @@ def star_labels(pairs: DataFrame) -> DataFrame:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-    pairs.unpersist()
+    if owns_cache:
+        pairs.unpersist()
     return all_nodes.join(labels, "doc", "left").select(
         "doc", F.coalesce(F.col("lbl"), F.col("doc")).alias("lbl")
     )
@@ -900,9 +908,10 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     #       collect, once under the alive checkpoint).
     # A lineitem pre-distinct on (l_orderkey, l_suppkey) before the
     # orders join was measured and REJECTED: this corpus (and its
-    # key-shifted probe replicas) is ~99.8% distinct on that pair
-    # (60000 -> 58785 rows at sf0.01), so the extra exchange buys ~nothing
-    # — the adjudication numbers live in BENCH_NOTES round 16.
+    # key-shifted probe replicas) is ~98% distinct on that pair
+    # (60000 -> 58785 rows at sf0.01), so an extra edge-sized exchange
+    # would shrink the join input by only ~2% — the adjudication lives
+    # in SCALE.md round 16.
     pairs = (
         orders.join(li, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")

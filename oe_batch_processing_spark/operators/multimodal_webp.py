@@ -372,6 +372,10 @@ def write_prefix_code(w: LsbWriter, lengths: dict[int, int], alphabet: int) -> N
     seq = [0] * alphabet  # sparse fill beats alphabet dict.get calls
     for _s, _ln in lengths.items():
         if _ln:
+            # invariant: symbols fit the alphabet (the pre-r15 dict.get
+            # loop silently ignored strays; fail loudly instead — a
+            # negative index would silently WRAP and corrupt the code)
+            assert 0 <= _s < alphabet, (_s, alphabet)
             seq[_s] = _ln
     # RLE the length sequence with symbols 16/17/18
     rle: list[tuple[int, int, int]] = []  # (symbol, extra, extra_bits)
@@ -592,6 +596,31 @@ def lz77_parse(raster: bytes) -> list[tuple[int, int, int]]:
                 last[key] = i
             i += 1
     return ops
+
+
+def lz77_would_emit_backref(raster: bytes) -> bool:
+    """True iff :func:`lz77_parse`'s op list contains >= 1 backref —
+    WITHOUT running the parse (r16: the lossless query's corpus assertion
+    was a third full greedy parse per document, ~8% of the row's kernel
+    time, used only for this existence bit).
+
+    Equivalence proof: the greedy parse emits a backref iff some 3-gram
+    occurs twice in the raster. (=>) a backref at i copies from j < i, so
+    the gram at j recurs at the match. (<=) suppose no backref is ever
+    emitted; then every position is taken as a literal, so every position
+    p <= n-3 records its gram in the last-occurrence map before the scan
+    moves past p — at the SECOND occurrence of the repeated gram the map
+    lookup therefore hits, match_len >= MIN_MATCH, and a backref is
+    emitted: contradiction. Repeated-gram existence is one vectorized
+    unique-count, no Python loop."""
+    n = len(raster)
+    if n < MIN_MATCH:
+        return False
+    import numpy as np
+
+    a = np.frombuffer(raster, dtype=np.uint8).astype(np.uint32)
+    grams = (a[:-2] << 16) | (a[1:-1] << 8) | a[2:]
+    return np.unique(grams).size < grams.size
 
 
 # --- predictor transform (RFC 9649 §4.4.1) -------------------------------------
@@ -1888,7 +1917,6 @@ def _rgb_batch_decode(
     scheme). Returns True with outputs filled and the reader synced, or
     False untouched (caller re-runs the serial walk for exact errors)."""
     import numpy as np
-    from numpy.lib.stride_tricks import sliding_window_view
 
     if n_px == 0:
         return False
@@ -1901,10 +1929,16 @@ def _rgb_batch_decode(
     ).astype(np.int64)
     bitsp = np.concatenate([bits, np.zeros(m_bits, dtype=np.int64)])
     # window VALUE at every offset 0..total_bits (the +1 sink row reads
-    # zero padding; any chain that lands there is flagged below)
-    vals = sliding_window_view(bitsp, m_bits)[: total_bits + 1] @ (
-        1 << np.arange(m_bits, dtype=np.int64)
-    )
+    # zero padding; any chain that lands there is flagged below).
+    # Shift-accumulate over strided views instead of
+    # sliding_window_view @ powers: the matmul on a strided int64 view
+    # materializes a contiguous (total_bits x m_bits) copy — ~8*m bytes
+    # per stream bit (~120x the stream at m=15) — while this loop's peak
+    # transient is ONE total_bits-sized temp per iteration. Identical
+    # integer arithmetic: vals[j] = sum_k bitsp[j+k] << k.
+    vals = np.zeros(total_bits + 1, dtype=np.int64)
+    for _k in range(m_bits):
+        vals += bitsp[_k : _k + total_bits + 1] << _k
 
     def tab(dec, width):
         sym = np.full(1 << width, -1, dtype=np.int64)
@@ -2126,7 +2160,7 @@ def multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFra
                     raise ValueError("lossless roundtrip mismatch")
                 if encode_webp_vp8l(dec, dw, dh) != blob:
                     raise ValueError("re-encode roundtrip mismatch")
-                if not any(op[0] == 1 for op in lz77_parse(raster)):
+                if not lz77_would_emit_backref(raster):
                     raise ValueError("LZ77 layer unused on a runs corpus")
                 # entropy layer does real work: container+codes overhead
                 # included, still far under raw 8 bits/pixel

@@ -1401,8 +1401,15 @@ _QC_ORACLE = f"""
 """
 
 
+QC_REP_MIN_N = 8192  # the collapse family's gate convention: committed
+# SFs keep the flat plan the DuckDB hash oracle checks directly;
+# replica-heavy probe corpora engage the weighted representative collapse
+
+
 @query("pipeline_quality_classifier", oracle=_QC_ORACLE)
-def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_quality_classifier(
+    spark: SparkSession, sf_dir: str, rep_min_n: int | None = None
+) -> DataFrame:
     """Supervised linear document classifier — the CCNet / LLaMA-style
     fastText-shaped scoring pass (Wenzek et al. 2020 train a linear
     bag-of-ngram classifier and score every crawl document with it; the
@@ -1441,13 +1448,113 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle). The argmax is a keyed window over |classes| rows per
     doc. Nothing here is quadratic in corpus size and no frame beyond
     the (doc, bucket) counts is corpus-sized — the exact shape that
-    survives a 1000-executor 100 TB scoring run. No collapse gate is
-    needed: per-doc work is linear and content-hash replicas add only
-    linear cost (unlike the postings-join family).
+    survives a 1000-executor 100 TB scoring run. Above ``QC_REP_MIN_N``
+    (metadata-only footer gate, the family convention) the tokenize/hash
+    stage additionally runs once per DISTINCT text: class-bucket counts
+    become member-weighted content sums (exact integer regroupings, the
+    DSIR-collapse argument), per-content scores are content-determined
+    and expand verbatim through the membership join, and only
+    ``is_correct`` is evaluated per document (it reads the doc's own
+    label). Below the gate every committed SF keeps the flat plan the
+    DuckDB hash oracle checks directly.
     """
+    docs = load_table(spark, sf_dir, "documents")
+    gate = QC_REP_MIN_N if rep_min_n is None else rep_min_n
+    if table_row_count(sf_dir, "documents") >= gate:
+        return _qc_collapsed(spark, docs)
+    return _qc_flat(spark, docs)
+
+
+def _qc_weights(
+    spark: SparkSession, classes: DataFrame, ctb: DataFrame
+) -> DataFrame:
+    """The dense |classes| x {DSIR_BUCKETS} fixed-point weight matrix
+    from per-(class, bucket) raw feature counts (shared by the flat and
+    collapsed paths — one source of truth for the smoothing and the
+    exact floor division)."""
+    stot = classes.join(
+        ctb.groupBy("lang").agg(F.sum("ct").alias("raw")), "lang", "left"
+    ).select(
+        "lang",
+        (F.coalesce(F.col("raw"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s"),
+    )
+    grid = classes.crossJoin(
+        spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    )
+    num = f"CAST({QC_WSCALE} AS DECIMAL(38,0)) * (coalesce(ct, 0) + 1)"
+    return (
+        grid.join(ctb, ["lang", "b"], "left")
+        .join(stot, "lang")
+        .select(
+            "lang", "b",
+            # exact floor division (the BM25 remainder identity)
+            F.expr(
+                f"CAST((({num}) - (({num}) % s)) / s AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+
+
+def _qc_top(db: DataFrame, wts: DataFrame, key: str) -> DataFrame:
+    """Per-``key`` argmax over broadcast-joined class scores: (key, pred,
+    score, margin, n_feat). ``db`` holds (key, b, c) bucket counts."""
+    scores = (
+        db.join(F.broadcast(wts), "b")
+        .groupBy(key, "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("w")).alias("score"),
+            F.sum("c").alias("n_feat"),
+        )
+    )
+    wnd = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(wnd))
+        .withColumn("nxt", F.lead("score").over(wnd))
+        .filter(F.col("rn") == 1)
+        .select(
+            key,
+            F.col("lang").alias("pred"),
+            "score",
+            (F.col("score") - F.coalesce(F.col("nxt"), F.lit(0))).alias(
+                "margin"
+            ),
+            "n_feat",
+        )
+    )
+
+
+def _qc_project(
+    docs: DataFrame, top: DataFrame, classes: DataFrame
+) -> DataFrame:
+    """Shared final projection: left-join per-doc predictions onto the
+    corpus, default zero-feature docs to the alphabetically-first class,
+    and evaluate is_correct against each doc's own label."""
+    dflt = classes.agg(F.min("lang").alias("d_lang"))
+    pred_final = F.coalesce(F.col("pred"), F.col("d_lang"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(top, "doc_id", "left")
+        .crossJoin(F.broadcast(dflt))
+        .select(
+            "doc_id",
+            pred_final.alias("pred_lang"),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            F.coalesce(F.col("margin"), F.lit(0)).cast("long").alias("margin"),
+            F.coalesce(F.col("n_feat"), F.lit(0))
+            .cast("long")
+            .alias("n_features"),
+            F.when(F.col("lang") == pred_final, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+    )
+
+
+def _qc_flat(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The sub-gate per-doc form (the plan the committed-SF oracle checks)."""
     from oe_batch_processing_spark.tables import persist_once
 
-    docs = load_table(spark, sf_dir, "documents")
     bucket = F.expr(_SPLIT_BYTE) % 10
     words = docs.select(
         "doc_id", "lang", bucket.alias("bkt"),
@@ -1483,68 +1590,61 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang")
         .distinct()
     )
-    stot = classes.join(
-        ctb.groupBy("lang").agg(F.sum("ct").alias("raw")), "lang", "left"
-    ).select(
-        "lang",
-        (F.coalesce(F.col("raw"), F.lit(0)) + F.lit(DSIR_BUCKETS)).alias("s"),
+    wts = _qc_weights(spark, classes, ctb)
+    top = _qc_top(db0.select("doc_id", "b", "c"), wts, "doc_id")
+    return _qc_project(docs, top, classes)
+
+
+def _qc_collapsed(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The above-gate content-representative form: tokenize/hash each
+    DISTINCT text once. Exactness, piece by piece: per-doc bucket counts
+    are CONTENT-determined, so the class-bucket count ct[c][b] — a sum
+    over train docs of class c — regroups exactly as
+    sum_rep c_rep[b] * n_members(rep, class c, train split) (integer
+    weights, the DSIR-collapse argument); class scores and the argmax
+    read only bucket counts, so every member of a content receives the
+    identical (pred, score, margin, n_feat) row, expanded verbatim
+    through the membership join; is_correct compares the expansion
+    against each DOC's own label (the one per-doc column)."""
+    from oe_batch_processing_spark.operators.dedup import content_rep_groups
+    from oe_batch_processing_spark.tables import persist_once
+
+    groups = content_rep_groups(docs)
+    membership = persist_once(
+        groups.select("rep_id", F.explode("members").alias("doc_id"))
     )
-    grid = classes.crossJoin(
-        spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    attrs = docs.select("doc_id", "lang", bucket.alias("bkt"))
+    # per-(content, class) TRAIN member counts — the collapse weights
+    cls = (
+        membership.join(attrs, "doc_id")
+        .filter((F.col("bkt") < 8) & F.col("lang").isNotNull())
+        .groupBy("rep_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    num = f"CAST({QC_WSCALE} AS DECIMAL(38,0)) * (coalesce(ct, 0) + 1)"
-    wts = (
-        grid.join(ctb, ["lang", "b"], "left")
-        .join(stot, "lang")
-        .select(
-            "lang", "b",
-            # exact floor division (the BM25 remainder identity)
-            F.expr(
-                f"CAST((({num}) - (({num}) % s)) / s AS BIGINT)"
-            ).alias("w"),
-        )
+    words_r = groups.select("rep_id", F.expr(_DSIR_WS_EXPR).alias("ws"))
+    feats_r = words_r.select(
+        "rep_id", F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f")
     )
-    scores = (
-        db0.select("doc_id", "b", "c")
-        .join(F.broadcast(wts), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.col("c") * F.col("w")).alias("score"),
-            F.sum("c").alias("n_feat"),
-        )
-    )
-    wnd = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    top = (
-        scores.withColumn("rn", F.row_number().over(wnd))
-        .withColumn("nxt", F.lead("score").over(wnd))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("lang").alias("pred"),
-            "score",
-            (F.col("score") - F.coalesce(F.col("nxt"), F.lit(0))).alias(
-                "margin"
-            ),
-            "n_feat",
-        )
-    )
-    dflt = classes.agg(F.min("lang").alias("d_lang"))
-    pred_final = F.coalesce(F.col("pred"), F.col("d_lang"))
-    return (
-        docs.select("doc_id", "lang")
-        .join(top, "doc_id", "left")
-        .crossJoin(F.broadcast(dflt))
-        .select(
-            "doc_id",
-            pred_final.alias("pred_lang"),
-            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
-            F.coalesce(F.col("margin"), F.lit(0)).cast("long").alias("margin"),
-            F.coalesce(F.col("n_feat"), F.lit(0))
-            .cast("long")
-            .alias("n_features"),
-            F.when(F.col("lang") == pred_final, 1)
-            .otherwise(0)
+    rep_db = persist_once(
+        feats_r.select(
+            "rep_id",
+            F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
             .cast("int")
-            .alias("is_correct"),
+            .alias("b"),
         )
+        .groupBy("rep_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    ctb = (
+        rep_db.join(cls, "rep_id")
+        .groupBy("lang", "b")
+        .agg(F.sum(F.col("c") * F.col("n")).alias("ct"))
+    )
+    # doc-granularity class list (includes classes whose train docs are
+    # all empty-text: cls rows need no features, only membership)
+    classes = cls.select("lang").distinct()
+    wts = _qc_weights(spark, classes, ctb)
+    top_rep = _qc_top(rep_db, wts, "rep_id")
+    top = membership.join(top_rep, "rep_id").drop("rep_id")
+    return _qc_project(docs, top, classes)

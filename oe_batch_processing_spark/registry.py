@@ -123,84 +123,27 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-15 window: (1) round-15 additions and changed-code
-    # --- re-checks — the NEW pipeline_contamination_screen, the
-    # --- graph_kcore_trade delta-peeling rewrite, the VP8L constant-cut
-    # --- trio (grayscale color-grid shortcut, chunked LZ77 extension,
-    # --- vectorized RGB emit + batched RGB decode, broadcasted candidate
-    # --- stacks, vectorized pixel generators — all golden-hash A/B
-    # --- proved), the eight metadata-only collapse gates (footer count
-    # --- instead of a df.count() job: leakage, DSIR, LSH/PQ/IVF/IVFPQ,
-    # --- semdedup, kmeans stride — plan-identical below the gate,
-    # --- re-checked anyway), and the CC-kernel investigation's touched
-    # --- paths (cc_labels lazy checkpoints; star_labels extraction with
-    # --- action cuts: the four cluster-summary queries, both CC twins);
-    # --- then (2) the 30 alphabetically-first of the 39 remaining
-    # --- r7-era rows — INCLUDING the seven names the r14 window
-    # --- deferred (events_token_bucket_admission ... tar_member_index),
-    # --- pinned by tests/test_sweep_guard.py. The 8 deferred tail names
-    # --- live in DRIVER_CHECK_DEFERRED below (machine-readable, per the
-    # --- r14 ADVICE) and lead the r16 window after its own re-checks.
-    # --- (1) round-15 additions + changed-code re-checks
-    "pipeline_contamination_screen",  # r15: NEW — benchmark decontamination
-    "graph_kcore_trade",              # r15: delta-peeling rewrite
-    "multimodal_webp_lossless_decode",  # r15: codec constant cuts (A/B-proved)
-    "multimodal_webp_palette_decode",   # r15: codec constant cuts (A/B-proved)
-    "multimodal_webp_color_decode",     # r15: codec constant cuts (A/B-proved)
-    "pipeline_split_leakage_report",  # r15: metadata-only gate
-    "pipeline_dsir_importance",       # r15: metadata-only gate
-    "similarity_topk_lsh",            # r15: metadata-only gate
-    "similarity_topk_pq",             # r15: metadata-only gate
-    "similarity_topk_ivf",            # r15: metadata-only gate
-    "similarity_topk_ivfpq",          # r15: metadata-only gate
-    "dedup_semdedup_clusters",        # r15: metadata-only gate (n_rows param)
-    "embedding_kmeans_assign",        # r15: metadata-only stride
-    "dedup_embedding_cosine_clusters",   # r15: cc_labels lazy checkpoints
-    "dedup_minhash_lsh_clusters",        # r15: cc_labels lazy checkpoints
-    "dedup_simhash_clusters",            # r15: cc_labels lazy checkpoints
-    "dedup_shingle_containment_clusters",  # r15: cc_labels lazy checkpoints
-    "graph_connected_components_star",   # r15: star_labels extraction + cuts
-    "dedup_connected_components",        # r15: cc_labels lazy checkpoints
-    "text_bm25_shingle_retrieval",       # r15: NEW — exact-integer BM25
-    # --- (2) the 30 alphabetically-first of the 39 remaining r7-era rows
-    # --- (stream_burst_detection moved to DEFERRED for the BM25 slot)
-    "events_token_bucket_admission",   # r14-deferred, re-inserted
-    "ingest_binaryfile_netpbm",        # r14-deferred, re-inserted
-    "ingest_gzip_codec_scan",          # r14-deferred, re-inserted
-    "multimodal_bmp_decode",           # r14-deferred, re-inserted
-    "multimodal_gzip_decode",          # r14-deferred, re-inserted
-    "multimodal_ppm_decode",           # r14-deferred, re-inserted
-    "multimodal_tar_member_index",     # r14-deferred, re-inserted
-    "multimodal_wav_riff_features",
-    "multimodal_zip_member_index",
-    "orders_cohort_retention",
-    "orders_forecast_holt_winters",
-    "orders_runs_test_daily",
-    "orders_stl_decompose_monthly",
-    "orders_trend_mann_kendall",
-    "orders_trend_seasonal_mk",
-    "orders_trend_theil_sen",
-    "pipeline_budget_mixture_greedy",
-    "pipeline_data_card",
-    "pipeline_token_budget_epochs",
-    "pyds_writer_roundtrip",
-    "recursive_cte_custkey_tree",
-    "sample_pps_systematic",
-    "sample_reservoir_per_user",
-    "set_except_all_quantities",
-    "set_intersect_all_quantities",
-    "sql_select_star_except",
-    "sql_window_named_spec",
-    "stats_bootstrap_ci_weekly_orders",
-    "stats_ks_two_sample",
-    "stats_mann_whitney_u",
-)
-
-# Names owed to the NEXT round's window (rotated out of the 50 slots by
-# this round's re-checks) — machine-readable so the rotation cannot be
-# silently forgotten (r14 ADVICE): tests assert these are registered,
-# disjoint from the current window, and re-inserted next round.
-DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
+    # --- Round-16 window: (1) round-16 additions and changed-code
+    # --- re-checks — the NEW pipeline_quality_classifier, the BM25
+    # --- dictionary-side stopword prune (flat + collapsed plans), the
+    # --- graph_kcore_trade pairs-build cuts (undoubled checkpoint,
+    # --- threshold-from-checkpointed-degrees), the VP8L RGB batch-decode
+    # --- shift-accumulate rewrite (A/B-proved on 200 random streams +
+    # --- oracle-green; color and lossless both run the canonical decode),
+    # --- and graph_connected_components_star (star_labels cache-ownership
+    # --- fix); then (2) the 9 r15-deferred r7-era rows (pinned by
+    # --- tests/test_sweep_guard.py); then (3) the 35 alphabetically-first
+    # --- of the 42 r8-era rows. The 7 r8-era tail names live in
+    # --- DRIVER_CHECK_DEFERRED below and lead the r17 window after its
+    # --- own re-checks.
+    # --- (1) round-16 additions + changed-code re-checks
+    "pipeline_quality_classifier",    # r16: NEW — fastText-shaped scorer
+    "text_bm25_shingle_retrieval",    # r16: dictionary-side stopword prune
+    "graph_kcore_trade",              # r16: pairs-build cuts
+    "multimodal_webp_color_decode",   # r16: shift-accumulate window values
+    "multimodal_webp_lossless_decode",  # r16: shift-accumulate window values
+    "graph_connected_components_star",  # r16: star_labels cache ownership
+    # --- (2) the 9 r15-deferred rows (r7-era), re-inserted
     "stream_burst_detection",
     "stream_dedup_within_watermark",
     "stream_foreachbatch_upsert",
@@ -210,6 +153,57 @@ DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
     "text_bigram_lm_kneser_ney",
     "udtf_table_arg_streaks",
     "win_ignore_nulls_battery",
+    # --- (3) the 35 alphabetically-first of the 42 r8-era rows
+    "agg_group_by_all",
+    "agg_listagg_segment_nations",
+    "dq_benford_screen",
+    "dq_dp_geometric_counts",
+    "dq_k_anonymity_report",
+    "events_acf_battery",
+    "events_anomaly_mad",
+    "ingest_parquet_footer_index",
+    "join_full_outer_nation_presence",
+    "join_null_safe_halves",
+    "lateral_recent_orders",
+    "layout_hilbert_events",
+    "multimodal_audio_adpcm_roundtrip",
+    "multimodal_audio_aiff_roundtrip",
+    "multimodal_audio_mulaw_roundtrip",
+    "multimodal_audio_vad_segments",
+    "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_video_shot_boundaries",
+    "mv_incremental_hourly",
+    "orders_forecast_ar2_yule_walker",
+    "orders_forecast_croston",
+    "orders_periodogram_goertzel",
+    "pareto_frontier_parts",
+    "pipeline_bpe_train",
+    "pipeline_mix_temperature_sqrt",
+    "pyds_stream_synthetic",
+    "sample_neyman_allocation",
+    "scalar_interval_arith",
+    "scalar_url_parse_battery",
+    "scalar_variant_events",
+    "set_union_by_name",
+    "sql_pipe_revenue_by_flag",
+    "stats_anova_oneway",
+    "stats_corr_regression",
+)
+
+# Names owed to the NEXT round's window (rotated out of the 50 slots by
+# this round's re-checks) — machine-readable so the rotation cannot be
+# silently forgotten (r14 ADVICE): tests assert these are registered,
+# disjoint from the current window, and re-inserted next round.
+DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
+    # the 7 r8-era tail rows the r16 window's re-checks displaced
+    "stats_equidepth_bins",
+    "stats_rank_correlation_battery",
+    "stream_forecast_croston",
+    "stream_periodogram_goertzel",
+    "text_lexical_mattr",
+    "users_churn_labels",
+    "win_percent_of_total",
 )
 
 

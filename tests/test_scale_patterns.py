@@ -1319,3 +1319,99 @@ def test_bm25_rep_collapse_matches_flat_and_oracle(spark, tmp_path):
     # stage 1 (best 6 > best 3) — recompute flat to see both rows tie
     mem = flat[(flat.query_doc == 16) & (flat.rnk == 3)]
     assert int(mem.bm25_milli.iloc[0]) == m3
+
+
+def test_quality_classifier_rep_collapse_matches_flat_and_oracle(
+    spark, tmp_path
+):
+    """Round-16: pipeline_quality_classifier's gated content collapse
+    must reproduce the flat per-doc semantics the registered DuckDB
+    oracle computes, on a corpus exercising the adversarial branches: a
+    replica class whose members CROSS splits and carry DIFFERENT labels
+    (docs 1 'en' / 6 'fr' / 2 NULL / 9 test — the doc-weighted per-class
+    masses must split the one content three ways), an exact class tie
+    ('pa' and 'pb' each trained on one copy of the same text — every
+    scored doc ties them, tie-break 'pa', margin 0), an empty-text train
+    doc carrying an otherwise-absent class ('zz' must still enter the
+    class list with uniform smoothed weights: the classes-from-docs
+    branch), and zero-feature scored docs taking the deterministic
+    default class. Also pins the gate contract (plan identity one-below
+    vs far-below, engagement at n) and the oracle on the same corpus."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from oe_batch_processing_spark import registry
+    from oe_batch_processing_spark.operators import pipeline as P
+    from oe_batch_processing_spark.operators.pipeline import (
+        pipeline_quality_classifier,
+    )
+    from oe_batch_processing_spark.testing import compare
+
+    assert P.QC_REP_MIN_N == 8192
+
+    t_main = "w1 w2 w3 w1 w2"
+    t_tie = "t1 t2 t3 t4"
+    rows = [
+        (1, t_main, "en"),    # train
+        (2, t_main, None),    # train, NULL label: outside every class
+        (9, t_main, "en"),    # test member of the mixed-label content
+        (6, t_main, "fr"),    # train, same content, different class
+        (11, "w1 w2 w4", "en"),  # train: breaks the en/fr symmetry
+        (3, t_tie, "pa"),     # train
+        (8, t_tie, "pb"),     # train, identical text -> exact class tie
+        (16, t_tie, "pb"),    # test: pred 'pa' by tie-break, margin 0
+        (7, "", "zz"),        # train, empty text: class exists, no mass
+        (32, "", "en"),       # test, zero features -> default class
+        (4, "t1 t2 zq", "pa"),  # val doc (scored like every doc)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    path = tmp_path / "documents.parquet"
+    pdf.to_parquet(path)
+    n = len(rows)
+
+    def norm_plan(df) -> str:
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+", "#x", s)
+        return re.sub(r"plan_id=\d+", "plan_id=x", s)
+
+    flat_df = pipeline_quality_classifier(
+        spark, str(tmp_path), rep_min_n=10**12
+    )
+    below_df = pipeline_quality_classifier(
+        spark, str(tmp_path), rep_min_n=n + 1
+    )
+    at_df = pipeline_quality_classifier(spark, str(tmp_path), rep_min_n=n)
+    assert norm_plan(flat_df) == norm_plan(below_df)
+    assert norm_plan(at_df) != norm_plan(flat_df), "gate did not engage at n"
+
+    flat = flat_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    col = at_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(flat, col)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(
+        registry.ORACLE["pipeline_quality_classifier"]
+    ).fetchdf()
+    assert compare(col, odf) is None
+
+    by_id = col.set_index("doc_id")
+    # exact class tie: 'pa' wins by tie-break with zero margin
+    assert by_id.loc[16, "pred_lang"] == "pa"
+    assert by_id.loc[16, "margin"] == 0
+    assert by_id.loc[16, "is_correct"] == 0  # actual label is 'pb'
+    # zero-feature docs: deterministic default class ('en' = min class)
+    for d in (7, 32):
+        assert by_id.loc[d, "pred_lang"] == "en"
+        assert by_id.loc[d, "score"] == 0
+        assert by_id.loc[d, "n_features"] == 0
+    assert by_id.loc[32, "is_correct"] == 1
+    assert by_id.loc[7, "is_correct"] == 0  # 'zz' doc took the default
+    # NULL-label doc is scored but never correct
+    assert by_id.loc[2, "is_correct"] == 0
+    # every doc got scored exactly once
+    assert len(col) == n

@@ -159,19 +159,21 @@ def test_driver_window_rotation_not_forgotten():
     assert not unknown, f"deferred names missing from registry: {unknown}"
     overlap = set(d) & set(registry.DRIVER_CHECK_PRIORITY)
     assert not overlap, f"deferred names still in the window: {sorted(overlap)}"
-    # the r14 deferrals, owed to (and pinned in) the r15 window:
-    r14_deferred = {
-        "events_token_bucket_admission",
-        "ingest_binaryfile_netpbm",
-        "ingest_gzip_codec_scan",
-        "multimodal_bmp_decode",
-        "multimodal_gzip_decode",
-        "multimodal_ppm_decode",
-        "multimodal_tar_member_index",
+    # the r15 deferrals, owed to (and pinned in) the r16 window:
+    r15_deferred = {
+        "stream_burst_detection",
+        "stream_dedup_within_watermark",
+        "stream_foreachbatch_upsert",
+        "stream_session_window_dynamic_gap",
+        "stream_sessionize_capped",
+        "stream_token_bucket_admission",
+        "text_bigram_lm_kneser_ney",
+        "udtf_table_arg_streaks",
+        "win_ignore_nulls_battery",
     }
-    missing = r14_deferred - set(registry.DRIVER_CHECK_PRIORITY)
+    missing = r15_deferred - set(registry.DRIVER_CHECK_PRIORITY)
     assert not missing, (
-        f"r14-deferred names not re-inserted in the r15 window: "
+        f"r15-deferred names not re-inserted in the r16 window: "
         f"{sorted(missing)}"
     )
 
