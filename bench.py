@@ -185,6 +185,7 @@ HEADLINE = [
     # round-16 additions:
     "text_bm25_shingle_retrieval",    # exact-integer BM25 over 3-gram terms
     "pipeline_quality_classifier",    # fastText-shaped linear scoring pass
+    "pipeline_perplexity_buckets",    # exact fixed-point log2 cross-entropy
 ]
 
 # Rows with a documented multi-round contention-sensitive spread (r14-r15:

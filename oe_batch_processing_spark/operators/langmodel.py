@@ -774,3 +774,312 @@ def pipeline_bpe_train_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_tokens) div n_words").alias("fertility_ppm"),
         )
     )
+
+
+# --- CCNet-style perplexity buckets (round 16) -------------------------------
+#
+# Fixed-point base-2 logarithm, Q20, by unrolled shift-and-square — the
+# classic integer algorithm: normalize v to m in [2^29, 2^30) (so m^2 < 2^60
+# stays in BIGINT), then 20 rounds of m <- m^2 >> 29, emitting a fraction
+# bit whenever the square crosses 2^30. Every operation is an integer
+# multiply / floor-division / comparison on positive BIGINTs — bit-identical
+# in Spark and DuckDB — so "log2" here is not an approximation call into
+# libm but a PINNED integer function both engines compute exactly.
+
+_PPX_NORM = 1 << 29      # normalization floor (2^29)
+_PPX_TOP = 1 << 30       # overflow threshold after squaring (2^30)
+_PPX_QBITS = 20          # fraction bits (Q20)
+_PPX_COARSE = 1 << 14    # tertile thresholds read the Q6 coarsening
+
+
+def _log2_q20_py(v: int) -> int:
+    """Reference implementation (module-import-time constants + tests)."""
+    assert v >= 1
+    e = v.bit_length() - 1
+    m = (v << (29 - e)) if e <= 29 else (v >> (e - 29))
+    acc = 0
+    for _ in range(_PPX_QBITS):
+        m = (m * m) >> 29
+        if m >= _PPX_TOP:
+            acc = acc * 2 + 1
+            m >>= 1
+        else:
+            acc = acc * 2
+    return e * (1 << _PPX_QBITS) + acc
+
+
+_PPX_L2_SCALE = _log2_q20_py(_LM_SCALE)  # log2(SCALE) in Q20, exact literal
+
+
+def _ppx_oracle() -> str:
+    """DuckDB oracle: the shift-and-square rounds are 20 chained
+    MATERIALIZED CTEs (inlining would double the expression per step —
+    the kcore exponential-reinline lesson); Spark runs the identical
+    algorithm as ONE aggregate() HOF (runtime iteration, no static
+    expression growth)."""
+    powers = ", ".join(f"({k}, {1 << k})" for k in range(20))
+    steps = []
+    for i in range(_PPX_QBITS):
+        steps.append(f""",
+    s{i + 1} AS MATERIALIZED (
+      SELECT v, e,
+             CASE WHEN (m * m) // {_PPX_NORM} >= {_PPX_TOP}
+                  THEN ((m * m) // {_PPX_NORM}) // 2
+                  ELSE (m * m) // {_PPX_NORM} END AS m,
+             acc * 2 + CASE WHEN (m * m) // {_PPX_NORM} >= {_PPX_TOP}
+                            THEN 1 ELSE 0 END AS acc
+      FROM s{i})""")
+    steps_sql = "".join(steps)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    train_bi AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS cb FROM (
+        SELECT words[i+1] AS w1, words[i+2] AS w2
+        FROM toks, UNNEST(range(len(words) - 1)) AS t(i)
+        WHERE doc_id % 10 < 8
+      ) GROUP BY 1, 2
+    ),
+    ctx AS MATERIALIZED (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu1,
+             CAST(COUNT(*) AS BIGINT) AS n1post
+      FROM train_bi GROUP BY w1
+    ),
+    cont AS MATERIALIZED (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pre FROM train_bi GROUP BY w2
+    ),
+    types AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM train_bi),
+    all_bi AS MATERIALIZED (
+      SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2
+      FROM toks, UNNEST(range(len(words) - 1)) AS t(i)
+    ),
+    scored AS MATERIALIZED (
+      SELECT a.doc_id,
+             GREATEST(
+               CASE
+                 WHEN x.cu1 IS NULL THEN
+                   ({_LM_SCALE} * COALESCE(n.n1pre, 0)) // t.nt
+                 ELSE
+                   ({_LM_SCALE} * GREATEST(4 * COALESCE(b.cb, 0) - 3, 0))
+                     // (4 * x.cu1)
+                   + (3 * x.n1post
+                      * (({_LM_SCALE} * COALESCE(n.n1pre, 0)) // t.nt))
+                     // (4 * x.cu1)
+               END, 1) AS p
+      FROM all_bi a
+      LEFT JOIN train_bi b ON b.w1 = a.w1 AND b.w2 = a.w2
+      LEFT JOIN ctx x ON x.w1 = a.w1
+      LEFT JOIN cont n ON n.w2 = a.w2
+      CROSS JOIN types t
+    ),
+    dv AS MATERIALIZED (SELECT DISTINCT p AS v FROM scored),
+    pw (k, p2) AS (VALUES {powers}),
+    s0 AS MATERIALIZED (
+      SELECT v, pw.k AS e,
+             CAST(v * ({_PPX_NORM} // pw.p2) AS BIGINT) AS m,
+             CAST(0 AS BIGINT) AS acc
+      FROM dv JOIN pw ON pw.p2 <= v AND v < 2 * pw.p2
+    ){steps_sql},
+    lg AS MATERIALIZED (
+      SELECT v, e * {1 << _PPX_QBITS} + acc AS lv FROM s{_PPX_QBITS}
+    ),
+    per_doc AS MATERIALIZED (
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST((COUNT(*) * {_PPX_L2_SCALE} - SUM(lg.lv)) // COUNT(*)
+                  AS BIGINT) AS h_q20
+      FROM scored s JOIN lg ON lg.v = s.p
+      GROUP BY 1
+    ),
+    hcnt AS MATERIALIZED (
+      SELECT h_q20 // {_PPX_COARSE} AS hc, COUNT(*) AS cnt
+      FROM per_doc GROUP BY 1
+    ),
+    cum AS MATERIALIZED (
+      SELECT a.hc, CAST(SUM(b.cnt) AS BIGINT) AS cum
+      FROM hcnt a JOIN hcnt b ON b.hc <= a.hc GROUP BY a.hc
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_doc),
+    th AS MATERIALIZED (
+      SELECT MIN(CASE WHEN 3 * c.cum >= t.n THEN c.hc END) AS t1,
+             MIN(CASE WHEN 3 * c.cum >= 2 * t.n THEN c.hc END) AS t2
+      FROM cum c, tot t
+    )
+    SELECT d.doc_id, d.n_bigrams, d.h_q20,
+           CASE WHEN d.h_q20 // {_PPX_COARSE} <= th.t1 THEN 'head'
+                WHEN d.h_q20 // {_PPX_COARSE} <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per_doc d, th
+    """
+
+
+@query("pipeline_perplexity_buckets", oracle=_ppx_oracle())
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the OTHER half of the public
+    CCNet recipe (Wenzek et al. 2020: score every document's per-token
+    cross-entropy under a language model trained on trusted text, then
+    split the corpus into head/middle/tail perplexity tertiles; the
+    round-16 `pipeline_quality_classifier` is the fastText half). The LM
+    is this repo's interpolated Kneser-Ney bigram model (the
+    `text_bigram_lm_kneser_ney` quantized-probability machinery verbatim,
+    trained on the doc_id%10<8 split); the new piece is EXACT FIXED-POINT
+    CROSS-ENTROPY: per-token H = log2(SCALE) - mean log2(p_q) in Q20,
+    where log2 is a PINNED integer algorithm (20 rounds of shift-and-
+    square over positive BIGINTs — see _log2_q20_py) rather than a libm
+    call, so both engines produce bit-identical entropies and the full
+    relation hash-matches. Zero quantized probabilities floor at 1 (the
+    documented OOV convention — unseen-everything bigrams cost the
+    maximum ~log2(SCALE) bits). Tertile thresholds are computed over the
+    Q6-coarsened entropy (h_q20 div {coarse}) with the kcore
+    cum-count-over-distinct-values rank statistic: the coarsened domain
+    is bounded by the VALUE RANGE (~20*2^6 values), never by corpus
+    size, so the threshold join stays a broadcast at any scale and no
+    global sort / single-partition window exists anywhere in the plan.
+    Boundary ties go to the lower bucket (head = lowest perplexity =
+    cleanest text, the CCNet orientation).
+
+    Scale shape: model = three reuses of one bigram-count aggregate
+    (word-count shuffles, Zipf-bounded outputs); scoring = the KN hash
+    joins over the full corpus bigram stream; the log2 stage runs over
+    DISTINCT quantized probabilities — bounded by SCALE ({scale} =
+    at most ~1e6 rows, corpus-independent) — as ONE aggregate() HOF
+    (runtime loop: no exponential projection growth; the oracle's 20
+    MATERIALIZED CTE steps are the same algorithm) and broadcasts the
+    value->log table back into the per-doc aggregate. Per-doc frame is
+    persisted once (three consumers: histogram, total, final tag).
+    """
+    from oe_batch_processing_spark.tables import persist_once
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .filter(F.size("words") >= 2)
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(words) - 2), "
+                "i -> struct(words[i] AS w1, words[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train_bi = (
+        bigrams.filter(F.col("doc_id") % 10 < 8)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = train_bi.groupBy("w1").agg(
+        F.sum("cb").alias("cu1"), F.count(F.lit(1)).alias("n1post")
+    )
+    cont = train_bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1pre"))
+    types = train_bi.agg(F.count(F.lit(1)).alias("nt"))
+    scored = (
+        bigrams.join(
+            train_bi.withColumnRenamed("cb", "cb_t"), ["w1", "w2"], "left"
+        )
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""GREATEST(CASE
+                  WHEN cu1 IS NULL THEN
+                    ({_LM_SCALE} * COALESCE(n1pre, 0)) div nt
+                  ELSE
+                    ({_LM_SCALE} * GREATEST(4 * COALESCE(cb_t, 0) - 3, 0))
+                      div (4 * cu1)
+                    + (3 * n1post
+                       * (({_LM_SCALE} * COALESCE(n1pre, 0)) div nt))
+                      div (4 * cu1)
+                END, 1)"""
+            ).alias("p"),
+        )
+    )
+    dv = scored.select(F.col("p").alias("v")).distinct()
+    pw = spark.createDataFrame(
+        [(k, 1 << k) for k in range(20)], "k int, p2 long"
+    )
+    s0 = dv.join(
+        F.broadcast(pw),
+        (F.col("p2") <= F.col("v")) & (F.col("v") < 2 * F.col("p2")),
+    ).select(
+        "v",
+        F.col("k").alias("e"),
+        (F.col("v") * F.expr(f"{_PPX_NORM} div p2")).alias("m0"),
+    )
+    # the 20 shift-and-square rounds as ONE runtime-iterated HOF — a
+    # statically unrolled projection chain would double the expression
+    # per round under CollapseProject (m appears twice in each square)
+    lg = s0.select(
+        "v",
+        F.expr(
+            f"""e * {1 << _PPX_QBITS} + aggregate(
+              sequence(1, {_PPX_QBITS}),
+              struct(m0 AS m, CAST(0 AS BIGINT) AS acc),
+              (s, i) -> CASE
+                WHEN (s.m * s.m) div {_PPX_NORM} >= {_PPX_TOP}
+                THEN struct(((s.m * s.m) div {_PPX_NORM}) div 2 AS m,
+                            s.acc * 2 + 1 AS acc)
+                ELSE struct((s.m * s.m) div {_PPX_NORM} AS m,
+                            s.acc * 2 AS acc) END,
+              s -> s.acc)"""
+        ).alias("lv"),
+    )
+    per_doc = persist_once(
+        scored.join(F.broadcast(lg), scored.p == lg.v)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                f"CAST((COUNT(1) * {_PPX_L2_SCALE} - SUM(lv)) div COUNT(1) "
+                "AS BIGINT)"
+            ).alias("h_q20"),
+        )
+    )
+    hcnt = per_doc.groupBy(
+        F.expr(f"h_q20 div {_PPX_COARSE}").alias("hc")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cum = (
+        hcnt.alias("a")
+        .join(
+            F.broadcast(
+                hcnt.select(
+                    F.col("hc").alias("hc2"), F.col("cnt").alias("cnt2")
+                )
+            ),
+            F.col("hc2") <= F.col("a.hc"),
+        )
+        .groupBy("a.hc")
+        .agg(F.sum("cnt2").alias("cum"))
+    )
+    tot = per_doc.agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(
+                F.when(3 * F.col("cum") >= F.col("n"), F.col("hc"))
+            ).alias("t1"),
+            F.min(
+                F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("hc"))
+            ).alias("t2"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_bigrams",
+        "h_q20",
+        F.expr(
+            f"""CASE WHEN h_q20 div {_PPX_COARSE} <= t1 THEN 'head'
+                 WHEN h_q20 div {_PPX_COARSE} <= t2 THEN 'middle'
+                 ELSE 'tail' END"""
+        ).alias("bucket"),
+    )
+
+
+pipeline_perplexity_buckets.__doc__ = pipeline_perplexity_buckets.__doc__.format(
+    coarse=_PPX_COARSE, scale=_LM_SCALE
+)

@@ -542,3 +542,39 @@ def test_q18_preaggregates_lineitem_before_join(spark):
     ]
     assert hash_ex, "expected the aggregate's l_orderkey hash exchange"
     assert all("l_orderkey" in ln for ln in hash_ex), hash_ex
+
+
+def test_bm25_prunes_dictionary_before_postings_join(spark):
+    """r16: the stopword prune (2*df <= n) must filter the
+    vocabulary-sized dictionary BEFORE the postings join. Structural
+    witness: the pruned plan carries TWO broadcast scalar cross-joins
+    (one feeding the dictionary filter, one feeding the milli
+    expression) — the r15 above-the-join form had exactly one, with the
+    prune unpushable above the full postings fan-out."""
+    df = registry.QUERIES["text_bm25_shingle_retrieval"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_quality_classifier_broadcasts_weight_matrix(spark):
+    """r16: the |classes| x 256 weight matrix must broadcast into the
+    per-(doc, bucket) scoring join — a shuffled corpus-side join on the
+    bucket id would key the whole corpus on 256 values."""
+    df = registry.QUERIES["pipeline_quality_classifier"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_buckets_no_global_sort_no_single_partition(spark):
+    """r16: the tertile thresholds must come from the value-range-bounded
+    cum-count join, never a global-rank window — and the log2 table must
+    broadcast back into the per-doc aggregate."""
+    df = registry.QUERIES["pipeline_perplexity_buckets"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan  # no NTILE/global rank anywhere
+    # the only SinglePartition exchanges are the single-ROW scalar
+    # aggregates (bigram type count, scored-doc total, the two-threshold
+    # aggregate + its broadcast feed) — the q22 idiom, constant-size by
+    # construction; a data-sized global sort would add more
+    assert plan.count("SinglePartition") <= 4
+    assert "BroadcastHashJoin" in plan

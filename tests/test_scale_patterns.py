@@ -1415,3 +1415,114 @@ def test_quality_classifier_rep_collapse_matches_flat_and_oracle(
     assert by_id.loc[2, "is_correct"] == 0
     # every doc got scored exactly once
     assert len(col) == n
+
+
+def test_perplexity_buckets_match_python_definition(spark, tmp_path):
+    """Round-16: pipeline_perplexity_buckets against an INDEPENDENT pure-
+    Python recomputation of the pinned metric (quantized KN probability ->
+    fixed-point shift-and-square log2 -> Q20 cross-entropy -> coarse
+    tertile thresholds) — this pins the DEFINITION, not just cross-engine
+    agreement (the registered DuckDB oracle covers that). Corpus branches:
+    a train-replica doc (low entropy), an all-OOV doc (every quantized p
+    floors at 1 -> h_q20 == L2_SCALE exactly), and enough spread that all
+    three buckets are populated. Also pins the boundary convention (ties
+    to the lower bucket)."""
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators import langmodel as L
+    from oe_batch_processing_spark.operators.langmodel import (
+        _LM_SCALE,
+        _PPX_COARSE,
+        _PPX_L2_SCALE,
+        _log2_q20_py,
+        pipeline_perplexity_buckets,
+    )
+
+    t_rep = "a b a b a b a b"
+    rows = [
+        (0, t_rep), (1, t_rep), (2, t_rep),      # train replicas
+        (3, "a b c d a b"), (4, "c d c d e f"),  # train variety
+        (5, "e f g h a b"), (6, "g h g h c d"),  # train variety
+        (7, t_rep),                              # train twin again
+        (19, t_rep),                             # held-out replica -> head
+        (18, "zz1 zz2 zz3 zz4"),                 # held-out all-OOV -> tail
+        (12, "a b e f g h"), (13, "c d g h e f"),
+        (14, "q r a b"), (15, "e f q r"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    (tmp_path / "d").mkdir()
+    pdf.to_parquet(tmp_path / "d" / "documents.parquet")
+
+    got = (
+        pipeline_perplexity_buckets(spark, str(tmp_path / "d"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # --- independent Python recomputation --------------------------------
+    from collections import Counter, defaultdict
+
+    def bigrams_of(text):
+        w = text.split(" ")
+        return list(zip(w[:-1], w[1:])) if len(w) >= 2 else []
+
+    train_bi = Counter()
+    for d, t in rows:
+        if d % 10 < 8:
+            train_bi.update(bigrams_of(t))
+    cu1, n1post, n1pre = Counter(), Counter(), Counter()
+    for (w1, w2), c in train_bi.items():
+        cu1[w1] += c
+        n1post[w1] += 1
+        n1pre[w2] += 1
+    nt = len(train_bi)
+
+    def p_q(w1, w2):
+        if w1 not in cu1:
+            p = (_LM_SCALE * n1pre.get(w2, 0)) // nt
+        else:
+            p = (_LM_SCALE * max(4 * train_bi.get((w1, w2), 0) - 3, 0)) // (
+                4 * cu1[w1]
+            ) + (
+                3 * n1post[w1] * ((_LM_SCALE * n1pre.get(w2, 0)) // nt)
+            ) // (4 * cu1[w1])
+        return max(p, 1)
+
+    per_doc = {}
+    for d, t in rows:
+        bs = bigrams_of(t)
+        if not bs:
+            continue
+        s = sum(_log2_q20_py(p_q(w1, w2)) for w1, w2 in bs)
+        per_doc[d] = (len(bs), (len(bs) * _PPX_L2_SCALE - s) // len(bs))
+    hcnt = Counter(h // _PPX_COARSE for _n, h in per_doc.values())
+    n = len(per_doc)
+    csum, cum = 0, {}
+    for hc in sorted(hcnt):
+        csum += hcnt[hc]
+        cum[hc] = csum
+    t1 = min(hc for hc in cum if 3 * cum[hc] >= n)
+    t2 = min(hc for hc in cum if 3 * cum[hc] >= 2 * n)
+
+    def bucket(h):
+        hc = h // _PPX_COARSE
+        return "head" if hc <= t1 else ("middle" if hc <= t2 else "tail")
+
+    want = pd.DataFrame(
+        [
+            (d, nb, h, bucket(h))
+            for d, (nb, h) in sorted(per_doc.items())
+        ],
+        columns=["doc_id", "n_bigrams", "h_q20", "bucket"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "n_bigrams": "int64", "h_q20": "int64"}),
+        want.astype({"doc_id": "int64", "n_bigrams": "int64", "h_q20": "int64"}),
+    )
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[18, "h_q20"] == _PPX_L2_SCALE  # all-OOV exact ceiling
+    assert by_id.loc[18, "bucket"] == "tail"
+    assert by_id.loc[19, "bucket"] == "head"        # held-out train replica
+    assert set(got.bucket) == {"head", "middle", "tail"}
+    assert L._PPX_QBITS == 20 and L._PPX_NORM == 1 << 29
