@@ -621,6 +621,57 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "text_bm25_shingle_retrieval",
             r"bm25 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
         ),
+        # round 16
+        (
+            "SCALEPROBE_r16.json",
+            "text_bm25_shingle_retrieval",
+            r"bm25 10x\s+\*\*([\d.]+)x\*\* and 30x \*\*[\d.]+x\*\* \(r15",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "text_bm25_shingle_retrieval",
+            r"bm25 10x\s+\*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\* \(r15",
+        ),
+        (
+            "SCALEPROBE_r16.json",
+            "graph_kcore_trade",
+            r"kcore 10x ([\d.]+)x and 30x [\d.]+x \(r15",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "graph_kcore_trade",
+            r"kcore 10x [\d.]+x and 30x ([\d.]+)x \(r15",
+        ),
+        (
+            "SCALEPROBE_r16.json",
+            "pipeline_quality_classifier",
+            r"classifier 10x\s+\*\*([\d.]+)x\*\* and 30x \*\*[\d.]+x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "pipeline_quality_classifier",
+            r"classifier 10x\s+\*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r15.json",
+            "multimodal_webp_lossless_decode",
+            r"lossless 30x ([\d.]+)x -> \*\*[\d.]+x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "multimodal_webp_lossless_decode",
+            r"lossless 30x [\d.]+x -> \*\*([\d.]+)x\*\*",
+        ),
+        (
+            "SCALEPROBE_r16.json",
+            "pipeline_perplexity_buckets",
+            r"perplexity 10x \*\*([\d.]+)x\*\* and 30x \*\*[\d.]+x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "pipeline_perplexity_buckets",
+            r"perplexity 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
