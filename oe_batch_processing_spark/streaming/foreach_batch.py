@@ -368,3 +368,165 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if root is not None:
             shutil.rmtree(root, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+@query(
+    "stream_quality_classifier",
+    # SHARES the batch classifier's oracle verbatim: the frozen-model
+    # scoring stream must emit the identical relation (the same
+    # cross-validating-twin pattern as the leakage gate / batch audit).
+    oracle=_registry.ORACLE["pipeline_quality_classifier"],
+)
+def stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The twelfth batch/stream twin: ``pipeline_quality_classifier`` as a
+    FROZEN-MODEL scoring stream — the shape a production quality pass
+    actually runs: the linear model is trained once on the static train
+    split, then documents arrive in micro-batches and are scored AT
+    INGEST against the broadcast weight matrix, predictions appended as
+    they land (CCNet scores its crawl shard-by-shard the same way).
+
+    Per micro-batch (four real ones, maxFilesPerTrigger=1 over
+    range-split files): hash the arriving docs' unigram+bigram features
+    into the shared {DSIR_BUCKETS}-bucket space, dot-product against the
+    PERSISTED |classes| x buckets fixed-point weight matrix (broadcast
+    into the scoring join — the batch plan's own shape, now per batch),
+    argmax with margin, default zero-feature docs, append. Batches
+    partition the corpus by doc_id, so append-only accumulation IS the
+    merge, and the final relation is row-for-row the batch operator's —
+    the shared DuckDB hash oracle proves the incremental path lossless.
+    The scoring helpers (_qc_weights/_qc_top/_qc_project) are the batch
+    operator's own functions: one source of truth, zero twin drift.
+
+    Scale: the weight matrix and class list are the streaming state — a
+    few KB regardless of corpus size, persisted once before the stream
+    starts (a real deployment broadcasts them cluster-wide and re-trains
+    offline); each micro-batch shuffles only its own (doc, bucket)
+    counts. The checkpoint/scratch dir is /dev/shm-backed for the
+    availableNow demo; a production gate points it at object storage.
+    """
+    from oe_batch_processing_spark.operators.pipeline import (
+        _DSIR_FEATS_EXPR,
+        _DSIR_WS_EXPR,
+        _SPLIT_BYTE,
+        _qc_project,
+        _qc_top,
+        _qc_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_BYTE) % 10
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    root = None
+    try:
+        # --- frozen model, built once and persisted across batches ---
+        train_words = docs.select(
+            "doc_id", "lang", bucket.alias("bkt"),
+            F.expr(_DSIR_WS_EXPR).alias("ws"),
+        ).filter((F.col("bkt") < 8) & F.col("lang").isNotNull())
+        ctb = (
+            train_words.select(
+                "lang", F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f")
+            )
+            .select(
+                "lang",
+                F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+                .cast("int")
+                .alias("b"),
+            )
+            .groupBy("lang", "b")
+            .agg(F.count(F.lit(1)).alias("ct"))
+        )
+        classes = train_words.select("lang").distinct().persist()
+        wts = _qc_weights(spark, classes, ctb).persist()
+        wts.count()  # materialize the frozen model before the stream starts
+
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        root = tempfile.mkdtemp(prefix="oebp-qcstream-", dir=shm)
+        src = os.path.join(root, "docs")
+        docs.select("doc_id", "lang", "text").repartitionByRange(
+            4, "doc_id"
+        ).write.mode("overwrite").parquet(src)
+        out_path = os.path.join(root, "preds")
+        spark.createDataFrame(
+            [],
+            "doc_id long, pred_lang string, score long, margin long, "
+            "n_features long, is_correct int",
+        ).write.mode("overwrite").parquet(out_path)  # schema anchor
+
+        seen = {"batches": 0, "rows": 0}
+
+        def score(batch_df: DataFrame, batch_id: int) -> None:
+            b = batch_df.persist()  # three consumers: reps, expand, project
+            # per-batch content collapse, ALWAYS-ON (the contamination-
+            # screen precedent): class scores read only the text, so the
+            # tokenize/hash/score stage runs once per DISTINCT batch text
+            # and every member receives the identical row — a strict
+            # regrouping with no truncation subtleties, and the term that
+            # turns replica-heavy corpora (the 30x probe's key-shifted
+            # duplicates) from per-doc to per-content hashing cost.
+            reps = b.groupBy("text").agg(
+                F.min("doc_id").alias("rep_id"),
+                F.collect_list("doc_id").alias("members"),
+            ).persist()
+            db = (
+                reps.select(
+                    "rep_id", F.expr(_DSIR_WS_EXPR).alias("ws")
+                )
+                .select(
+                    "rep_id",
+                    F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f"),
+                )
+                .select(
+                    "rep_id",
+                    F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
+                    .cast("int")
+                    .alias("b"),
+                )
+                .groupBy("rep_id", "b")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            top = (
+                reps.select("rep_id", F.explode("members").alias("doc_id"))
+                .join(_qc_top(db, wts, "rep_id"), "rep_id")
+                .drop("rep_id")
+            )
+            out = _qc_project(b, top, classes)
+            out.write.mode("append").parquet(out_path)
+            seen["batches"] += 1
+            seen["rows"] += b.count()
+            reps.unpersist()
+            b.unpersist()
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, lang string, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # batch-sized shuffle width for the micro-batch jobs only
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(score)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert seen["batches"] >= 4, "expected at least four micro-batches"
+
+        final = spark.read.parquet(out_path)
+        rows = final.collect()
+        assert len(rows) == seen["rows"], "append accumulation lost rows"
+        classes.unpersist()
+        wts.unpersist()
+        return spark.createDataFrame(rows, final.schema)
+    finally:
+        if root is not None:
+            shutil.rmtree(root, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+stream_quality_classifier.__doc__ = stream_quality_classifier.__doc__.format(
+    DSIR_BUCKETS=256
+)

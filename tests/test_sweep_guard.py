@@ -672,6 +672,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "pipeline_perplexity_buckets",
             r"perplexity 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
         ),
+        (
+            "SCALEPROBE_r16.json",
+            "stream_quality_classifier",
+            r"stream classifier 10x \*\*([\d.]+)x\*\* and 30x \*\*[\d.]+x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "stream_quality_classifier",
+            r"stream classifier 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
