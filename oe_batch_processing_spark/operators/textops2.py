@@ -541,3 +541,160 @@ def text_lexical_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * d) div n").cast("bigint").alias("ttr_full_micro"),
         mattr.cast("bigint").alias("mattr_micro"),
     )
+
+
+# --- winnowing fingerprints (round 16) ---------------------------------------
+
+WINNOW_K = 3   # gram width (words) — the BM25/contamination gram grammar
+WINNOW_W = 4   # winnowing window: one fingerprint selected per W
+#                consecutive gram hashes (rightmost-minimum rule)
+_WINNOW_MOD = 1_000_000_007  # checksum modulus: sum of h%p stays in BIGINT
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    grams AS (
+      SELECT doc_id, len(tk) - {WINNOW_K - 1} AS g, i - 1 AS pos,
+             ('0x' || substr(md5(
+               tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT
+               AS h
+      FROM toks, UNNEST(range(1, len(tk) - {WINNOW_K - 2})) AS u(i)
+    ),
+    expanded AS (
+      SELECT doc_id, g, pos, h, i
+      FROM grams,
+           UNNEST(range(greatest(pos - {WINNOW_W - 1}, 0),
+                        least(pos, g - {WINNOW_W}) + 1)) AS w(i)
+    ),
+    sel1 AS (
+      SELECT doc_id, i, MIN(h) AS minh FROM expanded GROUP BY 1, 2
+    ),
+    sel AS (
+      SELECT e.doc_id, e.i, s.minh AS h, MAX(e.pos) AS pos
+      FROM expanded e JOIN sel1 s ON s.doc_id = e.doc_id AND s.i = e.i
+      WHERE e.h = s.minh
+      GROUP BY 1, 2, 3
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, pos, h FROM sel
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+             CAST(SUM(h % {_WINNOW_MOD}) AS BIGINT) AS fp_mod_sum,
+             CAST(MIN(h) AS BIGINT) AS min_fp
+      FROM fps GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(g.g AS BIGINT) AS n_grams,
+           CAST(g.g - {WINNOW_W - 1} AS BIGINT) AS n_windows,
+           p.n_fingerprints,
+           CAST((1000000 * p.n_fingerprints) // (g.g - {WINNOW_W - 1})
+                AS BIGINT) AS density_ppm,
+           p.fp_mod_sum, p.min_fp
+    FROM toks t
+    JOIN (SELECT DISTINCT doc_id, g FROM grams) g USING (doc_id)
+    JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the public local-fingerprinting
+    algorithm (Schleimer, Wilkerson, Aiken 2003, the MOSS selector; also
+    the fingerprint stage of production near-dup/plagiarism pipelines):
+    hash every {k}-word gram, slide a window of {w} consecutive hashes,
+    and in each window select the MINIMUM hash, breaking ties toward the
+    RIGHTMOST position; consecutive windows reselecting the same
+    (position, hash) collapse to one fingerprint. The guarantee that
+    makes it the standard: every match of length >= k+w-1 tokens between
+    two documents shares at least one SELECTED fingerprint (any shared
+    window selects the same minimum), while the selected set is only
+    ~2/(w+1) of all grams — the index a 100 TB near-dup pass builds is
+    ~{pct}% of the full shingle index with no recall loss at the
+    guarantee length. This operator emits the per-document selection
+    relation (counts, density, exact checksum over the selected set);
+    the pair join over selected fingerprints is the dedup family's
+    standard inverted-index shape on a strictly smaller index.
+
+    Exactness: the gram hash is the md5-prefix 60-bit integer (engine-
+    identical), the rightmost-minimum rule is an argmin over the pair
+    (h, -pos) — Spark computes it as ONE min(struct(h, -pos)) aggregate,
+    the oracle as the equivalent two-stage min + filtered-max regrouping
+    — and the checksum sums h mod {mod} (BIGINT-bounded). All integers;
+    the full relation hash-matches.
+
+    Scale: one posexplode over corpus grams, a x{w} constant-factor
+    window expansion (each gram feeds <= {w} window starts), and two
+    keyed aggregations — linear in corpus tokens, no cross-document
+    joins, no windows over unbounded partitions (the per-(doc, window)
+    argmin is a groupBy, not a sliding Window function, so it needs no
+    per-doc ordering pass).
+    """
+    k, w = WINNOW_K, WINNOW_W
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    ).filter(F.size("tk") >= k + w - 1)
+    gram_expr = (
+        f"transform(sequence(1, size(tk) - {k - 1}), "
+        f"i -> array_join(slice(tk, i, {k}), ' '))"
+    )
+    grams = toks.select(
+        "doc_id",
+        (F.size("tk") - (k - 1)).alias("g"),
+        F.posexplode(F.expr(gram_expr)).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "g",
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    expanded = grams.select(
+        "doc_id",
+        "g",
+        "pos",
+        "h",
+        F.explode(
+            F.expr(
+                f"sequence(greatest(pos - {w - 1}, 0), "
+                f"least(pos, g - {w}))"
+            )
+        ).alias("i"),
+    )
+    sel = expanded.groupBy("doc_id", "i").agg(
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("m")
+    )
+    fps = sel.select(
+        "doc_id", (-F.col("m.np")).alias("pos"), F.col("m.h").alias("h")
+    ).distinct()
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum(F.col("h") % _WINNOW_MOD).cast("long").alias("fp_mod_sum"),
+        F.min("h").cast("long").alias("min_fp"),
+    )
+    sizes = grams.select("doc_id", "g").distinct()
+    return (
+        sizes.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("g").cast("long").alias("n_grams"),
+            (F.col("g") - (w - 1)).cast("long").alias("n_windows"),
+            "n_fingerprints",
+            F.expr(f"CAST((1000000 * n_fingerprints) div (g - {w - 1}) "
+                   "AS BIGINT)").alias("density_ppm"),
+            "fp_mod_sum",
+            "min_fp",
+        )
+    )
+
+
+text_winnowing_fingerprints.__doc__ = text_winnowing_fingerprints.__doc__.format(
+    k=WINNOW_K, w=WINNOW_W, mod=_WINNOW_MOD,
+    pct=round(200 / (WINNOW_W + 1)),
+)

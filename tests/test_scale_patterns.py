@@ -1526,3 +1526,101 @@ def test_perplexity_buckets_match_python_definition(spark, tmp_path):
     assert by_id.loc[19, "bucket"] == "head"        # held-out train replica
     assert set(got.bucket) == {"head", "middle", "tail"}
     assert L._PPX_QBITS == 20 and L._PPX_NORM == 1 << 29
+
+
+def test_winnowing_matches_reference_algorithm(spark, tmp_path):
+    """Round-16: text_winnowing_fingerprints against an independent
+    pure-Python implementation of canonical winnowing (Schleimer et al.
+    2003: per window of W gram hashes select the minimum, ties to the
+    RIGHTMOST position, dedupe consecutive reselections) — pinning the
+    definition, not just cross-engine agreement. Also asserts the
+    algorithm's guarantees on the crafted corpus: every window contains
+    a selected position (coverage), and two documents sharing a
+    K+W-1-token run share at least one selected fingerprint hash."""
+    import hashlib
+
+    import pandas as pd
+
+    from oe_batch_processing_spark.operators.textops2 import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_MOD,
+        text_winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = K+W-1 run
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, f"p q r {shared} s t u v"),
+        (3, f"{shared} x y z w v u t"),
+        (4, "one two three four five six"),   # exactly K+W-1 tokens
+        (5, "too short"),                      # below the gram+window floor
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    (tmp_path / "d").mkdir()
+    pdf.to_parquet(tmp_path / "d" / "documents.parquet")
+
+    got = (
+        text_winnowing_fingerprints(spark, str(tmp_path / "d"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def winnow(text):
+        tk = text.lower().split(" ")
+        grams = [
+            " ".join(tk[i : i + WINNOW_K])
+            for i in range(len(tk) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        fps = set()
+        for i in range(len(hs) - WINNOW_W + 1):
+            win = hs[i : i + WINNOW_W]
+            mn = min(win)
+            j = max(p for p in range(WINNOW_W) if win[p] == mn) + i
+            fps.add((j, hs[j]))
+        return grams, hs, fps
+
+    expect = []
+    for d, t in rows:
+        tk = t.split(" ")
+        if len(tk) < WINNOW_K + WINNOW_W - 1:
+            continue
+        grams, hs, fps = winnow(t)
+        g = len(grams)
+        nw = g - WINNOW_W + 1
+        expect.append(
+            (
+                d,
+                g,
+                nw,
+                len(fps),
+                (1_000_000 * len(fps)) // nw,
+                sum(h % _WINNOW_MOD for _p, h in fps),
+                min(h for _p, h in fps),
+            )
+        )
+        # coverage guarantee: every window [i, i+W-1] holds a selection
+        pos = {p for p, _h in fps}
+        for i in range(nw):
+            assert pos & set(range(i, i + WINNOW_W)), (d, i)
+    want = pd.DataFrame(
+        expect,
+        columns=[
+            "doc_id", "n_grams", "n_windows", "n_fingerprints",
+            "density_ppm", "fp_mod_sum", "min_fp",
+        ],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+    # match guarantee: docs 2 and 3 share the 6-token run -> >= 1 shared
+    # selected hash
+    _g2, _h2, f2 = winnow(rows[1][1])
+    _g3, _h3, f3 = winnow(rows[2][1])
+    assert {h for _p, h in f2} & {h for _p, h in f3}
+    # doc 5 (below the floor) is absent
+    assert 5 not in set(got.doc_id)

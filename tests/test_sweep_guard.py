@@ -682,6 +682,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "stream_quality_classifier",
             r"stream classifier 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
         ),
+        (
+            "SCALEPROBE_r16.json",
+            "text_winnowing_fingerprints",
+            r"winnowing 10x \*\*([\d.]+)x\*\* and 30x\s+\*\*[\d.]+x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "text_winnowing_fingerprints",
+            r"winnowing 10x \*\*[\d.]+x\*\* and 30x\s+\*\*([\d.]+)x\*\*",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
