@@ -96,6 +96,7 @@ def expand_rep_pairs(
     rep_pairs: DataFrame,
     payload: str,
     within_payload,
+    min_tokens: int = 3,
 ) -> DataFrame:
     """Membership expansion of a content-representative SYMMETRIC pair
     relation back to the per-doc relation — the shared second half of the
@@ -108,8 +109,10 @@ def expand_rep_pairs(
        emitted pair to (min, max) is safe since group doc_ids interleave);
     2. within-group: identical texts pair at ``within_payload`` (jaccard
        exactly 1.0 / hamming exactly 0), admitted iff the text has at
-       least one trigram (< 3 words never enters the shingle relation and
-       pairs with nothing).
+       least ``min_tokens`` words (the caller's gram/window floor: the
+       default 3 is the shingle relation's trigram floor; the winnowing
+       pair op passes its K+W-1 selection floor — shorter texts never
+       enter the respective index and pair with nothing).
 
     ``rep_pairs``: (rep_a, rep_b, <payload>).
     """
@@ -134,7 +137,7 @@ def expand_rep_pairs(
     within = (
         groups.filter(
             (F.size("members") >= 2)
-            & (F.size(F.split("text", " ")) >= 3)
+            & (F.size(F.split("text", " ")) >= min_tokens)
         )
         .select(
             F.explode(

@@ -551,39 +551,45 @@ WINNOW_W = 4   # winnowing window: one fingerprint selected per W
 _WINNOW_MOD = 1_000_000_007  # checksum modulus: sum of h%p stays in BIGINT
 
 
-@query(
-    "text_winnowing_fingerprints",
-    oracle=f"""
-    WITH toks AS (
+# the winnowing selection as a reusable oracle CTE chain (ends at
+# fps(doc_id, pos, h)) — shared verbatim by the per-doc summary relation
+# and the pair join so the two oracles cannot drift
+_WINNOW_FPS_CTES = f"""
+    WITH toks AS MATERIALIZED (
       SELECT doc_id, string_split(lower(text), ' ') AS tk
       FROM documents
       WHERE len(string_split(lower(text), ' ')) >= {WINNOW_K + WINNOW_W - 1}
     ),
-    grams AS (
+    grams AS MATERIALIZED (
       SELECT doc_id, len(tk) - {WINNOW_K - 1} AS g, i - 1 AS pos,
              ('0x' || substr(md5(
                tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT
                AS h
       FROM toks, UNNEST(range(1, len(tk) - {WINNOW_K - 2})) AS u(i)
     ),
-    expanded AS (
+    expanded AS MATERIALIZED (
       SELECT doc_id, g, pos, h, i
       FROM grams,
            UNNEST(range(greatest(pos - {WINNOW_W - 1}, 0),
                         least(pos, g - {WINNOW_W}) + 1)) AS w(i)
     ),
-    sel1 AS (
+    sel1 AS MATERIALIZED (
       SELECT doc_id, i, MIN(h) AS minh FROM expanded GROUP BY 1, 2
     ),
-    sel AS (
+    sel AS MATERIALIZED (
       SELECT e.doc_id, e.i, s.minh AS h, MAX(e.pos) AS pos
       FROM expanded e JOIN sel1 s ON s.doc_id = e.doc_id AND s.i = e.i
       WHERE e.h = s.minh
       GROUP BY 1, 2, 3
     ),
-    fps AS (
+    fps AS MATERIALIZED (
       SELECT DISTINCT doc_id, pos, h FROM sel
-    ),
+    )"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_FPS_CTES + f""",
     per_doc AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
              CAST(SUM(h % {_WINNOW_MOD}) AS BIGINT) AS fp_mod_sum,
@@ -634,8 +640,43 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin is a groupBy, not a sliding Window function, so it needs no
     per-doc ordering pass).
     """
-    k, w = WINNOW_K, WINNOW_W
+    w = WINNOW_W
     docs = load_table(spark, sf_dir, "documents")
+    grams, fps = winnow_fp_sets(docs)
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum(F.col("h") % _WINNOW_MOD).cast("long").alias("fp_mod_sum"),
+        F.min("h").cast("long").alias("min_fp"),
+    )
+    sizes = grams.select("doc_id", "g").distinct()
+    return (
+        sizes.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("g").cast("long").alias("n_grams"),
+            (F.col("g") - (w - 1)).cast("long").alias("n_windows"),
+            "n_fingerprints",
+            F.expr(f"CAST((1000000 * n_fingerprints) div (g - {w - 1}) "
+                   "AS BIGINT)").alias("density_ppm"),
+            "fp_mod_sum",
+            "min_fp",
+        )
+    )
+
+
+text_winnowing_fingerprints.__doc__ = text_winnowing_fingerprints.__doc__.format(
+    k=WINNOW_K, w=WINNOW_W, mod=_WINNOW_MOD,
+    pct=round(200 / (WINNOW_W + 1)),
+)
+
+
+def winnow_fp_sets(docs: DataFrame):
+    """The winnowing selection over a (doc_id, text, ...) frame — the
+    Spark half of _WINNOW_FPS_CTES, shared verbatim by the per-doc
+    summary relation and the pair join. Returns (grams, fps): grams =
+    (doc_id, g, pos, h) hashed gram stream (g = per-doc gram count),
+    fps = (doc_id, pos, h) distinct rightmost-minimum selections."""
+    k, w = WINNOW_K, WINNOW_W
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("tk")
     ).filter(F.size("tk") >= k + w - 1)
@@ -673,28 +714,98 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = sel.select(
         "doc_id", (-F.col("m.np")).alias("pos"), F.col("m.h").alias("h")
     ).distinct()
-    per_doc = fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
-        F.sum(F.col("h") % _WINNOW_MOD).cast("long").alias("fp_mod_sum"),
-        F.min("h").cast("long").alias("min_fp"),
+    return grams, fps
+
+
+WINNOW_PAIR_T = 0.5  # MOSS-style report threshold on the overlap score
+
+
+@query(
+    "dedup_winnowing_pairs",
+    oracle=_WINNOW_FPS_CTES + f""",
+    hs AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM fps),
+    cnt AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     )
-    sizes = grams.select("doc_id", "g").distinct()
-    return (
-        sizes.join(per_doc, "doc_id")
-        .select(
-            "doc_id",
-            F.col("g").cast("long").alias("n_grams"),
-            (F.col("g") - (w - 1)).cast("long").alias("n_windows"),
-            "n_fingerprints",
-            F.expr(f"CAST((1000000 * n_fingerprints) div (g - {w - 1}) "
-                   "AS BIGINT)").alias("density_ppm"),
-            "fp_mod_sum",
-            "min_fp",
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / least(na.n, nb.n) AS fp_overlap
+    FROM common
+    JOIN cnt na ON na.doc_id = doc_a
+    JOIN cnt nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / least(na.n, nb.n) >= {WINNOW_PAIR_T}
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS match join over winnowing fingerprints: document pairs
+    whose SELECTED fingerprint-hash sets overlap at
+    |H_a intersect H_b| / min(|H_a|, |H_b|) >= {t} — the similarity
+    report MOSS computes, and the near-dup candidate join a production
+    pipeline runs on the winnowed index instead of the full shingle
+    index (same inverted-index shape as ``dedup_jaccard_shingles``, on
+    an index ~2/(w+1) the size with the guarantee that any
+    {k}+{w}-1-token match still shares a fingerprint). Identical texts
+    share every fingerprint (overlap exactly 1.0). The one double is a
+    single IEEE division of exact integers — hash-exact vs DuckDB.
+
+    Scale: the content-representative collapse + membership expansion
+    (the jaccard recipe verbatim — identical texts select identical
+    fingerprints, and the score is content-determined): the quadratic
+    posting join runs over DISTINCT contents' SELECTED fingerprints —
+    two multiplicative reductions over the flat shingle self-join — with
+    the partition count pinned against AQE's input-size coalescing (the
+    fan-out-blind-heuristic lesson) and one ReusedExchange serving both
+    join sides and the per-doc counts. Within-group pairs expand at
+    overlap 1.0, admitted at the k+w-1-token selection floor.
+    """
+    from oe_batch_processing_spark.operators.dedup import (
+        content_rep_groups,
+        expand_rep_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = content_rep_groups(docs)
+    rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
+    _grams, fps = winnow_fp_sets(rep_docs)
+    hs = fps.select("doc_id", "h").distinct()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed = hs.repartition(n_part, "h")
+    counts = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = keyed.alias("a")
+    b = keyed.hint("shuffle_hash").alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
+    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
+    score = F.col("n_common").cast("double") / F.least("na", "nb")
+    rep_pairs = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            score.alias("fp_overlap"),
+        )
+        .filter(F.col("fp_overlap") >= WINNOW_PAIR_T)
+    )
+    return expand_rep_pairs(
+        groups, rep_pairs, "fp_overlap", F.lit(1.0),
+        min_tokens=WINNOW_K + WINNOW_W - 1,
     )
 
 
-text_winnowing_fingerprints.__doc__ = text_winnowing_fingerprints.__doc__.format(
-    k=WINNOW_K, w=WINNOW_W, mod=_WINNOW_MOD,
-    pct=round(200 / (WINNOW_W + 1)),
+dedup_winnowing_pairs.__doc__ = dedup_winnowing_pairs.__doc__.format(
+    t=WINNOW_PAIR_T, k=WINNOW_K, w=WINNOW_W
 )

@@ -132,8 +132,8 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     # --- oracle-green; color and lossless both run the canonical decode),
     # --- and graph_connected_components_star (star_labels cache-ownership
     # --- fix); then (2) the 9 r15-deferred r7-era rows (pinned by
-    # --- tests/test_sweep_guard.py); then (3) the 32 alphabetically-first
-    # --- of the 42 r8-era rows. The 10 r8-era tail names live in
+    # --- tests/test_sweep_guard.py); then (3) the 31 alphabetically-first
+    # --- of the 42 r8-era rows. The 11 r8-era tail names live in
     # --- DRIVER_CHECK_DEFERRED below and lead the r17 window after its
     # --- own re-checks.
     # --- (1) round-16 additions + changed-code re-checks
@@ -141,6 +141,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "pipeline_perplexity_buckets",    # r16: NEW — exact fixed-point log2 CE
     "stream_quality_classifier",      # r16: NEW — frozen-model scoring twin
     "text_winnowing_fingerprints",    # r16: NEW — MOSS winnowing selection
+    "dedup_winnowing_pairs",          # r16: NEW — MOSS match join
     "text_bm25_shingle_retrieval",    # r16: dictionary-side stopword prune
     "graph_kcore_trade",              # r16: pairs-build cuts
     "multimodal_webp_color_decode",   # r16: shift-accumulate window values
@@ -156,7 +157,7 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "text_bigram_lm_kneser_ney",
     "udtf_table_arg_streaks",
     "win_ignore_nulls_battery",
-    # --- (3) the 32 alphabetically-first of the 42 r8-era rows
+    # --- (3) the 31 alphabetically-first of the 42 r8-era rows
     "agg_group_by_all",
     "agg_listagg_segment_nations",
     "dq_benford_screen",
@@ -188,7 +189,6 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
     "scalar_interval_arith",
     "scalar_url_parse_battery",
     "scalar_variant_events",
-    "set_union_by_name",
 )
 
 # Names owed to the NEXT round's window (rotated out of the 50 slots by
@@ -196,11 +196,13 @@ DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
 # silently forgotten (r14 ADVICE): tests assert these are registered,
 # disjoint from the current window, and re-inserted next round.
 DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
-    # the 10 r8-era tail rows the r16 window's re-checks displaced
-    # (sql_pipe_revenue_by_flag, stats_anova_oneway and
-    # stats_corr_regression yielded their slots to the late-session
-    # pipeline_perplexity_buckets, stream_quality_classifier and
-    # text_winnowing_fingerprints — the DSIR/BM25 slot-swap precedent)
+    # the 11 r8-era tail rows the r16 window's re-checks displaced
+    # (set_union_by_name, sql_pipe_revenue_by_flag, stats_anova_oneway
+    # and stats_corr_regression yielded their slots to the late-session
+    # pipeline_perplexity_buckets, stream_quality_classifier,
+    # text_winnowing_fingerprints and dedup_winnowing_pairs — the
+    # DSIR/BM25 slot-swap precedent)
+    "set_union_by_name",
     "sql_pipe_revenue_by_flag",
     "stats_anova_oneway",
     "stats_corr_regression",

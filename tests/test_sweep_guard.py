@@ -692,6 +692,16 @@ def test_documented_probe_ratios_match_committed_artifacts():
             "text_winnowing_fingerprints",
             r"winnowing 10x \*\*[\d.]+x\*\* and 30x\s+\*\*([\d.]+)x\*\*",
         ),
+        (
+            "SCALEPROBE_r16.json",
+            "dedup_winnowing_pairs",
+            r"winnowing pairs 10x \*\*([\d.]+)x\*\* and 30x \*\*[\d.]+x\*\*",
+        ),
+        (
+            "SCALEPROBE30X_r16.json",
+            "dedup_winnowing_pairs",
+            r"winnowing pairs 10x \*\*[\d.]+x\*\* and 30x \*\*([\d.]+)x\*\*",
+        ),
     ]
     for artifact, qname, rx in claims:
         m = re.search(rx, body)
