@@ -634,6 +634,17 @@ def _bpe_train_vocab(
     cur.count()
 
     merges: list[tuple[int, str, str, str, int]] = []
+    # Round-r action budget (r16 optimization): ONE driver action per round
+    # — the 1-row argmax collect. The eager nxt.count() each round was a
+    # second materializing job whose only purpose was letting cur unpersist
+    # immediately; instead each round's collect doubles as the materializer
+    # of the PREVIOUS round's vocab (persist substitution happens on the
+    # analyzed plan, so the per-round persist still stops CollapseProject
+    # from re-inlining the merge HOFs exponentially), and the grandparent
+    # cache — no longer reachable once the parent is materialized — is
+    # released one round late. Peak cache: 3 vocab-sized frames instead
+    # of 2; actions: k+1 instead of 2k.
+    grandparent: DataFrame | None = None
     for rank in range(1, k + 1):
         pairs = cur.select(
             "freq",
@@ -653,18 +664,26 @@ def _bpe_train_vocab(
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
-            .collect()  # bounded: exactly one merge rule
+            .collect()  # bounded: exactly one merge rule; also fills the
+            # parent vocab's cache (its first action)
         )
+        if grandparent is not None:
+            grandparent.unpersist()
         if not top:
+            grandparent = None
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
         nxt = cur.select(
             "word", "freq", F.expr(_merge_expr(a, b)).alias("s")
         ).persist()
-        nxt.count()
-        cur.unpersist()
+        grandparent = cur
         cur = nxt
+    # Materialize the final vocab once so the last live ancestor can be
+    # released before return (the caller owns only ``cur``).
+    if grandparent is not None:
+        cur.count()
+        grandparent.unpersist()
     return merges, cur
 
 

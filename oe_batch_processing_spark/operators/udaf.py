@@ -39,18 +39,27 @@ SLOPE_SCHEMA = StructType(
 )
 
 
-def _slope_group(pdf):
-    import pandas as pd
-
-    # integer minutes since the user's first event; integer cents of value —
-    # Python ints => exact, order-independent moments
-    ts = pdf["ts_us"].astype("int64")
-    x = ((ts - ts.min()) // 60_000_000).tolist()
-    y = pdf["y_cents"].astype("int64").tolist()
-    n = len(x)
-    sx, sy = sum(x), sum(y)
-    sxx = sum(v * v for v in x)
-    sxy = sum(a * b for a, b in zip(x, y))
+def _slope_from_arrays(ts, yv):
+    """(n, slope) from a single user's int64 ts_us / y_cents arrays —
+    exact, order-independent moments. The four sums run as vectorized
+    int64 reductions when a per-group bound PROVES no int64 overflow is
+    possible (n * max|term| < 2^62); the sums convert back to Python
+    ints so the closed form is arbitrary-precision either way. Groups
+    that could overflow (astronomical spans) fall back to the Python-int
+    loop — bit-identical results (r16, guide §4.2)."""
+    xv = (ts - ts.min()) // 60_000_000
+    n = len(xv)
+    xm = int(xv.max(initial=0))
+    ym = max(int(yv.max(initial=0)), -int(yv.min(initial=0)))
+    if n * max(xm * xm, xm * ym, xm, ym) < (1 << 62):
+        sx, sy = int(xv.sum()), int(yv.sum())
+        sxx = int((xv * xv).sum())
+        sxy = int((xv * yv).sum())
+    else:
+        x, y = xv.tolist(), yv.tolist()
+        sx, sy = sum(x), sum(y)
+        sxx = sum(v * v for v in x)
+        sxy = sum(a * b for a, b in zip(x, y))
     denom = n * sxx - sx * sx
     if denom == 0:
         slope = None
@@ -58,9 +67,57 @@ def _slope_group(pdf):
         # fixed op order: int->double conversions then one expression,
         # mirrored exactly in the SQL oracle
         slope = (float(n * sxy) - float(sx * sy)) / float(denom)
+    return n, slope
+
+
+def _slope_group(pdf):
+    """Grouped-map form of the slope kernel (the applyInPandas template;
+    kept for the extension-point doc and tests — the query itself uses
+    the partition-level form below, see udaf_user_value_trend)."""
+    import pandas as pd
+
+    n, slope = _slope_from_arrays(
+        pdf["ts_us"].to_numpy(dtype="int64", copy=False),
+        pdf["y_cents"].to_numpy(dtype="int64", copy=False),
+    )
     return pd.DataFrame(
         {"user_id": [int(pdf["user_id"].iloc[0])], "n": [n], "slope_per_min": [slope]}
     )
+
+
+def _slope_partition(batches):
+    """Partition-level slope kernel: one pandas groupby per shuffled
+    partition instead of one Python invocation + Arrow->pandas conversion
+    PER GROUP. Measured at sf0.1 (1,500 users x ~67 events): the
+    applyInPandas dispatch alone (trivial kernel) cost 3.8 s while this
+    shape runs the FULL exact kernel in 0.6 s — the per-group conversion
+    overhead, not the moment math, was the row's entire cost. Batches of
+    one partition are concatenated (a user's rows may span Arrow batches);
+    memory is one partition of 3-column rows, the same order as what the
+    grouped form holds for its largest group."""
+    import pandas as pd
+
+    parts = list(batches)
+    if not parts:  # empty partition (more partitions than groups at tiny SF)
+        return
+    pdf = pd.concat(parts, ignore_index=True)
+    if len(pdf) == 0:
+        return
+    users, ns, slopes = [], [], []
+    for uid, sub in pdf.groupby("user_id", sort=False):
+        n, slope = _slope_from_arrays(
+            sub["ts_us"].to_numpy(dtype="int64", copy=False),
+            sub["y_cents"].to_numpy(dtype="int64", copy=False),
+        )
+        users.append(int(uid))
+        ns.append(n)
+        slopes.append(slope)
+    out = pd.DataFrame(
+        {"user_id": users, "n": ns, "slope_per_min": slopes}
+    )
+    out["n"] = out["n"].astype("int32")
+    out["slope_per_min"] = out["slope_per_min"].astype("float64")
+    yield out
 
 
 @query(
@@ -94,14 +151,29 @@ def _slope_group(pdf):
     """,
 )
 def udaf_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user least-squares slope of event value (cents) per minute,
-    computed as a grouped-map Pandas UDAF with exact integer moments."""
+    """Per-user least-squares slope of event value (cents) per minute — a
+    custom Python aggregate with exact integer moments.
+
+    Execution shape (r16 optimization, guide §4.1/§4.2): an explicit
+    hash repartition on the group key followed by ``mapInPandas`` running
+    ONE pandas groupby per partition. The original
+    ``groupBy().applyInPandas`` form pays one Python call + one
+    Arrow->pandas conversion PER GROUP, which on many-small-groups data
+    is the whole cost (measured at sf0.1: 3.8 s for a trivial per-group
+    kernel vs 0.6 s for this shape running the full exact kernel — the
+    shuffle itself is 0.25 s). Same exchange on user_id, same exact
+    moments, identical output relation; the grouped-map template lives on
+    in ``_slope_group`` and the applyInPandas surface in the
+    timeseries/multimodal operators, where groups are few and large."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") * 100).cast("long").alias("y_cents"),
     )
-    return e.groupBy("user_id").applyInPandas(_slope_group, schema=SLOPE_SCHEMA)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return e.repartition(n_part, "user_id").mapInPandas(
+        _slope_partition, schema=SLOPE_SCHEMA
+    )
 
 
 @query(
