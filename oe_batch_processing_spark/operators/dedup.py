@@ -290,6 +290,14 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expanded (member-level) MinHash-LSH pair relation — rep-level
+    verified pairs (:func:`minhash_rep_pairs`) through the standard
+    membership expansion."""
+    groups, rep_pairs = minhash_rep_pairs(spark, sf_dir)
+    return expand_rep_pairs(groups, rep_pairs, "jaccard", F.lit(1.0))
+
+
+def minhash_rep_pairs(spark: SparkSession, sf_dir: str):
     """MinHash-LSH near-dup candidate pairs verified by true Jaccard >= 0.8.
 
     Pipeline (all signature math is JVM array expressions — no explode
@@ -398,7 +406,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.8)
     )
-    return expand_rep_pairs(groups, rep_pairs, "jaccard", F.lit(1.0))
+    return groups, rep_pairs
 
 
 @query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
@@ -431,12 +439,15 @@ def lsh_dedup(
     (O(diameter) rounds of join + groupBy on the pairs — tiny relative to
     the corpus) after the same LSH candidate generation.
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir)
     if emit == "pairs":
-        return pairs
+        return minhash_lsh_pairs(spark, sf_dir)
     if emit != "clusters":
         raise ValueError(f"emit must be 'pairs' or 'clusters', got {emit!r}")
-    return cluster_summaries(pairs)
+    # clusters mode never builds the member-level pair relation: CC runs on
+    # the rep graph and membership expands once, after labeling (r16 —
+    # see rep_cluster_summaries for the equivalence argument).
+    groups, rep_pairs = minhash_rep_pairs(spark, sf_dir)
+    return rep_cluster_summaries(groups, rep_pairs, trigram_clique_reps(groups))
 
 
 def cluster_summaries(pairs: DataFrame) -> DataFrame:
@@ -462,6 +473,119 @@ def cluster_summaries(pairs: DataFrame) -> DataFrame:
             f"{LSH_CLUSTER_SAMPLE_K}), x -> CAST(x AS STRING)), ',')"
         ).alias("sample_members"),
     )
+
+
+_CC_DRIVER_EDGES = 100_000  # rep-level edge count below which the component
+# labeling solves driver-side: union-find over <= ~1.6 MB of id pairs in one
+# bounded collect (the limit() probe caps what can ever reach the driver),
+# replacing O(diameter) LPA rounds of real Spark jobs on a graph whose total
+# work is microseconds. Above the cap the distributed cc_labels loop runs
+# unchanged — the 100 TB path. Same size-adaptive pattern as cc_labels'
+# 1-partition/no-AQE small-graph mode, taken to its conclusion.
+
+
+def _cc_labels_adaptive(pairs: DataFrame) -> DataFrame:
+    """(doc, lbl = min id in component) over an undirected pair relation,
+    choosing the kernel by graph size: a driver union-find below
+    ``_CC_DRIVER_EDGES`` edges (one bounded collect, zero iterative jobs),
+    the distributed min-label-propagation loop (:func:`cc_labels`) above.
+    Both kernels produce the identical labeling (min member id per
+    component), checked by the same transitive-closure oracles."""
+    spark = pairs.sparkSession
+    # Materialize the pair relation with a fully-parallel count before
+    # deciding the kernel (a limit().collect() probe would evaluate the
+    # expensive upstream's final stage in sequential CollectLimit waves —
+    # the first wave is ONE task). The collect below reads the cache.
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    if n_pairs > _CC_DRIVER_EDGES:
+        return cc_labels(pairs)  # cc_labels re-uses the cache and releases it
+    probe = pairs.collect()
+    pairs.unpersist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in probe:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union-by-min: every tree root is the minimum id ever merged
+            # into it, so after the pass find(x) IS the component minimum.
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, "doc long, lbl long")
+
+
+def rep_cluster_summaries(
+    groups: DataFrame, rep_pairs: DataFrame, clique_reps: DataFrame
+) -> DataFrame:
+    """Cluster summaries computed at the CONTENT-REPRESENTATIVE level — an
+    exact rewrite of ``cluster_summaries(<expanded member-level pairs>)``
+    that never materializes the member-level pair relation (r16).
+
+    Equivalence: the expanded pair graph is the rep graph with every
+    content group blown up into a clique (within-group pairs) and complete
+    bipartite links between adjacent groups (cross-group expansion emits
+    every (member_a, member_b) combination). Contracting each clique back
+    to its representative is therefore a bijection on connected
+    components; the member-level component minimum equals the rep-level
+    component minimum because each group's representative IS its minimum
+    member id. So: run CC over the (tiny) rep pair graph, add the gated
+    size>=2 groups that pair only within themselves (``clique_reps``) as
+    singleton components, and expand membership once, after labeling.
+    The summary row (representative = min member, member_count,
+    sample_members over ALL members) is then identical row-for-row.
+
+    What this removes at scale: the CC input was OUTPUT-sized — on
+    replica-heavy corpora the within-group pair lists grow with the
+    SQUARE of duplicate-class size (the same term the round-13 content
+    collapse removed from the pair aggregates, still present in the
+    clusters consumers' CC stage until now). The rep graph scales with
+    distinct near-dup classes instead.
+
+    ``clique_reps``: (rep_id) rows for size>=2 groups passing the
+    family's within-pair gate (trigram floor / >=10 shingles / self-
+    cosine threshold) — their members pair pairwise even when the rep has
+    no cross-group pair, so they must appear as components.
+    """
+    edges = rep_pairs.select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
+    labels = _cc_labels_adaptive(edges)
+    iso = clique_reps.join(
+        labels, clique_reps["rep_id"] == labels["doc"], "left_anti"
+    ).select(F.col("rep_id").alias("doc"), F.col("rep_id").alias("lbl"))
+    all_lbl = labels.unionByName(iso)
+    members = groups.join(all_lbl, groups["rep_id"] == all_lbl["doc"]).select(
+        "lbl", F.explode("members").alias("doc")
+    )
+    return members.groupBy(F.col("lbl").alias("representative")).agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.expr(
+            f"array_join(transform(slice(array_sort(collect_list(doc)), 1, "
+            f"{LSH_CLUSTER_SAMPLE_K}), x -> CAST(x AS STRING)), ',')"
+        ).alias("sample_members"),
+    )
+
+
+def trigram_clique_reps(groups: DataFrame) -> DataFrame:
+    """The jaccard-family within-pair gate at rep level: size>=2 groups
+    whose text has at least one word trigram (``expand_rep_pairs``'s
+    default ``min_tokens=3``)."""
+    return groups.filter(
+        (F.size("members") >= 2) & (F.size(F.split("text", " ")) >= 3)
+    ).select("rep_id")
 
 
 def clusters_oracle(pairs_sql: str) -> str:
@@ -539,6 +663,16 @@ _SIMHASH_ORACLE = """
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expanded (member-level) SimHash pair relation — rep-level
+    verified pairs (:func:`simhash_rep_pairs`) through the standard
+    membership expansion."""
+    groups, rep_pairs = simhash_rep_pairs(spark, sf_dir)
+    return expand_rep_pairs(
+        groups, rep_pairs, "hamming", F.lit(0).cast("int")
+    )
+
+
+def simhash_rep_pairs(spark: SparkSession, sf_dir: str):
     """SimHash near-dup pairs: 64-bit weighted-majority fingerprint over
     md5-derived shingle-feature bits; pairs with hamming distance <= 6.
 
@@ -639,9 +773,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
-    return expand_rep_pairs(
-        groups, rep_pairs, "hamming", F.lit(0).cast("int")
-    )
+    return groups, rep_pairs
 
 
 @query("dedup_simhash_clusters", oracle=clusters_oracle(_SIMHASH_ORACLE))
@@ -654,8 +786,12 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the recursive transitive-closure CTE wrapped around the
     FULL SimHash pair SQL by :func:`clusters_oracle` — a single wrong
     fingerprint BIT anywhere changes some pair, hence some component,
-    hence the hash."""
-    return cluster_summaries(dedup_simhash(spark, sf_dir))
+    hence the hash. CC runs on the rep graph (r16); the within-pair gate
+    at rep level is the trigram floor — identical texts share every
+    fingerprint chunk, so hamming 0 <= 6 admits every size>=2 group that
+    produces a fingerprint at all."""
+    groups, rep_pairs = simhash_rep_pairs(spark, sf_dir)
+    return rep_cluster_summaries(groups, rep_pairs, trigram_clique_reps(groups))
 
 
 # True-components oracle: recursive-CTE transitive closure over the
@@ -903,44 +1039,17 @@ _EMB_COSINE_ORACLE = f"""
 """
 
 
-@query("dedup_embedding_cosine", oracle=_EMB_COSINE_ORACLE)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dedup: semantic duplicate pairs (cosine >=
-    threshold over the documents' embedding vectors) with a canonical
-    keep/drop decision — keep the LONGER document (n_chars), ties to the
-    smaller doc_id (the pair is ordered id_a < id_b, so `ELSE id_a` is the
-    tie branch in both engines).
-
-    Exactness: vectors are quantized ONCE per row to 1e-4-resolution BIGINT
-    arrays (identical ROUND in both engines); every pair dot product is then
-    a pure int64 sum — exact and order-free — so both engines produce
-    bit-identical cosines and the threshold selects identical pairs.
-
-    Scale shape: the all-pairs ground truth runs as a GRID BLOCK JOIN over
-    CONTENT REPRESENTATIVES, not a nested-loop: vectors first collapse by
-    identical quantized array (rep = min vec_id per distinct ``qe`` — an
-    exact-dedup groupBy; cosine depends only on the two quantized arrays,
-    so the rep-level value carries to every member pair verbatim), then
-    each rep side explodes G block keys so every rep pair meets exactly
-    once in one of G² hash-join cells. Rep pairs expand back to vec-level
-    pairs through two membership joins, plus the within-group pairs of
-    identical vectors (cosine = sumsq/1e8 / nrm², the SAME IEEE expression
-    the pair path evaluates — not a 1.0 literal — so the emitted doubles
-    are bit-identical). The grid join keeps the per-pair dot product (a
-    flat 64-term int multiply-add) inside whole-stage codegen — a
-    BroadcastNestedLoopJoin variant ran ~10× slower because nothing
-    downstream of BNLJ is code-generated — and spreads the O(D²/2) work
-    (D = distinct contents) across G² tasks instead of one; on a
-    replica-heavy corpus the quadratic term scales with distinct vectors,
-    not corpus size. The keep/drop decision is per-DOCUMENT (n_chars
-    differs inside a content group), so it applies after expansion, on the
-    member-level pairs. At 100 TB the candidate generator swaps for the
-    LSH bucketer (similarity_topk_lsh) or IVF cells with THIS exact
-    rescore + keep-rule applied only inside buckets; pairs then feed
-    dedup_connected_components for cluster-level canonicalization.
-    """
+def cosine_rep_pairs(spark: SparkSession, sf_dir: str):
+    """Rep-level embedding-cosine pairs — the grid-block-join half of
+    ``dedup_embedding_cosine``. Returns ``(groups, rep_pairs, clique)``:
+    vec groups keyed on the quantized array (rep = min vec_id),
+    rep pairs (rep_a, rep_b, cosine >= threshold), and the size>=2
+    groups whose SELF-cosine passes the threshold — (rep_id, members,
+    cos_self), the within-pair admission set. The self cosine is the
+    pair path's exact IEEE expression (sumsq/1e8 divided by nrm*nrm —
+    sqrt(s)^2 is not always s in float64, so a 1.0 literal would NOT be
+    bit-identical; an all-zero vector folds to NULL, never 1.0)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     qe = F.expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4) AS BIGINT))")
     sumsq = F.expr("aggregate(qe, 0L, (acc, x) -> acc + x * x)")
     nrm = F.sqrt(sumsq / F.lit(1e8))
@@ -996,6 +1105,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )
+    cos_self = (sumsq / F.lit(1e8)) / (nrm * nrm)
+    clique = (
+        groups.filter(F.size("members") >= 2)
+        .select("rep_id", "members", cos_self.alias("cos_self"))
+        .filter(F.col("cos_self") >= EMB_DUP_THRESHOLD)
+    )
+    return groups, rep_pairs, clique
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COSINE_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: semantic duplicate pairs (cosine >=
+    threshold over the documents' embedding vectors) with a canonical
+    keep/drop decision — keep the LONGER document (n_chars), ties to the
+    smaller doc_id (the pair is ordered id_a < id_b, so `ELSE id_a` is the
+    tie branch in both engines).
+
+    Exactness: vectors are quantized ONCE per row to 1e-4-resolution BIGINT
+    arrays (identical ROUND in both engines); every pair dot product is then
+    a pure int64 sum — exact and order-free — so both engines produce
+    bit-identical cosines and the threshold selects identical pairs.
+
+    Scale shape: the all-pairs ground truth runs as a GRID BLOCK JOIN over
+    CONTENT REPRESENTATIVES, not a nested-loop: vectors first collapse by
+    identical quantized array (rep = min vec_id per distinct ``qe`` — an
+    exact-dedup groupBy; cosine depends only on the two quantized arrays,
+    so the rep-level value carries to every member pair verbatim), then
+    each rep side explodes G block keys so every rep pair meets exactly
+    once in one of G² hash-join cells. Rep pairs expand back to vec-level
+    pairs through two membership joins, plus the within-group pairs of
+    identical vectors (cosine = sumsq/1e8 / nrm², the SAME IEEE expression
+    the pair path evaluates — not a 1.0 literal — so the emitted doubles
+    are bit-identical). The grid join keeps the per-pair dot product (a
+    flat 64-term int multiply-add) inside whole-stage codegen — a
+    BroadcastNestedLoopJoin variant ran ~10× slower because nothing
+    downstream of BNLJ is code-generated — and spreads the O(D²/2) work
+    (D = distinct contents) across G² tasks instead of one; on a
+    replica-heavy corpus the quadratic term scales with distinct vectors,
+    not corpus size. The keep/drop decision is per-DOCUMENT (n_chars
+    differs inside a content group), so it applies after expansion, on the
+    member-level pairs. At 100 TB the candidate generator swaps for the
+    LSH bucketer (similarity_topk_lsh) or IVF cells with THIS exact
+    rescore + keep-rule applied only inside buckets; pairs then feed
+    dedup_connected_components for cluster-level canonicalization.
+    """
+    groups, rep_pairs, _clique = cosine_rep_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     # Expansion 1/2 — cross-group: cosine is content-determined, so the
     # rep-level value carries to every (member_a, member_b) pair verbatim;
     # reorder to (min, max) since group vec_ids interleave. (Swapping the
@@ -1019,16 +1175,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
-    # Expansion 2/2 — within-group: identical quantized vectors. The self
-    # cosine is evaluated with the pair path's exact IEEE expression
-    # (sumsq/1e8 divided by nrm*nrm — sqrt(s)² is not always s in float64,
-    # so a 1.0 literal would NOT be bit-identical), and the threshold
-    # filter still applies (an all-zero vector folds to NULL, never 1.0).
-    cos_self = (sumsq / F.lit(1e8)) / (nrm * nrm)
+    # Expansion 2/2 — within-group: identical quantized vectors, at the
+    # self-cosine the rep function computed with the pair path's exact
+    # IEEE expression (see cosine_rep_pairs — a 1.0 literal would NOT be
+    # bit-identical; zero vectors fold to NULL and fail the threshold).
     within = (
-        groups.filter(F.size("members") >= 2)
-        .select(cos_self.alias("cosine"), "members")
-        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        _clique
+        .select(F.col("cos_self").alias("cosine"), "members")
         .select(
             F.explode(
                 F.expr(
@@ -1078,11 +1231,17 @@ def dedup_embedding_cosine_clusters(
     output grows with the SQUARE of semantic-duplicate cluster size, the
     summary is linear in the corpus — the thing a 100 TB semantic-dedup
     job actually writes. Oracle: the same transitive-closure-per-component
-    CTE wrapped around the cosine pair oracle verbatim."""
-    pairs = dedup_embedding_cosine(spark, sf_dir).select(
-        F.col("doc_keep").alias("doc_a"), F.col("doc_drop").alias("doc_b")
-    )
-    return cluster_summaries(pairs)
+    CTE wrapped around the cosine pair oracle verbatim.
+
+    CC runs on the rep graph (r16 — rep_cluster_summaries): the pair
+    query's keep/drop reorder and n_chars join are irrelevant to the
+    component structure (undirected graph, vec_id == doc_id one-to-one
+    by the corpus contract — the same totality the oracle's inner doc
+    join relies on), so the member-level pair relation never needs to
+    exist here; the clique admission set is the size>=2 groups whose
+    self-cosine passes the threshold."""
+    groups, rep_pairs, clique = cosine_rep_pairs(spark, sf_dir)
+    return rep_cluster_summaries(groups, rep_pairs, clique)
 
 
 # Containment (asymmetric Jaccard): |A ∩ B| / |A|. Near-SUBSET duplication —
@@ -1146,6 +1305,63 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     path applies unchanged (MinHash estimates containment via J and the
     two set sizes, both already in the signature join).
     """
+    groups, rep_pairs, _clique = containment_rep_pairs(spark, sf_dir)
+    membership = groups.select(
+        F.col("rep_id"), F.explode("members").alias("doc_id")
+    )
+    ma = membership.select(
+        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
+    )
+    # Reorder each expanded pair to (min, max); the direction ratios are
+    # role-bound (numerator side), so they swap exactly when the reorder
+    # swaps which member carries rep_a's content.
+    flip = F.col("da") > F.col("db")
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            F.when(flip, F.col("ppm_b")).otherwise(F.col("ppm_a")).alias("cont_a_in_b_ppm"),
+            F.when(flip, F.col("ppm_a")).otherwise(F.col("ppm_b")).alias("cont_b_in_a_ppm"),
+        )
+    )
+    # Within-group: identical texts share the shingle set, so n_common =
+    # na = nb and both ratios floor-divide to exactly 1,000,000 ppm — iff
+    # the content clears the min-10 distinct-shingle gate (texts under 3
+    # words have no counts row and are dropped by the inner join, exactly
+    # as they never enter the shingle relation in the per-doc form).
+    within = (
+        groups.join(_clique, "rep_id")
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(members, "
+                    "x -> transform(members, y -> struct(x, y)))), "
+                    "p -> p.x < p.y)"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.x").alias("doc_a"),
+            F.col("p.y").alias("doc_b"),
+            F.lit(1000000).cast("long").alias("cont_a_in_b_ppm"),
+            F.lit(1000000).cast("long").alias("cont_b_in_a_ppm"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def containment_rep_pairs(spark: SparkSession, sf_dir: str):
+    """Rep-level containment pairs — the shared quadratic half of
+    ``dedup_shingle_containment``. Returns ``(groups, rep_pairs,
+    clique_reps)``: content groups, rep pairs (rep_a, rep_b, ppm_a,
+    ppm_b) passing the min-10 / 0.8 gates, and the size>=2 groups whose
+    content clears the min-10 distinct-shingle gate (the within-pair
+    admission set)."""
     docs = load_table(spark, sf_dir, "documents")
     groups = content_rep_groups(docs)
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
@@ -1180,55 +1396,15 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_common) div nb").alias("ppm_b"),
         )
     )
-    membership = groups.select(
-        F.col("rep_id"), F.explode("members").alias("doc_id")
-    )
-    ma = membership.select(
-        F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")
-    )
-    mb = membership.select(
-        F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")
-    )
-    # Reorder each expanded pair to (min, max); the direction ratios are
-    # role-bound (numerator side), so they swap exactly when the reorder
-    # swaps which member carries rep_a's content.
-    flip = F.col("da") > F.col("db")
-    cross = (
-        rep_pairs.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            F.when(flip, F.col("ppm_b")).otherwise(F.col("ppm_a")).alias("cont_a_in_b_ppm"),
-            F.when(flip, F.col("ppm_a")).otherwise(F.col("ppm_b")).alias("cont_b_in_a_ppm"),
-        )
-    )
-    # Within-group: identical texts share the shingle set, so n_common =
-    # na = nb and both ratios floor-divide to exactly 1,000,000 ppm — iff
-    # the content clears the min-10 distinct-shingle gate (texts under 3
-    # words have no counts row and are dropped by the inner join, exactly
-    # as they never enter the shingle relation in the per-doc form).
-    rep_counts = counts.withColumnRenamed("doc_id", "rep_id")
-    within = (
+    clique_reps = (
         groups.filter(F.size("members") >= 2)
-        .join(rep_counts.filter(F.col("n") >= 10), "rep_id")
-        .select(
-            F.explode(
-                F.expr(
-                    "filter(flatten(transform(members, "
-                    "x -> transform(members, y -> struct(x, y)))), "
-                    "p -> p.x < p.y)"
-                )
-            ).alias("p")
+        .join(
+            counts.filter(F.col("n") >= 10).withColumnRenamed("doc_id", "rep_id"),
+            "rep_id",
         )
-        .select(
-            F.col("p.x").alias("doc_a"),
-            F.col("p.y").alias("doc_b"),
-            F.lit(1000000).cast("long").alias("cont_a_in_b_ppm"),
-            F.lit(1000000).cast("long").alias("cont_b_in_a_ppm"),
-        )
+        .select("rep_id")
     )
-    return cross.unionByName(within)
+    return groups, rep_pairs, clique_reps
 
 
 @query(
@@ -1243,12 +1419,12 @@ def dedup_shingle_containment_clusters(
     boilerplate/template families collapse into single summary rows
     (representative = min member, member_count, sample_members) instead
     of a pair list that grows quadratically with family size. Fourth
-    instantiation of the generic ``cluster_summaries``/``clusters_oracle``
-    halves (after LSH, SimHash, and embedding-cosine); the containment
-    pair oracle passes through verbatim since it already emits
-    doc_a/doc_b."""
-    pairs = dedup_shingle_containment(spark, sf_dir).select("doc_a", "doc_b")
-    return cluster_summaries(pairs)
+    instantiation of the clusters emit mode; the containment pair oracle
+    passes through verbatim since it already emits doc_a/doc_b. CC runs
+    on the rep graph with the min-10-shingle within-gate as the clique
+    admission set (r16 — see rep_cluster_summaries)."""
+    groups, rep_pairs, clique_reps = containment_rep_pairs(spark, sf_dir)
+    return rep_cluster_summaries(groups, rep_pairs, clique_reps)
 
 
 @query(
