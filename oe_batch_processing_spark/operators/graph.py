@@ -45,35 +45,25 @@ def _cosupply_pairs(li: DataFrame) -> DataFrame:
     sets = li.groupBy("l_partkey").agg(
         F.array_sort(F.collect_set("l_suppkey")).alias("ss")
     )
-    # The candidate pair rides the dedup exchange PACKED into one BIGINT
-    # (a << 32 | b — suppkeys are positive ints): the distinct's hash
-    # aggregate then keys on a single word instead of a two-field row,
-    # which measured ~20% off the whole build at sf0.1 (8.7M candidates →
-    # 0.5M pairs; noop-timed 4.8 s struct-distinct vs 3.8 s packed). The
-    # unpack after the distinct is a narrow projection of the deduped rows
-    # only. Shuffle bytes shrink the same way (8 bytes vs a 2-int row).
-    # Key-domain contract: suppkeys are positive and < 2^31 (TPC-H keys
-    # stay 32-bit far past 100 TB; the a < b pair order means b's 32 low
-    # bits never borrow into a's half).
+    # NOTE (r16): packing the candidate pair into one BIGINT (a << 32 | b)
+    # before the distinct measured ~20% off the build at sf0.1 (single-word
+    # hash-agg keys), but was REVERTED: the decode is only exact for keys
+    # < 2^32, and the scale-probe corpora key-shift replicas by r * 1e9 —
+    # suppkeys reach ~3e10 at 30x, where the unpack silently corrupts the
+    # pair relation. A struct row is the id-domain-safe form.
     combos = F.flatten(
         F.transform(
             F.col("ss"),
             lambda e, i: F.transform(
                 F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
-                lambda other: F.shiftleft(e.cast("long"), 32) + other,
+                lambda other: F.struct(e.alias("a"), other.alias("b")),
             ),
         )
     )
-    dtype = dict(li.dtypes)["l_suppkey"]
     return (
-        sets.select(F.explode(combos).alias("ab"))
+        sets.select(F.explode(combos).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
-        .select(
-            F.shiftright("ab", 32).cast(dtype).alias("a"),
-            (F.col("ab") - F.shiftleft(F.shiftright("ab", 32), 32))
-            .cast(dtype)
-            .alias("b"),
-        )
     )
 
 _PR_ORACLE = f"""
