@@ -454,46 +454,59 @@ def stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(out_path)  # schema anchor
 
         seen = {"batches": 0, "rows": 0}
+        # Per-batch content collapse GATED at the batch twin's QC_REP_MIN_N
+        # (r16 — it was always-on): class scores read only the text, so on
+        # replica-heavy corpora (the 30x probe's key-shifted duplicates)
+        # the collapse turns per-doc tokenize/hash cost into per-content
+        # cost — a strict regrouping. But below the gate (every committed
+        # SF, near-dup-free) the collapse is pure overhead: a text-keyed
+        # shuffle + collect_list + membership-expand join PER MICRO-BATCH
+        # for no dedup gain (measured ~-1 s of the 4-batch stream section
+        # at sf0.1). The same metadata-only footer gate as the batch twin
+        # picks the path once, before the stream starts; the shared DuckDB
+        # oracle checks the flat path directly at the committed SFs and
+        # the collapsed path rides the probe corpora — the family
+        # convention (DSIR/leakage/BM25) exactly.
+        from oe_batch_processing_spark.operators.pipeline import QC_REP_MIN_N
+        from oe_batch_processing_spark.tables import table_row_count
 
-        def score(batch_df: DataFrame, batch_id: int) -> None:
-            b = batch_df.persist()  # three consumers: reps, expand, project
-            # per-batch content collapse, ALWAYS-ON (the contamination-
-            # screen precedent): class scores read only the text, so the
-            # tokenize/hash/score stage runs once per DISTINCT batch text
-            # and every member receives the identical row — a strict
-            # regrouping with no truncation subtleties, and the term that
-            # turns replica-heavy corpora (the 30x probe's key-shifted
-            # duplicates) from per-doc to per-content hashing cost.
-            reps = b.groupBy("text").agg(
-                F.min("doc_id").alias("rep_id"),
-                F.collect_list("doc_id").alias("members"),
-            ).persist()
-            db = (
-                reps.select(
-                    "rep_id", F.expr(_DSIR_WS_EXPR).alias("ws")
-                )
+        collapse = table_row_count(sf_dir, "documents") >= QC_REP_MIN_N
+
+        def _bucket_counts(frame: DataFrame, key: str) -> DataFrame:
+            return (
+                frame.select(key, F.expr(_DSIR_WS_EXPR).alias("ws"))
+                .select(key, F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f"))
                 .select(
-                    "rep_id",
-                    F.explode(F.expr(_DSIR_FEATS_EXPR)).alias("f"),
-                )
-                .select(
-                    "rep_id",
+                    key,
                     F.conv(F.substring(F.md5("f"), 1, 2), 16, 10)
                     .cast("int")
                     .alias("b"),
                 )
-                .groupBy("rep_id", "b")
+                .groupBy(key, "b")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            top = (
-                reps.select("rep_id", F.explode("members").alias("doc_id"))
-                .join(_qc_top(db, wts, "rep_id"), "rep_id")
-                .drop("rep_id")
-            )
+
+        def score(batch_df: DataFrame, batch_id: int) -> None:
+            b = batch_df.persist()  # >= 2 consumers: bucket counts, project
+            if collapse:
+                reps = b.groupBy("text").agg(
+                    F.min("doc_id").alias("rep_id"),
+                    F.collect_list("doc_id").alias("members"),
+                ).persist()
+                db = _bucket_counts(reps, "rep_id")
+                top = (
+                    reps.select("rep_id", F.explode("members").alias("doc_id"))
+                    .join(_qc_top(db, wts, "rep_id"), "rep_id")
+                    .drop("rep_id")
+                )
+            else:
+                reps = None
+                top = _qc_top(_bucket_counts(b, "doc_id"), wts, "doc_id")
             out = _qc_project(b, top, classes)
             out.write.mode("append").parquet(out_path)
             seen["batches"] += 1
-            reps.unpersist()
+            if reps is not None:
+                reps.unpersist()
             b.unpersist()
 
         stream = (
