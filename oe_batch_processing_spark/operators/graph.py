@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oe_batch_processing_spark.registry import query
-from oe_batch_processing_spark.tables import load_table
+from oe_batch_processing_spark.tables import load_table, table_row_count
 
 PR_ITERS = 3
 PR_TOP = 20
@@ -508,6 +508,9 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LPA_ITERS = 3
+_LPA_BCAST_MAX_NODES = 1_000_000  # ~16 MB of (u, lbl) rows — broadcast the
+# label frame below this; above it (the 100 TB regime) the per-round join
+# falls back to shuffled-hash with labels as build side
 
 # one LPA round in SQL: neighbors vote their current label; each node takes
 # the most common neighbor label, ties to the smallest label id.
@@ -564,18 +567,37 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-node top-1 uses the window group-limit pushdown.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    pairs = _cosupply_pairs(li)
-    # The adjacency list feeds every BSP round (and the round-k label frame
-    # chains back through round k-1's join): without a persist the pair
-    # self-join would recompute 3x inside one action. Cache it once — this
-    # IS the Pregel pattern (static edges cached, labels iterate).
+    # r16 shape fixes (guide §2.4/§3.1/§5): (a) the PERSIST moved from the
+    # symmetric closure onto the one-directional pair relation — the old
+    # nbrs = pairs ∪ reverse(pairs) cache fill evaluated the whole
+    # collect_set + explode + distinct subtree TWICE (one per union
+    # branch); now the union is two scans of the 500k-row pair cache,
+    # re-derived per use for free. (b) Each round joins the |V|-row LABEL
+    # frame to the |E|-row edge list — below the metadata-only footer
+    # gate the label frame is explicitly BROADCAST (the side that fits:
+    # |V| = suppliers, 16 bytes/row; the edge list never moves — the
+    # previous plan let the size estimator broadcast the FULL |E|-row
+    # edge list in rounds 2-3, an |E|-sized driver collect per round);
+    # above the gate (the 100 TB regime, where neither full relation may
+    # be broadcast) the join carries a SHUFFLE_HASH hint with the labels
+    # as build side (|V|/N rows per partition).
+    pairs = _cosupply_pairs(li).persist()
     nbrs = pairs.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
         pairs.select(F.col("b").alias("v"), F.col("a").alias("u"))
-    ).persist()
+    )
     labels = nbrs.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    # |V| <= |supplier| (nodes are l_suppkey values); footer read, no job.
+    bcast_labels = (
+        table_row_count(sf_dir, "supplier") <= _LPA_BCAST_MAX_NODES
+    )
     for _ in range(_LPA_ITERS):
+        lbl_u = labels.withColumnRenamed("v", "u")
         votes = (
-            nbrs.join(labels.withColumnRenamed("v", "u"), "u")
+            nbrs.join(
+                F.broadcast(lbl_u) if bcast_labels
+                else lbl_u.hint("shuffle_hash"),
+                "u",
+            )
             .groupBy("v", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
