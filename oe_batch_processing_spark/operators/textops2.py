@@ -756,8 +756,9 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting join runs over DISTINCT contents' SELECTED fingerprints —
     two multiplicative reductions over the flat shingle self-join — with
     the partition count pinned against AQE's input-size coalescing (the
-    fan-out-blind-heuristic lesson) and one ReusedExchange serving both
-    join sides and the per-doc counts. Within-group pairs expand at
+    fan-out-blind-heuristic lesson) and the winnowed index PERSISTED so
+    its selection subtree evaluates once for the join sides and the
+    per-doc counts alike. Within-group pairs expand at
     overlap 1.0, admitted at the k+w-1-token selection floor.
     """
     from oe_batch_processing_spark.operators.dedup import (
@@ -771,7 +772,15 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _grams, fps = winnow_fp_sets(rep_docs)
     hs = fps.select("doc_id", "h").distinct()
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keyed = hs.repartition(n_part, "h")
+    # PERSIST the selected-fingerprint relation (r16): it feeds FOUR plan
+    # branches — both sides of the posting self-join and the na/nb count
+    # joins — and without the cache each branch re-ran the whole
+    # winnowing selection (double Generate + argmin SortAggregate over
+    # the w-expanded gram stream); runtime ReusedExchange bridges at most
+    # the two identically-projected join sides, not the count branches.
+    # Interleaved A/B at sf0.1: median 5.04 -> 3.50 s. The cached frame
+    # is the winnowed index: ~2/(w+1) of the rep-level gram stream.
+    keyed = hs.repartition(n_part, "h").persist()
     counts = keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = keyed.alias("a")
     b = keyed.hint("shuffle_hash").alias("b")
