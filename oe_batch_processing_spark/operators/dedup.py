@@ -254,11 +254,13 @@ def rep_jaccard_pairs(
     # can't see. An explicit keyed repartition keeps the join spread over
     # the cluster; same-key partitioning on both sides means no extra
     # exchange beyond the one the join needed anyway. The shuffle_hash hint
-    # (vs the default broadcast) makes BOTH join sides — and the per-doc
-    # count below — consume the SAME Exchange(sh) subplan, so Spark's
-    # ReusedExchange computes the shingle build once instead of three times.
+    # (vs the default broadcast) keeps both join sides on the SAME
+    # Exchange(sh) subplan; the PERSIST (r16, the winnowing-pairs finding)
+    # guarantees the shingle explode runs once for the join sides AND the
+    # per-doc count branch — runtime ReusedExchange bridges only the two
+    # identically-projected join sides, never the count aggregate.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh_keyed = sh.repartition(n_part, "sh")
+    sh_keyed = sh.repartition(n_part, "sh").persist()
     counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh_keyed.alias("a")
     b = sh_keyed.hint("shuffle_hash").alias("b")
@@ -1367,7 +1369,10 @@ def containment_rep_pairs(spark: SparkSession, sf_dir: str):
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
     sh = word_shingles(rep_docs, 3)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh_keyed = sh.repartition(n_part, "sh")
+    # persist: the keyed shingle index feeds the self-join sides, the
+    # per-doc counts AND the clique_reps gate — four branches that each
+    # re-ran the explode without it (the winnowing-pairs r16 finding)
+    sh_keyed = sh.repartition(n_part, "sh").persist()
     counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh_keyed.alias("a")
     b = sh_keyed.hint("shuffle_hash").alias("b")
@@ -1682,7 +1687,8 @@ def dedup_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = word_shingles(surv_docs, 3)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh_keyed = sh.repartition(n_part, "sh")
+    # persist: same four-branch re-evaluation as rep_jaccard_pairs (r16)
+    sh_keyed = sh.repartition(n_part, "sh").persist()
     counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh_keyed.alias("a")
     b = sh_keyed.hint("shuffle_hash").alias("b")
@@ -1708,6 +1714,7 @@ def dedup_pipeline_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_near_dropped = near_dropped.count()
+    sh_keyed.unpersist()  # the returned frame is a literal — cache done
     return spark.createDataFrame(
         [
             (
