@@ -27,23 +27,24 @@ PR_TOP = 20
 _UNIT = 1_000_000  # rank 1.0 == 1e6 micro-units
 
 
-def _cosupply_pairs(li: DataFrame) -> DataFrame:
-    """Distinct supplier pairs ``(a < b)`` sharing a part — the edge build
-    shared by triangle counting and label propagation.
+def _cogroup_pairs(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Distinct value pairs ``(a < b)`` sharing a ``key`` — the generic
+    co-occurrence edge build (suppliers per part for the co-supply graph;
+    parts per order for the co-purchase graph).
 
-    Built by aggregating each part's distinct supplier set and expanding the
+    Built by aggregating each key's distinct value set and expanding the
     C(k, 2) combinations JVM-side (sorted ``collect_set`` + nested
     ``transform``/``slice`` + one ``explode``), instead of the naive
-    lineitem self-join. The self-join shuffles |lineitem|²/|parts| rows
-    (~18M at sf0.1) into the distinct; the set form shuffles only |parts|
-    small arrays and explodes Σ C(k_p, 2) candidate pairs (~8.7M at sf0.1,
-    and at 100 TB the ratio keeps improving: the self-join grows with the
-    SQUARE of lines-per-part while the set form grows linearly in parts ×
-    k², with the per-part dedup happening map-side inside the partial
-    collect_set aggregate). Oracle equivalence: identical distinct-pair
-    relation (verified exceptAll both ways at sf0.1)."""
-    sets = li.groupBy("l_partkey").agg(
-        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    self-join. The self-join shuffles |rows|²/|keys| rows (~18M at sf0.1
+    for co-supply) into the distinct; the set form shuffles only |keys|
+    small arrays and explodes Σ C(k_p, 2) candidate pairs (~8.7M at
+    sf0.1, and at 100 TB the ratio keeps improving: the self-join grows
+    with the SQUARE of rows-per-key while the set form grows linearly in
+    keys × k², with the per-key dedup happening map-side inside the
+    partial collect_set aggregate). Oracle equivalence: identical
+    distinct-pair relation (verified exceptAll both ways at sf0.1)."""
+    sets = df.groupBy(key).agg(
+        F.array_sort(F.collect_set(val)).alias("ss")
     )
     # NOTE (r16): packing the candidate pair into one BIGINT (a << 32 | b)
     # before the distinct measured ~20% off the build at sf0.1 (single-word
@@ -51,20 +52,34 @@ def _cosupply_pairs(li: DataFrame) -> DataFrame:
     # < 2^32, and the scale-probe corpora key-shift replicas by r * 1e9 —
     # suppkeys reach ~3e10 at 30x, where the unpack silently corrupts the
     # pair relation. A struct row is the id-domain-safe form.
-    combos = F.flatten(
+    return (
+        sets.select(F.explode(_ordered_combos("ss")).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
+def _ordered_combos(arr_col: str):
+    """All ordered pairs ``struct(a, b)`` with ``a < b`` from a SORTED
+    array column — the JVM-side C(k, 2) expansion shared by the pair
+    builds and the wedge enumeration."""
+    return F.flatten(
         F.transform(
-            F.col("ss"),
+            F.col(arr_col),
             lambda e, i: F.transform(
-                F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                F.slice(F.col(arr_col), i + F.lit(2), F.size(F.col(arr_col))),
                 lambda other: F.struct(e.alias("a"), other.alias("b")),
             ),
         )
     )
-    return (
-        sets.select(F.explode(combos).alias("p"))
-        .select("p.a", "p.b")
-        .distinct()
-    )
+
+
+def _cosupply_pairs(li: DataFrame) -> DataFrame:
+    """Distinct supplier pairs ``(a < b)`` sharing a part — the edge build
+    shared by triangle counting and label propagation (the co-supply
+    instantiation of :func:`_cogroup_pairs`)."""
+    return _cogroup_pairs(li, "l_partkey", "l_suppkey")
+
 
 _PR_ORACLE = f"""
     WITH pairs AS (
@@ -260,7 +275,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both endpoints. All hash joins on key columns, no driver state.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    pairs = _cosupply_pairs(li)
+    # persist (r16): pairs feeds deg (twice, one per union direction),
+    # the orientation join and the n_edges count — four branches that
+    # each re-ran the set-expansion build without the cache
+    pairs = _cosupply_pairs(li).persist()
     # degree-ordered orientation: src = lower-degree endpoint
     deg = (
         pairs.select(F.col("a").alias("v"))
@@ -286,6 +304,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.src", "e.dst")
     )
+    # persist (r16): the oriented edge list (|E| rows) feeds both wedge
+    # sides AND the closing semi-join — three consumers of the
+    # pairs+degree join subtree
+    oriented = oriented.persist()
     w1 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
     w2 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("r"))
     wedges = w1.join(w2, "p").filter(F.col("q") < F.col("r"))
@@ -354,6 +376,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # persist (r16, the LPA edge-cache finding): without it the edges
+    # cache fill evaluates the join+distinct build TWICE, once per
+    # union direction
     pairs = (
         o.join(li, li["l_orderkey"] == o["o_orderkey"])
         .select(
@@ -361,6 +386,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("sk"),
         )
         .distinct()
+        .persist()
     )
     edges = pairs.select(
         F.col("ck").alias("src"), F.col("sk").alias("dst")
@@ -378,12 +404,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.lit(lvl).cast("int").alias("lvl")
         )
         new = new.persist()
-        if new.rdd.isEmpty():
+        # DataFrame-native isEmpty (r16): take(1) on the optimized plan,
+        # no RDD conversion
+        if new.isEmpty():
             new.unpersist()
             break
         settled = settled.union(new)
         frontier = new
     edges.unpersist()
+    pairs.unpersist()
     return settled.groupBy("lvl").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
@@ -450,33 +479,37 @@ def graph_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered variant bounds it at O(E^1.5) when hubs appear); the
     anti join and degree joins are ordinary hash shuffles; top-50 is a
     TakeOrdered, no global sort.
+
+    r16: the pair relation is built by per-ORDER set expansion
+    (:func:`_cogroup_pairs` — the co-supply recipe pointed at baskets:
+    collect_set of parts per order + JVM-side C(k,2) expansion) instead
+    of the naive lineitem self-join, and PERSISTED: the un-cached
+    self-join subtree was consumed by SEVEN plan branches (both union
+    directions under each of e1/e2/deg, plus the anti-join), so the
+    most expensive build in the plan re-ran up to 7x. Identical
+    distinct-pair relation; hash-oracle-exact at both SFs.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .distinct()
-    )
+    pairs = _cogroup_pairs(li, "l_orderkey", "l_partkey").select(
+        F.col("a").alias("pa"), F.col("b").alias("pb")
+    ).persist()
     edges = pairs.select(
         F.col("pa").alias("u"), F.col("pb").alias("v")
     ).unionAll(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
+    # Wedge enumeration WITHOUT the e1⋈e2 self-join (r16): group each
+    # center's neighbor set once (the pair cache makes this a cache
+    # scan), then expand the C(k, 2) ordered endpoint combinations
+    # JVM-side — the identical wedge multiset the join produced (a wedge
+    # x–z–y with x < y is exactly one unordered endpoint pair from
+    # N(z)), but the |E|-row shuffle join is replaced by one aggregate
+    # whose partial combiner runs map-side.
+    nbrs = edges.groupBy("u").agg(F.array_sort(F.collect_set("v")).alias("ss"))
     wedges = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .filter(F.col("e1.u") < F.col("e2.v"))
-        .groupBy(F.col("e1.u").alias("x"), F.col("e2.v").alias("y"))
+        nbrs.select(F.explode(_ordered_combos("ss")).alias("p"))
+        .groupBy(F.col("p.a").alias("x"), F.col("p.b").alias("y"))
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
     )
     cand = wedges.join(
