@@ -314,6 +314,9 @@ def pyds_stream_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference implements with paused streams (lib/batchProcessing.js
     backpressure), here expressed as offset-range slicing.
     """
+    import os
+    import shutil
+    import tempfile
     import time as _time
     import uuid as _uuid
 
@@ -322,6 +325,11 @@ def pyds_stream_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     py_datasource.register(spark)
     n_rows = 20000
     name = f"pyds_stream_{_uuid.uuid4().hex[:10]}"
+    # tmpfs checkpoint (r16): the 50 ms trigger commits offsets/state
+    # every batch — on the sandbox's slow block device those tiny
+    # checkpoint writes dominated the wall (the run_available_now note)
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    _ckpt = tempfile.mkdtemp(prefix=f"oebp-ckpt-{name}-", dir=_shm)
     q = (
         spark.readStream.format("synthetic_events")
         .option("rows", n_rows)
@@ -329,6 +337,7 @@ def pyds_stream_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _ckpt)
         .outputMode("append")
         .trigger(processingTime="50 milliseconds")
         .start()
@@ -344,6 +353,7 @@ def pyds_stream_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
+        shutil.rmtree(_ckpt, ignore_errors=True)
     streamed = spark.table(name)
     got = streamed.count()
     assert got == n_rows, f"streamed {got} rows, expected {n_rows}"

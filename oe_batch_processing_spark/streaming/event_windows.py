@@ -59,17 +59,34 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_available_now(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Execute a bounded stream to completion into a memory sink; return the
-    result as a batch DataFrame."""
+    result as a batch DataFrame.
+
+    The checkpoint is rooted on tmpfs when available (r16): with no
+    explicit location Spark puts the temp checkpoint under /tmp, and the
+    state store writes per-partition delta files on EVERY commit — on
+    this sandbox's slow block device that dominated the stateful rows
+    (the ``spark.local.dir`` finding applied to streaming state; the
+    leakage-gate operator already rooted its checkpoint this way).
+    Production points checkpoints at fast local disk / durable storage
+    per standard practice."""
+    import os
+    import shutil
+    import tempfile
+
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"oebp-ckpt-{name}-", dir=shm)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", ckpt)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -66,7 +66,13 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.unix_micros("ts").alias("ts_us"),
     )
-    root = tempfile.mkdtemp(prefix="oebp-feb-")
+    # tmpfs root (r16): source files, target versions AND the stream
+    # checkpoint all live here — on the sandbox's slow block device the
+    # per-batch checkpoint+parquet writes dominated (the
+    # run_available_now note); the leakage-gate/qcstream ops already
+    # root on shm
+    _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="oebp-feb-", dir=_shm)
     src = os.path.join(root, "src")
     # four files => four micro-batches at maxFilesPerTrigger=1
     ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
