@@ -1583,6 +1583,10 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "slice(by_rarity, 1, n - cast(ceil(0.8 * n) as int) + 1)"
             ).alias("prefix"),
         )
+        # persist (r16): both sides of the candidate self-join consume
+        # this frame — without the cache the DF join + rarity-sort
+        # aggregate ran twice (the winnowing-pairs finding)
+        .persist()
     )
     cand = (
         by_rarity.select("doc_id", F.explode("prefix").alias("sh"))
