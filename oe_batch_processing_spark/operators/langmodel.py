@@ -497,10 +497,17 @@ def text_bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
 
+    # persist (r16): the model table feeds FOUR plan branches (the scoring
+    # join, ctx, cont, types) — without the cache each branch re-ran the
+    # full-corpus bigram explode + filter + count aggregate (the plan
+    # carried the documents scan once per branch); runtime ReusedExchange
+    # never bridges differently-aggregated consumers. Zipf-bounded
+    # vocabulary-sized frame — the cheapest point to pin the model.
     train_bi = (
         bigrams.filter(F.col("doc_id") % 10 < 8)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
+        .persist()
     )
     ctx = train_bi.groupBy("w1").agg(
         F.sum("cb").alias("cu1"), F.count(F.lit(1)).alias("n1post")
@@ -985,10 +992,17 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    # persist (r16): the model table feeds FOUR plan branches (the scoring
+    # join, ctx, cont, types) — without the cache each branch re-ran the
+    # full-corpus bigram explode + filter + count aggregate (the plan
+    # carried the documents scan once per branch); runtime ReusedExchange
+    # never bridges differently-aggregated consumers. Zipf-bounded
+    # vocabulary-sized frame — the cheapest point to pin the model.
     train_bi = (
         bigrams.filter(F.col("doc_id") % 10 < 8)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("cb"))
+        .persist()
     )
     ctx = train_bi.groupBy("w1").agg(
         F.sum("cb").alias("cu1"), F.count(F.lit(1)).alias("n1post")
@@ -1017,6 +1031,15 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END, 1)"""
             ).alias("p"),
         )
+        # persist (r16): scored feeds TWO consumers — the distinct-value
+        # frame under the broadcast log-table build and the per-doc
+        # entropy aggregate's probe side — and without the cache each
+        # evaluated the whole 4-join KN scoring pipeline (and, below it,
+        # the corpus bigram explode) from scratch. Narrow (doc_id, p)
+        # projection — the slimmest point to pin the scoring pass. The
+        # broadcast lg build runs first and fills this cache serially, so
+        # the probe side never races the fill.
+        .persist()
     )
     dv = scored.select(F.col("p").alias("v")).distinct()
     pw = spark.createDataFrame(
