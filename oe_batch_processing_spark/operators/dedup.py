@@ -1804,11 +1804,21 @@ def dedup_incremental_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
+    # persist (r16): exact feeds THREE consumers (the anti-join under
+    # both ish branches and the final verdict join) — each re-ran the
+    # corpus-wide text equi-join. The match table itself is tiny
+    # (matched incoming docs only), so it is the one frame worth
+    # pinning; persisting the hsh/ish shingle streams as well was
+    # measured SLOWER at sf0.1 (0.61 -> 1.13 s): their double
+    # evaluation is map-side explode work that runs concurrently
+    # across branches, while a cache fill serializes it and writes
+    # corpus-sized blocks.
     exact = (
         inc.alias("i")
         .join(hist.alias("h"), F.col("h.text") == F.col("i.text"))
         .groupBy(F.col("i.doc_id").alias("doc_id"))
         .agg(F.min(F.col("h.doc_id")).alias("match_doc"))
+        .persist()
     )
     inc_rest = inc.join(exact.select("doc_id"), "doc_id", "left_anti")
     hsh = word_shingles(hist, 3)

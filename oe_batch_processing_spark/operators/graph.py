@@ -139,10 +139,15 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # persist (r16): the pair build feeds FOUR fill-time evaluations —
+    # the fwd/bwd union branches under BOTH the degree aggregate and the
+    # ed join side (the BFS/LPA union-branch finding); pin the
+    # one-directional relation and both directions become cache scans.
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select("o_custkey", "l_suppkey")
         .distinct()
+        .persist()
     )
     fwd = pairs.select(
         (F.col("o_custkey") * 2).alias("src"),
@@ -170,6 +175,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = ranks.persist()
     ranks.count()
     ed.unpersist()
+    pairs.unpersist()  # ed's fill was its last reader
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
