@@ -999,6 +999,17 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = deg.localCheckpoint(eager=True)
     row = _kcore_threshold(alive).collect()  # bounded: one scalar
     kthr = int(row[0]["kthr"])
+    # Early exit on convergence (r17): the peel is monotone, so an
+    # unchanged alive COUNT after a round proves that round removed
+    # nothing — delta was empty, degrees are unchanged, and every
+    # remaining unrolled round is the identity. Skipping them changes
+    # nothing in the result (the fixed-round oracle replays all rounds,
+    # but identity rounds are no-ops) while deleting their |E|-scan +
+    # checkpoint jobs; the per-round count reads the just-checkpointed
+    # |V|-row frame, near-free. Convergence is still asserted below —
+    # completing all rounds without hitting the break keeps the original
+    # n_r != n_r1 tripwire live.
+    n_prev = alive.count()
     for _ in range(_KCORE_ROUNDS):
         removed = alive.filter(F.col("d") < kthr).select("v")
         # edges INTO the newly-removed set; each edge contributes to a
@@ -1018,6 +1029,10 @@ def graph_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        n_now = alive.count()
+        if n_now == n_prev:
+            break  # identity round: fixpoint reached, later rounds no-op
+        n_prev = n_now
     survivors = alive.filter(F.col("d") >= kthr)
     # fixpoint assertion: survivors-of-one-more-round must equal the
     # round-R survivor set; the peel is monotone, so counts suffice.

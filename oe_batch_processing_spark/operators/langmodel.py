@@ -620,11 +620,71 @@ def _merge_expr(a: str, b: str) -> str:
     )
 
 
+_BPE_DRIVER_MAX_VOCAB = 65_536  # vocab rows; below -> driver merge loop
+
+
+def _merge_seq_py(s: list[str], a: str, b: str) -> list[str]:
+    """Driver-side twin of :func:`_merge_expr` for ``a != b``: left-to-right
+    scan replacing each adjacent (a, b) with the merged symbol. With a != b
+    occurrences cannot overlap, so the positionwise HOF (keep position i
+    unless s[i-1..i] == (a, b); map position i to merged when s[i..i+1] ==
+    (a, b)) and this greedy scan emit the identical sequence — pinned by a
+    randomized A/B test against the HOF (tests/test_bpe_driver_kernel.py)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == a and i + 1 < n and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _bpe_driver_merges(
+    rows: list, k: int
+) -> tuple[list[tuple[int, str, str, str, int]], list[tuple[str, int, list[str]]]]:
+    """The K-round merge loop on a COLLECTED vocab (word, freq, s) — exact
+    twin of the distributed loop body: weighted adjacent-pair counts with
+    a != b, argmax by (count DESC, a ASC, b ASC), positionwise merge.
+    Python tuple comparison on str is code-point order == the UTF-8 binary
+    order of Spark's orderBy, so the tie-break is engine-identical."""
+    words_py = [(r[0], int(r[1]), list(r[2])) for r in rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, k + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for _w, f, s in words_py:
+            for x, y in zip(s, s[1:]):
+                if x != y:
+                    key = (x, y)
+                    cnt[key] = cnt.get(key, 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, c))
+        words_py = [(w, f, _merge_seq_py(s, a, b)) for w, f, s in words_py]
+    return merges, words_py
+
+
 def _bpe_train_vocab(
     spark: SparkSession, sf_dir: str, k: int = _BPE_K
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Run the K-round BPE training loop; return (merge rules, persisted
-    final vocab frame (word, freq, s)). The caller owns the persist."""
+    final vocab frame (word, freq, s)). The caller owns the persist.
+
+    Size-adaptive execution (r17, the ``_cc_labels_adaptive`` recipe): the
+    loop's input is the VOCABULARY table — Zipf-bounded, orders of
+    magnitude smaller than the corpus — and each distributed round costs a
+    fixed explode + aggregate + 1-row collect regardless of how few rows
+    it touches. Below ``_BPE_DRIVER_MAX_VOCAB`` rows (known from the
+    count that already materializes the vocab cache) the K rounds run
+    driver-side from ONE bounded collect — identical pair counts, argmax
+    order and merge application (see :func:`_bpe_driver_merges`) — turning
+    ~k vocabulary-sized jobs into zero. Above the gate (a real corpus's
+    vocabulary: millions of rows at 100 TB) the distributed loop below
+    runs unchanged; tests pin driver == distributed on both crafted
+    vocabularies and the committed corpora."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -638,7 +698,21 @@ def _bpe_train_vocab(
         "freq",
         F.concat(chars, F.array(F.lit("</w>"))).alias("s"),
     ).persist()
-    cur.count()
+    n_vocab = cur.count()
+
+    if n_vocab <= _BPE_DRIVER_MAX_VOCAB:
+        # Driver kernel: one bounded collect of the (word, freq, s) vocab
+        # (the initial symbol split stays SPARK-side, so split semantics
+        # are byte-identical to the distributed path), K merge rounds in
+        # plain Python, and the final vocab re-enters Spark as a local
+        # relation with the distributed frame's exact schema.
+        rows = [(r["word"], r["freq"], r["s"]) for r in cur.collect()]
+        cur.unpersist()
+        merges, words_py = _bpe_driver_merges(rows, k)
+        final = spark.createDataFrame(
+            words_py, "word string, freq bigint, s array<string>"
+        )
+        return merges, final
 
     merges: list[tuple[int, str, str, str, int]] = []
     # Round-r action budget (r16 optimization): ONE driver action per round
