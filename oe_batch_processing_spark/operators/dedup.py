@@ -31,7 +31,12 @@ from oe_batch_processing_spark.tables import load_table, persist_once
 
 # --- shared shingling ------------------------------------------------------
 
-def shingle_arrays(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def shingle_arrays(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(doc_id, shingles sorted-distinct array): the words array is
     materialized once per row and shingles are built with JVM array
     expressions. Split on single space to match the oracle's string_split.
@@ -54,6 +59,9 @@ def shingle_arrays(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
         .filter(F.size("words") >= n)
         .select(
             "doc_id",
+            *carry,  # r17: pass-through columns (e.g. the split tag) so
+            # callers stop re-joining the source frame just to re-attach
+            # a column the explode dropped
             F.sort_array(
                 F.array_distinct(
                     F.expr(
@@ -66,11 +74,16 @@ def shingle_arrays(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
-def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def word_shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Distinct word n-gram shingles per doc_id, exploded (inverted-index
     form used by the exact-Jaccard join)."""
-    return shingle_arrays(df, n, text_col).select(
-        "doc_id", F.explode("shingles").alias("sh")
+    return shingle_arrays(df, n, text_col, carry).select(
+        "doc_id", *carry, F.explode("shingles").alias("sh")
     )
 
 

@@ -624,12 +624,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs = pairs.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
         pairs.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
-    labels = nbrs.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    # Round 1 constant-folded (r17): labels start as the IDENTITY (lbl(u) =
+    # u), so round 1's join + vote count degenerates exactly — every
+    # neighbor contributes its own id as a distinct label with cnt = 1
+    # (the pair relation is distinct, so no label repeats), and the
+    # argmax(cnt, tie -> min lbl) over all-ones counts IS min(neighbor).
+    # One groupBy-min over the edge stream replaces the identity-label
+    # init distinct, the round-1 join and its two 1M-group aggregates;
+    # rounds 2..K run the general superstep unchanged. Same relation,
+    # bit-for-bit (the oracle replays all K rounds literally).
+    labels = nbrs.groupBy("v").agg(F.min("u").alias("lbl"))
     # |V| <= |supplier| (nodes are l_suppkey values); footer read, no job.
     bcast_labels = (
         table_row_count(sf_dir, "supplier") <= _LPA_BCAST_MAX_NODES
     )
-    for _ in range(_LPA_ITERS):
+    for _ in range(_LPA_ITERS - 1):
         lbl_u = labels.withColumnRenamed("v", "u")
         votes = (
             nbrs.join(

@@ -797,11 +797,18 @@ def _split_leakage_report_flat(spark: SparkSession, docs: DataFrame) -> DataFram
     )
     from oe_batch_processing_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(tagged, 3).join(
-        tagged.select("doc_id", "split"), "doc_id"
-    )
+    # r17: the split tag rides THROUGH the shingle explode (carry columns)
+    # instead of a re-attach join, and the keyed index is PERSISTED — it
+    # feeds THREE branches (per-doc counts + both self-join sides) whose
+    # count branch gets a narrower pruned projection below its exchange,
+    # so runtime ReusedExchange never bridged it (the r16 winnowing-pairs
+    # finding, applied to this flat sibling).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh = sh.repartition(n_part, "sh")
+    sh = (
+        word_shingles(tagged, 3, carry=("split",))
+        .repartition(n_part, "sh")
+        .persist()
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t = sh.filter(F.col("split") == "train").alias("t")
     h = sh.filter(F.col("split") != "train").hint("shuffle_hash").alias("h")

@@ -74,8 +74,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="oebp-feb-", dir=_shm)
     src = os.path.join(root, "src")
-    # four files => four micro-batches at maxFilesPerTrigger=1
-    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src)
+    # four files => four micro-batches at maxFilesPerTrigger=1. Round-robin
+    # split (r17): repartitionByRange paid a SECOND full evaluation of the
+    # source frame for its range-boundary sampling job; the merge is
+    # associative-commutative over ANY disjoint 4-way split, so the batch
+    # composition is free to be round-robin and the sampling pass is gone.
+    ev.repartition(4).write.mode("overwrite").parquet(src)
 
     state = {"path": None, "version": 0}
 
@@ -252,7 +256,10 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
         root = tempfile.mkdtemp(prefix="oebp-leakgate-", dir=shm)
         src = os.path.join(root, "held")
-        held.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(src)
+        # round-robin 4-way split (r17, see stream_foreachbatch_upsert):
+        # leak pairs are disjoint per held doc under ANY split, so the
+        # range-boundary sampling pass bought nothing.
+        held.repartition(4).write.mode("overwrite").parquet(src)
         pairs_path = os.path.join(root, "leak_pairs")
         empty = spark.createDataFrame(
             [], "train_doc long, held_doc long, held_split string"
@@ -263,12 +270,10 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def gate(batch_df: DataFrame, batch_id: int) -> None:
             # three consumers below (hits screen, cross join, per-doc
-            # counts) — persist or the batch gets re-shingled three times
-            bsh = (
-                word_shingles(batch_df, 3)
-                .join(batch_df.select("doc_id", "split"), "doc_id")
-                .persist()
-            )
+            # counts) — persist or the batch gets re-shingled three times.
+            # The split tag rides THROUGH the shingle explode (r17 carry
+            # columns) instead of a per-batch re-attach join.
+            bsh = word_shingles(batch_df, 3, carry=("split",)).persist()
             nh = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nh"))
             hits = (
                 bsh.select("sh").distinct()
@@ -449,9 +454,11 @@ def stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
         root = tempfile.mkdtemp(prefix="oebp-qcstream-", dir=shm)
         src = os.path.join(root, "docs")
-        docs.select("doc_id", "lang", "text").repartitionByRange(
-            4, "doc_id"
-        ).write.mode("overwrite").parquet(src)
+        # round-robin 4-way split (r17): per-doc scores are independent of
+        # batch composition; the range sampling pass bought nothing.
+        docs.select("doc_id", "lang", "text").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
         out_path = os.path.join(root, "preds")
         spark.createDataFrame(
             [],
