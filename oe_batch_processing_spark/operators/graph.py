@@ -735,10 +735,36 @@ def star_labels(pairs: DataFrame) -> DataFrame:
     # (Production note: localCheckpoint is executor-local; a cluster job
     # that must survive executor loss uses spark.checkpoint() to a
     # reliable dir — same plan shape.)
-    edges = pairs.select(
+    # Size-adaptive execution, decided BEFORE the edges checkpoint (r17):
+    # ``edges`` is a row-preserving projection of ``pairs``, so
+    # |edges| == |pairs| and the cache-fill count doubles as the
+    # small-graph probe. The previous sequence paid an eager |E|-row
+    # checkpoint at the session width, a count, and a SECOND coalesced
+    # checkpoint on the small path — now the small path checkpoints once,
+    # already coalesced (one driver action fewer, one |E| materialization
+    # fewer). For a SMALL edge set (< _STAR_SMALL_EDGES), per-stage AQE
+    # re-planning and 32-way shuffles dominate wall time (measured: each
+    # round 3.4-5.5 s with AQE vs 0.7-1.5 s without, on 244 edges), so
+    # the loop drops to one partition with AQE off and restores the
+    # session confs after. A 100 TB edge set keeps AQE and the full
+    # shuffle width — the plan shape is identical, only the knobs move.
+    n_edges = pairs.count()  # fills the pairs cache
+    small_graph = n_edges < _STAR_SMALL_EDGES
+    saved = {}
+    if small_graph:
+        for k, v in (("spark.sql.adaptive.enabled", "false"),
+                     ("spark.sql.shuffle.partitions", "1")):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+    edges_lazy = pairs.select(
         F.col("doc_a").cast("long").alias("u"),
         F.col("doc_b").cast("long").alias("v"),
-    ).localCheckpoint(eager=True)  # this one action also fills the pairs cache
+    )
+    if small_graph:
+        edges_lazy = edges_lazy.coalesce(1)
+    # localCheckpoint: TRUNCATE lineage, not just cache it (see the loop
+    # note below); the fill reads the just-materialized pairs cache.
+    edges = edges_lazy.localCheckpoint(eager=True)
     # all_nodes stays LAZY (r15): it reads the edges checkpoint leaf and
     # is consumed exactly once by the final left join — an eager
     # checkpoint here was one more ~0.4 s driver action per invocation
@@ -755,24 +781,6 @@ def star_labels(pairs: DataFrame) -> DataFrame:
             F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
-
-    # Size-adaptive execution: the star rounds run on an edge relation
-    # that is usually orders of magnitude smaller than the corpus. For a
-    # SMALL materialized edge set (< _STAR_SMALL_EDGES), per-stage AQE
-    # re-planning and 32-way shuffles dominate wall time (measured: each
-    # round 3.4-5.5 s with AQE vs 0.7-1.5 s without, on 244 edges), so
-    # the loop drops to one partition with AQE off and restores the
-    # session confs after. A 100 TB edge set keeps AQE and the full
-    # shuffle width — the plan shape is identical, only the knobs move.
-    n_edges = edges.count()
-    small_graph = n_edges < _STAR_SMALL_EDGES
-    saved = {}
-    if small_graph:
-        for k, v in (("spark.sql.adaptive.enabled", "false"),
-                     ("spark.sql.shuffle.partitions", "1")):
-            saved[k] = spark.conf.get(k)
-            spark.conf.set(k, v)
-        edges = edges.coalesce(1).localCheckpoint(eager=True)
 
     def _one_round(cur: DataFrame) -> DataFrame:
         # large-star
