@@ -79,12 +79,25 @@ def word_shingles(
     n: int = 3,
     text_col: str = "text",
     carry: tuple[str, ...] = (),
+    count_col: str | None = None,
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc_id, exploded (inverted-index
-    form used by the exact-Jaccard join)."""
-    return shingle_arrays(df, n, text_col, carry).select(
-        "doc_id", *carry, F.explode("shingles").alias("sh")
-    )
+    form used by the exact-Jaccard join).
+
+    ``count_col`` (r17): also emit the per-doc DISTINCT shingle count as a
+    column — by construction it equals ``size(shingles)`` (the explode
+    emits exactly one row per distinct shingle), i.e. exactly what the
+    family's ``groupBy(doc_id).count()`` branches recomputed downstream.
+    Carrying it lets the Jaccard/containment consumers fold their per-doc
+    count aggregate + two re-attach joins into the pair groupBy's keys
+    (functionally dependent on doc_id, so the groups are unchanged)."""
+    arr = shingle_arrays(df, n, text_col, carry)
+    cols = ["doc_id", *carry]
+    if count_col is not None:
+        # cast to long: the count() aggregates this replaces were BIGINT
+        arr = arr.withColumn(count_col, F.size("shingles").cast("long"))
+        cols.append(count_col)
+    return arr.select(*cols, F.explode("shingles").alias("sh"))
 
 
 def content_rep_groups(docs: DataFrame) -> DataFrame:
@@ -260,7 +273,6 @@ def rep_jaccard_pairs(
     rewrites (dedup_jaccard_shingles, pipeline_split_leakage_report).
     Returns (rep_a, rep_b, jaccard) with rep_a < rep_b."""
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
-    sh = word_shingles(rep_docs, 3)
     # Pin the self-join's partition count: the shuffle INPUT is a few MB (so
     # AQE would coalesce it to ~1 partition) but the join OUTPUT fans out
     # quadratically per shingle bucket — the cost AQE's input-size heuristic
@@ -269,26 +281,33 @@ def rep_jaccard_pairs(
     # exchange beyond the one the join needed anyway. The shuffle_hash hint
     # (vs the default broadcast) keeps both join sides on the SAME
     # Exchange(sh) subplan; the PERSIST (r16, the winnowing-pairs finding)
-    # guarantees the shingle explode runs once for the join sides AND the
-    # per-doc count branch — runtime ReusedExchange bridges only the two
-    # identically-projected join sides, never the count aggregate.
+    # guarantees the shingle explode runs once for both join sides.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sh_keyed = sh.repartition(n_part, "sh").persist()
-    counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # r17: the per-doc distinct-shingle count rides the index as a carried
+    # column (== size(shingles), exactly the old groupBy(doc_id).count());
+    # the pair aggregate adds (na, nb) to its keys — functionally
+    # dependent on the doc ids, so the groups are unchanged — and the
+    # count branch plus both re-attach joins disappear from the plan.
+    sh_keyed = (
+        word_shingles(rep_docs, 3, count_col="n")
+        .repartition(n_part, "sh")
+        .persist()
+    )
     a = sh_keyed.alias("a")
     b = sh_keyed.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
+        common.select(
             F.col("doc_a").alias("rep_a"),
             F.col("doc_b").alias("rep_b"),
             jac.alias("jaccard"),
@@ -1380,13 +1399,19 @@ def containment_rep_pairs(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     groups = content_rep_groups(docs)
     rep_docs = groups.select(F.col("rep_id").alias("doc_id"), "text")
-    sh = word_shingles(rep_docs, 3)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist: the keyed shingle index feeds the self-join sides, the
-    # per-doc counts AND the clique_reps gate — four branches that each
-    # re-ran the explode without it (the winnowing-pairs r16 finding)
-    sh_keyed = sh.repartition(n_part, "sh").persist()
-    counts = sh_keyed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # persist: the keyed shingle index feeds the self-join sides and the
+    # clique_reps gate (the winnowing-pairs r16 finding). The per-doc
+    # count branch is gone (r17): n rides the index as a carried column
+    # (== size(shingles)) and the pair aggregate keys on (na, nb) —
+    # functionally dependent on the doc ids, so the groups are unchanged
+    # — deleting the count aggregate and both re-attach joins; the
+    # clique gate reads per-doc n as a distinct projection of the index.
+    sh_keyed = (
+        word_shingles(rep_docs, 3, count_col="n")
+        .repartition(n_part, "sh")
+        .persist()
+    )
     a = sh_keyed.alias("a")
     b = sh_keyed.hint("shuffle_hash").alias("b")
     common = (
@@ -1395,15 +1420,16 @@ def containment_rep_pairs(spark: SparkSession, sf_dir: str):
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    na = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na")
-    nb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb")
     rep_pairs = (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(
+        common.filter(
             (F.least("na", "nb") >= 10)
             & (F.expr("(1000000 * n_common) div least(na, nb)") >= 800000)
         )
@@ -1417,7 +1443,9 @@ def containment_rep_pairs(spark: SparkSession, sf_dir: str):
     clique_reps = (
         groups.filter(F.size("members") >= 2)
         .join(
-            counts.filter(F.col("n") >= 10).withColumnRenamed("doc_id", "rep_id"),
+            sh_keyed.select("doc_id", "n").distinct()
+            .filter(F.col("n") >= 10)
+            .withColumnRenamed("doc_id", "rep_id"),
             "rep_id",
         )
         .select("rep_id")

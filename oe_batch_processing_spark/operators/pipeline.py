@@ -797,19 +797,19 @@ def _split_leakage_report_flat(spark: SparkSession, docs: DataFrame) -> DataFram
     )
     from oe_batch_processing_spark.operators.dedup import word_shingles
 
-    # r17: the split tag rides THROUGH the shingle explode (carry columns)
-    # instead of a re-attach join, and the keyed index is PERSISTED — it
-    # feeds THREE branches (per-doc counts + both self-join sides) whose
-    # count branch gets a narrower pruned projection below its exchange,
-    # so runtime ReusedExchange never bridged it (the r16 winnowing-pairs
-    # finding, applied to this flat sibling).
+    # r17: the split tag AND the per-doc distinct-shingle count ride
+    # THROUGH the shingle explode (carry/count columns) instead of a
+    # re-attach join and a count-aggregate branch; the keyed index is
+    # PERSISTED for the two self-join sides (the r16 winnowing-pairs
+    # finding applied to this flat sibling), and the pair aggregate keys
+    # on (nt, nh) — functionally dependent on the doc ids — so the
+    # per-doc count joins disappear from the plan.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sh = (
-        word_shingles(tagged, 3, carry=("split",))
+        word_shingles(tagged, 3, carry=("split",), count_col="n")
         .repartition(n_part, "sh")
         .persist()
     )
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t = sh.filter(F.col("split") == "train").alias("t")
     h = sh.filter(F.col("split") != "train").hint("shuffle_hash").alias("h")
     cross = (
@@ -818,19 +818,15 @@ def _split_leakage_report_flat(spark: SparkSession, docs: DataFrame) -> DataFram
             F.col("t.doc_id").alias("train_doc"),
             F.col("h.doc_id").alias("held_doc"),
             F.col("h.split").alias("held_split"),
+            F.col("t.n").alias("nt"),
+            F.col("h.n").alias("nh"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    nt = counts.select(F.col("doc_id").alias("train_doc"), F.col("n").alias("nt"))
-    nh = counts.select(F.col("doc_id").alias("held_doc"), F.col("n").alias("nh"))
     jac = F.col("n_common").cast("double") / (
         F.col("nt") + F.col("nh") - F.col("n_common")
     )
-    leaks = (
-        cross.join(nt, "train_doc")
-        .join(nh, "held_doc")
-        .filter(jac >= 0.8)
-    )
+    leaks = cross.filter(jac >= 0.8)
     return leaks.groupBy("held_split").agg(
         F.count_distinct("held_doc").alias("n_leaked_docs"),
         F.count(F.lit(1)).alias("n_leak_pairs"),

@@ -230,7 +230,10 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frozen history structures, built once and persisted across batches
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         tsh = (
-            word_shingles(train, 3)
+            # r17: the per-doc distinct-shingle count (nt) rides the index
+            # as a carried column, so the separate tcounts aggregate (and
+            # its per-batch re-attach join) is gone — see rep_jaccard_pairs
+            word_shingles(train, 3, count_col="nt")
             .withColumnRenamed("doc_id", "train_doc")
             # pre-partitioned on the join key BEFORE caching: the in-memory
             # scan then reports hashpartitioning(sh) and every micro-batch's
@@ -239,7 +242,6 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(n_part, "sh")
             .persist()
         )
-        tcounts = tsh.groupBy("train_doc").agg(F.count(F.lit(1)).alias("nt")).persist()
         pos16 = (
             f"cast(conv(substr(md5(sh), j * 4 + 1, 4), 16, 10) as int) "
             f"% {_GATE_BLOOM_M}"
@@ -269,12 +271,14 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         screened = {"shingles": 0, "survivors": 0, "batches": 0}
 
         def gate(batch_df: DataFrame, batch_id: int) -> None:
-            # three consumers below (hits screen, cross join, per-doc
-            # counts) — persist or the batch gets re-shingled three times.
-            # The split tag rides THROUGH the shingle explode (r17 carry
-            # columns) instead of a per-batch re-attach join.
-            bsh = word_shingles(batch_df, 3, carry=("split",)).persist()
-            nh = bsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nh"))
+            # two consumers below (hits screen, cross join) — persist or
+            # the batch gets re-shingled per consumer. The split tag AND
+            # the per-doc count (nh) ride THROUGH the shingle explode
+            # (r17 carry/count columns) instead of a per-batch re-attach
+            # join and a per-batch count aggregate.
+            bsh = word_shingles(
+                batch_df, 3, carry=("split",), count_col="nh"
+            ).persist()
             hits = (
                 bsh.select("sh").distinct()
                 .select(
@@ -308,6 +312,8 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "train_doc",
                     F.col("doc_id").alias("held_doc"),
                     F.col("split").alias("held_split"),
+                    "nt",  # carried, functionally dependent on train_doc
+                    "nh",  # carried, functionally dependent on held_doc
                 )
                 .agg(F.count(F.lit(1)).alias("n_common"))
             )
@@ -315,9 +321,7 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nt") + F.col("nh") - F.col("n_common")
             )
             leaks = (
-                cross.join(tcounts, "train_doc")
-                .join(nh.withColumnRenamed("doc_id", "held_doc"), "held_doc")
-                .filter(jac >= 0.8)
+                cross.filter(jac >= 0.8)
                 .select("train_doc", "held_doc", "held_split")
             )
             leaks.write.mode("append").parquet(pairs_path)
@@ -369,7 +373,7 @@ def stream_split_leakage_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bloom screen passed every shingle on a partially-clean "
                 "corpus"
             )
-        for frame in (tsh, tcounts, bloom_bits):
+        for frame in (tsh, bloom_bits):
             frame.unpersist()
         return spark.createDataFrame(rows, final.schema)
     finally:
