@@ -123,85 +123,35 @@ ORACLE: dict[str, str] = {}
 # events_resample_interp_linear, events_weekly_seasonality,
 # events_late_arrival_profile, events_anomaly_seasonal
 DRIVER_CHECK_PRIORITY: tuple[str, ...] = (
-    # --- Round-16 window: (1) round-16 additions and changed-code
-    # --- re-checks — the NEW pipeline_quality_classifier, the BM25
-    # --- dictionary-side stopword prune (flat + collapsed plans), the
-    # --- graph_kcore_trade pairs-build cuts (undoubled checkpoint,
-    # --- threshold-from-checkpointed-degrees), the VP8L RGB batch-decode
-    # --- shift-accumulate rewrite (A/B-proved on 200 random streams +
-    # --- oracle-green; color and lossless both run the canonical decode),
-    # --- and graph_connected_components_star (star_labels cache-ownership
-    # --- fix); then (2) the 9 r15-deferred r7-era rows (pinned by
-    # --- tests/test_sweep_guard.py); then (3) the 31 alphabetically-first
-    # --- of the 42 r8-era rows. The 11 r8-era tail names live in
-    # --- DRIVER_CHECK_DEFERRED below and lead the r17 window after its
-    # --- own re-checks.
-    # --- (1) round-16 additions + changed-code re-checks
-    "pipeline_quality_classifier",    # r16: NEW — fastText-shaped scorer
-    "pipeline_perplexity_buckets",    # r16: NEW — exact fixed-point log2 CE
-    "stream_quality_classifier",      # r16: NEW — frozen-model scoring twin
-    "text_winnowing_fingerprints",    # r16: NEW — MOSS winnowing selection
-    "dedup_winnowing_pairs",          # r16: NEW — MOSS match join
-    "text_bm25_shingle_retrieval",    # r16: dictionary-side stopword prune
-    "graph_kcore_trade",              # r16: pairs-build cuts
-    "multimodal_webp_color_decode",   # r16: shift-accumulate window values
-    "multimodal_webp_lossless_decode",  # r16: shift-accumulate window values
-    "graph_connected_components_star",  # r16: star_labels cache ownership
-    # --- (2) the 9 r15-deferred rows (r7-era), re-inserted
-    "stream_burst_detection",
-    "stream_dedup_within_watermark",
-    "stream_foreachbatch_upsert",
-    "stream_session_window_dynamic_gap",
-    "stream_sessionize_capped",
-    "stream_token_bucket_admission",
-    "text_bigram_lm_kneser_ney",
-    "udtf_table_arg_streaks",
-    "win_ignore_nulls_battery",
-    # --- (3) the 31 alphabetically-first of the 42 r8-era rows
-    "agg_group_by_all",
-    "agg_listagg_segment_nations",
-    "dq_benford_screen",
-    "dq_dp_geometric_counts",
-    "dq_k_anonymity_report",
-    "events_acf_battery",
-    "events_anomaly_mad",
-    "ingest_parquet_footer_index",
-    "join_full_outer_nation_presence",
-    "join_null_safe_halves",
-    "lateral_recent_orders",
-    "layout_hilbert_events",
-    "multimodal_audio_adpcm_roundtrip",
-    "multimodal_audio_aiff_roundtrip",
-    "multimodal_audio_mulaw_roundtrip",
-    "multimodal_audio_vad_segments",
-    "multimodal_gif_decode",
-    "multimodal_jpeg_decode",
-    "multimodal_video_shot_boundaries",
-    "mv_incremental_hourly",
-    "orders_forecast_ar2_yule_walker",
-    "orders_forecast_croston",
-    "orders_periodogram_goertzel",
-    "pareto_frontier_parts",
-    "pipeline_bpe_train",
-    "pipeline_mix_temperature_sqrt",
-    "pyds_stream_synthetic",
-    "sample_neyman_allocation",
-    "scalar_interval_arith",
-    "scalar_url_parse_battery",
-    "scalar_variant_events",
-)
-
-# Names owed to the NEXT round's window (rotated out of the 50 slots by
-# this round's re-checks) — machine-readable so the rotation cannot be
-# silently forgotten (r14 ADVICE): tests assert these are registered,
-# disjoint from the current window, and re-inserted next round.
-DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
-    # the 11 r8-era tail rows the r16 window's re-checks displaced
-    # (set_union_by_name, sql_pipe_revenue_by_flag, stats_anova_oneway
-    # and stats_corr_regression yielded their slots to the late-session
-    # pipeline_perplexity_buckets, stream_quality_classifier,
-    # text_winnowing_fingerprints and dedup_winnowing_pairs — the
-    # DSIR/BM25 slot-swap precedent)
+    # --- Round-17 window (optimization round 2): (1) the 14 queries whose
+    # --- code the round changed — the size-gated BPE driver merge kernel
+    # --- (train + train_apply), the k-core early-exit peel, the LPA
+    # --- round-1 constant fold, the star-CC action fold, the carried
+    # --- shingle-count rewrite (jaccard + containment family, both
+    # --- leakage auditors, and their downstream consumers tiered /
+    # --- canonical), and the round-robin stream source splits (gate,
+    # --- upsert, classifier twin); then (2) the 11 r16-deferred r8-era
+    # --- tail rows, re-inserted (pinned by tests/test_sweep_guard.py);
+    # --- then (3) the 25 alphabetically-first of the 31 r9-era rows (the
+    # --- oldest driver rows after the r16 window covered the r8 era).
+    # --- The 6 r9-era tail names live in DRIVER_CHECK_DEFERRED below and
+    # --- lead the r18 window after its own re-checks.
+    # --- (1) round-17 changed-code re-checks
+    "pipeline_bpe_train",             # r17: size-gated driver merge kernel
+    "pipeline_bpe_train_apply",       # r17: size-gated driver merge kernel
+    "graph_kcore_trade",              # r17: early-exit peel
+    "graph_label_propagation",        # r17: round-1 constant fold
+    "graph_connected_components_star",  # r17: star action fold + jaccard
+    "dedup_jaccard_shingles",         # r17: carried shingle counts
+    "dedup_shingle_containment",      # r17: carried shingle counts
+    "dedup_shingle_containment_clusters",  # r17: carried shingle counts
+    "dedup_pipeline_tiered",          # r17: downstream of containment
+    "dedup_cluster_canonical",        # r17: downstream of jaccard/minhash
+    "pipeline_split_leakage_report",  # r17: carry + persisted flat index
+    "stream_split_leakage_gate",      # r17: carried counts + rr split
+    "stream_foreachbatch_upsert",     # r17: round-robin source split
+    "stream_quality_classifier",      # r17: round-robin source split
+    # --- (2) the 11 r16-deferred rows (r8-era tail), re-inserted
     "set_union_by_name",
     "sql_pipe_revenue_by_flag",
     "stats_anova_oneway",
@@ -213,6 +163,46 @@ DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
     "text_lexical_mattr",
     "users_churn_labels",
     "win_percent_of_total",
+    # --- (3) the 25 alphabetically-first of the 31 r9-era rows
+    "ab_test_conversion_lift",
+    "agg_bitwise_mode",
+    "agg_ordered_set_percentiles",
+    "alloc_largest_remainder",
+    "arrow_user_value_stats",
+    "asof_nearest_click",
+    "customer_rfm_scores",
+    "events_anomaly_seasonal",
+    "events_ewma_user",
+    "events_funnel_staged_windows",
+    "events_gap_fill_locf",
+    "events_late_arrival_profile",
+    "events_pattern_sequence",
+    "events_resample_interp_linear",
+    "events_type_transitions",
+    "events_weekly_seasonality",
+    "intervals_coalesce_shipping",
+    "join_range_pure_bucketized",
+    "join_salted_orders_segment",
+    "lineitem_abc_classification",
+    "orders_open_backlog_daily",
+    "quality_control_pchart",
+    "scalar_collation_lcase",
+    "scalar_try_arith_battery",
+    "sql_udf_parameterized",
+)
+
+# Names owed to the NEXT round's window (rotated out of the 50 slots by
+# this round's re-checks) — machine-readable so the rotation cannot be
+# silently forgotten (r14 ADVICE): tests assert these are registered,
+# disjoint from the current window, and re-inserted next round.
+DRIVER_CHECK_DEFERRED: tuple[str, ...] = (
+    # the 6 r9-era tail rows the r17 window's re-checks displaced
+    "stats_chi2_type_dow",
+    "stream_ewma_user",
+    "subquery_exists_projection",
+    "subquery_not_in_null_trap",
+    "udtf_python_word_stats",
+    "win_rolling_distinct_users",
 )
 
 

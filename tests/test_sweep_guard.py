@@ -159,21 +159,23 @@ def test_driver_window_rotation_not_forgotten():
     assert not unknown, f"deferred names missing from registry: {unknown}"
     overlap = set(d) & set(registry.DRIVER_CHECK_PRIORITY)
     assert not overlap, f"deferred names still in the window: {sorted(overlap)}"
-    # the r15 deferrals, owed to (and pinned in) the r16 window:
-    r15_deferred = {
-        "stream_burst_detection",
-        "stream_dedup_within_watermark",
-        "stream_foreachbatch_upsert",
-        "stream_session_window_dynamic_gap",
-        "stream_sessionize_capped",
-        "stream_token_bucket_admission",
-        "text_bigram_lm_kneser_ney",
-        "udtf_table_arg_streaks",
-        "win_ignore_nulls_battery",
+    # the r16 deferrals, owed to (and pinned in) the r17 window:
+    r16_deferred = {
+        "set_union_by_name",
+        "sql_pipe_revenue_by_flag",
+        "stats_anova_oneway",
+        "stats_corr_regression",
+        "stats_equidepth_bins",
+        "stats_rank_correlation_battery",
+        "stream_forecast_croston",
+        "stream_periodogram_goertzel",
+        "text_lexical_mattr",
+        "users_churn_labels",
+        "win_percent_of_total",
     }
-    missing = r15_deferred - set(registry.DRIVER_CHECK_PRIORITY)
+    missing = r16_deferred - set(registry.DRIVER_CHECK_PRIORITY)
     assert not missing, (
-        f"r15-deferred names not re-inserted in the r16 window: "
+        f"r16-deferred names not re-inserted in the r17 window: "
         f"{sorted(missing)}"
     )
 
